@@ -1,0 +1,117 @@
+"""Gaze-centered log-rectilinear downsampling via 4-tap SAT box filter.
+
+This is the server-side hot op (reference:
+src/sat_decoder_sample_rect_kernel.cl:138-241 ``sample_rect_kernel`` and
+:298-382 ``sample_rect_360_kernel``; host wrappers
+src/sat_decoder.cc:301-398).
+
+TPU-native design: because the grid is separable (see foveax.core.logrect),
+all tap coordinates are 1-D vectors — ``px(i)``/``pxm(i)`` over output
+columns and ``py(j)``/``pym(j)`` over output rows.  The 4 SAT taps then
+become two *row* gathers (at ``py`` and ``pym``) followed by per-axis column
+indexing, which XLA lowers to dense dynamic-slice-free gathers instead of a
+scattered 2-D gather.  The gaze center enters as two traced scalars added to
+the constant grid, so a moving gaze never recompiles.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from foveax.core.logrect import LogRectGrid
+
+
+def _axis_positions(g: jax.Array, center_scaled: jax.Array):
+    """pos / pos_minus vectors for one axis from the (dim+1,) grid vector."""
+    gi = g.astype(jnp.int32)
+    pos = center_scaled + gi[1:]
+    pos_minus = center_scaled + gi[:-1]
+    return pos, pos_minus
+
+
+def sample_rect_from_sat(
+    sat: jax.Array,
+    grid: LogRectGrid,
+    center: jax.Array,
+    *,
+    wrap_x: bool = True,
+) -> jax.Array:
+    """Foveate: (3, Hs, Ws) uint32 SAT -> (Ho, Wo, 3) uint8 reduced frame.
+
+    ``center`` is a float32 (2,) array (cx, cy) in [0, 1].  ``wrap_x``
+    enables the 360-degree horizontal wraparound applied when both rectangle
+    edges fall off the same side (reference:
+    src/sat_decoder_sample_rect_kernel.cl:181-187).  Invalid texels (box
+    fully outside the frame vertically) are written as 0 — the reference
+    leaves stale buffer contents there instead (src/.../:197-200), which is
+    not reproducible in a functional setting.
+    """
+    _, hs, ws = sat.shape
+    cx = (center[0] * jnp.float32(ws)).astype(jnp.int32)
+    cy = (center[1] * jnp.float32(hs)).astype(jnp.int32)
+
+    px, pxm = _axis_positions(grid.gx, cx)  # (Wo,)
+    py, pym = _axis_positions(grid.gy, cy)  # (Ho,)
+
+    if wrap_x:
+        wrap_hi = (px >= ws) & (pxm >= ws)
+        wrap_lo = (px < 0) & (pxm < 0)
+        shift = jnp.where(wrap_hi, -ws, jnp.where(wrap_lo, ws, 0))
+        px = px + shift
+        pxm = pxm + shift
+
+    valid_x = ((px >= 0) & (px < ws)) | ((pxm >= 0) & (pxm < ws))
+    valid_y = ((py >= 0) & (py < hs)) | ((pym >= 0) & (pym < hs))
+
+    # Clamp rule: pos into [1, dim-1], pos_minus into [0, pos-1] (reference:
+    # src/sat_decoder_sample_rect_kernel.cl:201-204).  After this, pos > 0
+    # always holds, so only the full 4-tap branch of the kernel is live.
+    pxc = jnp.clip(px, 1, ws - 1)
+    pyc = jnp.clip(py, 1, hs - 1)
+    pxmc = jnp.clip(pxm, 0, pxc - 1)
+    pymc = jnp.clip(pym, 0, pyc - 1)
+
+    # Two row gathers, then column indexing: (3, Ho, Ws) -> (3, Ho, Wo).
+    rows_hi = jnp.take(sat, pyc, axis=1)
+    rows_lo = jnp.take(sat, pymc, axis=1)
+    br = jnp.take(rows_hi, pxc, axis=2)
+    tr = jnp.take(rows_lo, pxc, axis=2)
+    bl = jnp.take(rows_hi, pxmc, axis=2)
+    tl = jnp.take(rows_lo, pxmc, axis=2)
+
+    rect = ((pyc - pymc)[:, None] * (pxc - pxmc)[None, :]).astype(jnp.uint32)
+    box = br - tr + tl - bl  # uint32, mod-2^32 wrap is intentional
+    vals = (box // rect[None]).astype(jnp.uint8)
+
+    valid = (valid_y[:, None] & valid_x[None, :])[None]
+    out = jnp.where(valid, vals, jnp.uint8(0))
+    return out.transpose(1, 2, 0)
+
+
+def sample_rect_point(
+    frame: jax.Array,
+    grid: LogRectGrid,
+    center: jax.Array,
+) -> jax.Array:
+    """Aliasing baseline: point-sample the RGB frame directly through the
+    raw-delta grid — no SAT, no averaging (reference:
+    src/image_sampler_sample_rect_kernel.cl:1-46, host
+    src/image_sampler.cc:249-299).  Takes a (H, W, 3) uint8 frame and a
+    ``make_point_grid`` grid; returns (Ho, Wo, 3) uint8.
+    """
+    hs, ws, _ = frame.shape
+    cx = (center[0] * jnp.float32(ws)).astype(jnp.int32)
+    cy = (center[1] * jnp.float32(hs)).astype(jnp.int32)
+    x = cx + grid.gx.astype(jnp.int32)  # (Wo,)
+    y = cy + grid.gy.astype(jnp.int32)  # (Ho,)
+
+    # Single-sided x wrap (reference kernel :29-33), y bounds check.
+    x = jnp.where(x >= ws, x - ws, jnp.where(x < 0, x + ws, x))
+    valid = ((x >= 0) & (x < ws))[None, :] & ((y >= 0) & (y < hs))[:, None]
+    xc = jnp.clip(x, 0, ws - 1)
+    yc = jnp.clip(y, 0, hs - 1)
+
+    rows = jnp.take(frame, yc, axis=0)
+    vals = jnp.take(rows, xc, axis=1)
+    return jnp.where(valid[..., None], vals, jnp.uint8(0))

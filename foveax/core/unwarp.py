@@ -1,0 +1,155 @@
+"""Inverse log-rectilinear unwarp (the client-side hot op).
+
+For every full-resolution output pixel: invert the log map to find the
+enclosing reduced-frame texel, snap to it when the forward map lands exactly
+back on this pixel, otherwise bilinearly blend the two enclosing log cells
+per axis with edge clamping (reference:
+src/sat_decoder_interpolate_kernel.cl:1-151, host
+src/sat_decoder.cc:887-928, CPU twin :618-772).
+
+TPU-native design: the inverse map is separable like the forward one — every
+quantity (u, min_u/max_u, min_x/max_x, ratios, the wrap flag) depends on only
+one output axis.  foveax computes all of them as O(W_out)+O(H_out) 1-D
+vectors, then performs three row gathers + column indexing on the small
+reduced frame.  The whole op is dense vector math driven by two traced gaze
+scalars — no recompilation as the gaze moves.
+
+Precision note: the reference mixes float and double in the snap check
+(2.0 vs 2.0f literals, src/sat_decoder_interpolate_kernel.cl:59 vs :80);
+foveax uses float32 uniformly so the forward grid and the inverse check are
+computed in the *same* precision and the snap test is self-consistent.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foveax.core.logrect import delta_table
+from foveax.core.logrect import lam as _lam
+
+
+def _axis_vectors(
+    out_dim: int,
+    reduced_dim: int,
+    center_scaled: jax.Array,
+    *,
+    wrap: bool,
+):
+    """All per-axis 1-D quantities for the unwarp.
+
+    Returns (exact, idx_exact, idx_min, idx_max, ratio) each of shape
+    (out_dim,):
+      exact     — forward(delta_inverse(pixel)) == pixel on this axis
+      idx_exact — clamped reduced-frame index for the snap path
+      idx_min/idx_max — clamped reduced-frame indices of the two log cells
+      ratio     — bilinear blend factor in [0, 1]
+    """
+    lam_out = _lam(out_dim)
+    cp = center_scaled  # int32 scalar: trunc(center * out_dim)
+    p = jnp.arange(out_dim, dtype=jnp.int32)
+
+    # Forward-delta LUT, precomputed in float64 at trace time so the snap
+    # check below is bit-consistent with the sampling grid (see
+    # foveax.core.logrect.delta64).  |u| <= reduced_dim/2 + 1 always holds:
+    # the inverse log map is bounded by ceil(reduced_dim/2) and the
+    # neighbour step adds 1.
+    u_off = reduced_dim // 2 + 2
+    # The unwarp's forward check uses lambda derived from the *output* dim
+    # (reference: src/sat_decoder_interpolate_kernel.cl:11-12).
+    lut = jnp.asarray(delta_table(-u_off, u_off, reduced_dim, out_dim))
+
+    # 360-degree wrap relative to the gaze (reference kernel :27-33).
+    half = out_dim // 2
+    if wrap:
+        shift = jnp.where(
+            p - cp > half, -out_dim, jnp.where(p - cp < -half, out_dim, 0)
+        )
+    else:
+        shift = jnp.zeros_like(p)
+    offset = shift != 0
+    pw = p + shift
+    d = pw - cp  # delta from center, possibly wrapped
+
+    # Inverse log map (reference kernel :43-48).
+    ad = jnp.abs(d).astype(jnp.float32)
+    u_raw = jnp.ceil(
+        0.5
+        * np.float32(reduced_dim)
+        * jnp.log(ad / lam_out + np.float32(1.0)) ** 0.25
+    ).astype(jnp.int32) * jnp.sign(d)
+    u = jnp.where((jnp.abs(u_raw) > jnp.abs(d)) | (u_raw == 0), d, u_raw)
+
+    # Forward re-check for the snap test (reference kernel :56-67).
+    d_calc = lut[u + u_off]
+    exact = d_calc == d
+
+    # Neighbour cell toward the center; sign taken from u, not u+du
+    # (reference kernel :75-89).
+    du = -jnp.sign(d)
+    d_min = jnp.abs(lut[u + du + u_off]) * jnp.sign(u)
+
+    lo = cp + jnp.minimum(d_min, d_calc)
+    hi = cp + jnp.maximum(d_min, d_calc)
+    u_lo = jnp.minimum(u, u + du)
+    u_hi = jnp.maximum(u, u + du)
+
+    # Edge clamping: collapse to the inner cell at frame borders; on the
+    # wrap axis a wrapped pixel skips the collapse (reference kernel
+    # :105-116 — the x conditions carry "&& !x_offset", the y ones do not).
+    if wrap:
+        u_lo2 = jnp.where((lo < 0) & ~offset, u_hi, u_lo)
+        u_hi2 = jnp.where((hi >= out_dim) & ~offset, u_lo2, u_hi)
+    else:
+        u_lo2 = jnp.where(lo < 0, u_hi, u_lo)
+        u_hi2 = jnp.where(hi >= out_dim, u_lo2, u_hi)
+
+    ratio = jnp.where(
+        hi == lo,
+        jnp.float32(0.0),
+        jnp.clip((pw - lo).astype(jnp.float32) / (hi - lo).astype(jnp.float32), 0.0, 1.0),
+    )
+
+    half_r = reduced_dim // 2
+    clampr = lambda v: jnp.clip(v + half_r, 0, reduced_dim - 1)
+    return exact, clampr(u), clampr(u_lo2), clampr(u_hi2), ratio
+
+
+def unwarp_rect(
+    reduced: jax.Array,
+    out_width: int,
+    out_height: int,
+    center: jax.Array,
+) -> jax.Array:
+    """Unwarp a (Hr, Wr, 3) uint8 reduced frame to (out_height, out_width, 3).
+
+    ``center`` is float32 (2,) in [0, 1].
+    """
+    hr, wr, _ = reduced.shape
+    cx = (center[0] * jnp.float32(out_width)).astype(jnp.int32)
+    cy = (center[1] * jnp.float32(out_height)).astype(jnp.int32)
+
+    ex_x, ix_e, ix_lo, ix_hi, rx = _axis_vectors(out_width, wr, cx, wrap=True)
+    ex_y, iy_e, iy_lo, iy_hi, ry = _axis_vectors(out_height, hr, cy, wrap=False)
+
+    src = reduced.astype(jnp.float32)
+    rows_lo = jnp.take(src, iy_lo, axis=0)  # (Ho, Wr, 3)
+    rows_hi = jnp.take(src, iy_hi, axis=0)
+    rows_ex = jnp.take(src, iy_e, axis=0)
+
+    tl = jnp.take(rows_lo, ix_lo, axis=1)  # (Ho, Wo, 3)
+    tr = jnp.take(rows_lo, ix_hi, axis=1)
+    bl = jnp.take(rows_hi, ix_lo, axis=1)
+    br = jnp.take(rows_hi, ix_hi, axis=1)
+    exact_val = jnp.take(rows_ex, ix_e, axis=1)
+
+    ry2 = ry[:, None, None]
+    rx2 = rx[None, :, None]
+    left = tl + (bl - tl) * ry2
+    right = tr + (br - tr) * ry2
+    blended = left + (right - left) * rx2
+
+    exact = (ex_y[:, None] & ex_x[None, :])[..., None]
+    out = jnp.where(exact, exact_val, blended)
+    return out.astype(jnp.uint8)

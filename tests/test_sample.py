@@ -1,0 +1,115 @@
+"""Log-rectilinear SAT sampling: JAX separable path vs dense golden vs
+brute-force box means."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foveax.core import golden
+from foveax.core.logrect import make_grid, make_point_grid
+from foveax.core.sample import sample_rect_from_sat, sample_rect_point
+from foveax.core.sat import build_sat
+
+CENTERS = [(0.5, 0.5), (0.1, 0.2), (0.9, 0.8), (0.02, 0.5), (0.98, 0.5)]
+
+
+def _grids(out_w, out_h, src_w, src_h):
+    g = make_grid(out_w, out_h, src_w, src_h)
+    # Use the float64 dense golden grid for BOTH paths so sampling
+    # comparisons are isolated from grid transcendental tolerance.
+    dense = golden.grid_dense(out_w, out_h, src_w, src_h)
+    import dataclasses
+
+    gj = dataclasses.replace(
+        g,
+        gx=jnp.asarray(dense[0, :, 0]),
+        gy=jnp.asarray(dense[:, 0, 1]),
+    )
+    return gj, dense
+
+
+@pytest.mark.parametrize("center", CENTERS)
+def test_sample_matches_dense_golden(small_frame, center):
+    src_h, src_w, _ = small_frame.shape
+    out_w, out_h = 48, 32
+    gj, dense = _grids(out_w, out_h, src_w, src_h)
+    sat = build_sat(jnp.asarray(small_frame))
+    ours = np.asarray(
+        jax.jit(sample_rect_from_sat, static_argnames=("wrap_x",))(
+            sat, gj, jnp.asarray(center, dtype=jnp.float32)
+        )
+    )
+    ref = golden.sample_rect(np.asarray(sat), dense, center)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("center", [(0.5, 0.5), (0.05, 0.9)])
+def test_sample_matches_bruteforce_box_means(small_frame, center):
+    src_h, src_w, _ = small_frame.shape
+    out_w, out_h = 24, 16
+    gj, dense = _grids(out_w, out_h, src_w, src_h)
+    sat = build_sat(jnp.asarray(small_frame))
+    ours = np.asarray(
+        sample_rect_from_sat(sat, gj, jnp.asarray(center, dtype=jnp.float32))
+    )
+    ref = golden.sample_box_bruteforce(small_frame, dense, center)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_sample_gaze_does_not_recompile(small_frame):
+    src_h, src_w, _ = small_frame.shape
+    gj, _ = _grids(48, 32, src_w, src_h)
+    sat = build_sat(jnp.asarray(small_frame))
+    fn = jax.jit(sample_rect_from_sat, static_argnames=("wrap_x",))
+    fn(sat, gj, jnp.asarray([0.5, 0.5], dtype=jnp.float32))
+    n0 = fn._cache_size()
+    fn(sat, gj, jnp.asarray([0.25, 0.75], dtype=jnp.float32))
+    fn(sat, gj, jnp.asarray([0.99, 0.01], dtype=jnp.float32))
+    assert fn._cache_size() == n0
+
+
+def test_fovea_region_is_identity(small_frame):
+    """At the gaze center, box size is 1 pixel: foveal samples equal source
+    pixels exactly."""
+    src_h, src_w, _ = small_frame.shape
+    out_w, out_h = 48, 32
+    gj, dense = _grids(out_w, out_h, src_w, src_h)
+    sat = build_sat(jnp.asarray(small_frame))
+    center = (0.5, 0.5)
+    out = np.asarray(
+        sample_rect_from_sat(sat, gj, jnp.asarray(center, dtype=jnp.float32))
+    )
+    # Central texel: delta spacing 1 -> exact pixel copy.
+    j, i = out_h // 2, out_w // 2
+    px = int(np.float32(0.5) * src_w) + int(dense[j + 1, i + 1, 0])
+    py = int(np.float32(0.5) * src_h) + int(dense[j + 1, i + 1, 1])
+    np.testing.assert_array_equal(out[j, i], small_frame[py, px])
+
+
+def test_point_sample_matches_direct_indexing(small_frame):
+    src_h, src_w, _ = small_frame.shape
+    out_w, out_h = 48, 32
+    g = make_point_grid(out_w, out_h, src_w, src_h)
+    center = (0.4, 0.6)
+    out = np.asarray(
+        jax.jit(sample_rect_point)(
+            jnp.asarray(small_frame), g, jnp.asarray(center, dtype=jnp.float32)
+        )
+    )
+    gx = np.asarray(g.gx, dtype=np.int64)
+    gy = np.asarray(g.gy, dtype=np.int64)
+    cx = int(np.float32(center[0]) * src_w)
+    cy = int(np.float32(center[1]) * src_h)
+    for j in [0, out_h // 2, out_h - 1]:
+        for i in [0, out_w // 2, out_w - 1]:
+            x = cx + gx[i]
+            y = cy + gy[j]
+            if x >= src_w:
+                x -= src_w
+            elif x < 0:
+                x += src_w
+            if 0 <= x < src_w and 0 <= y < src_h:
+                np.testing.assert_array_equal(out[j, i], small_frame[y, x])
+            else:
+                np.testing.assert_array_equal(out[j, i], 0)

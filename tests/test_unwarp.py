@@ -1,0 +1,85 @@
+"""Inverse unwarp: JAX separable path vs dense float64 golden, plus
+fovea-identity round-trip properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foveax.core import golden
+from foveax.core.logrect import make_grid
+from foveax.core.sample import sample_rect_from_sat
+from foveax.core.sat import build_sat
+from foveax.core.unwarp import unwarp_rect
+
+CENTERS = [(0.5, 0.5), (0.15, 0.3), (0.92, 0.7)]
+
+
+@pytest.mark.parametrize("center", CENTERS)
+def test_unwarp_matches_golden(rng, center):
+    hr, wr = 16, 24
+    out_w, out_h = 96, 64
+    reduced = rng.integers(0, 256, size=(hr, wr, 3), dtype=np.uint8)
+    ours = np.asarray(
+        jax.jit(unwarp_rect, static_argnames=("out_width", "out_height"))(
+            jnp.asarray(reduced),
+            out_w,
+            out_h,
+            jnp.asarray(center, dtype=jnp.float32),
+        )
+    )
+    ref = golden.unwarp_rect(reduced, out_w, out_h, center)
+    # float32 vs float64: snap decisions and ratios may differ at a handful
+    # of cell boundaries; blended values within 1 LSB elsewhere.
+    diff = np.abs(ours.astype(np.int32) - ref.astype(np.int32))
+    assert (diff <= 1).mean() > 0.995, f"large diffs: {(diff > 1).sum()}"
+    assert np.median(diff) == 0
+
+
+@pytest.mark.parametrize("center", CENTERS)
+def test_foveate_unwarp_roundtrip_fovea_exact(small_frame, center):
+    """Pixels at the gaze center survive foveate->unwarp exactly (spacing-1
+    region both ways); peripheral pixels are low-error."""
+    src_h, src_w, _ = small_frame.shape
+    out_w, out_h = 48, 32
+    g = make_grid(out_w, out_h, src_w, src_h)
+    sat = build_sat(jnp.asarray(small_frame))
+    c = jnp.asarray(center, dtype=jnp.float32)
+    reduced = sample_rect_from_sat(sat, g, c)
+    restored = np.asarray(unwarp_rect(reduced, src_w, src_h, c))
+
+    cx = int(np.float32(center[0]) * src_w)
+    cy = int(np.float32(center[1]) * src_h)
+    r = 3
+    ys = slice(max(cy - r, 0), min(cy + r, src_h))
+    xs = slice(max(cx - r, 0), min(cx + r, src_w))
+    np.testing.assert_array_equal(restored[ys, xs], small_frame[ys, xs])
+
+    err = np.abs(
+        restored.astype(np.int32) - small_frame.astype(np.int32)
+    ).mean()
+    assert err < 16.0, f"mean abs error too high: {err}"
+
+
+def test_unwarp_no_recompile_on_gaze(rng):
+    reduced = jnp.asarray(
+        rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    )
+    fn = jax.jit(unwarp_rect, static_argnames=("out_width", "out_height"))
+    fn(reduced, 96, 64, jnp.asarray([0.5, 0.5], dtype=jnp.float32))
+    n0 = fn._cache_size()
+    fn(reduced, 96, 64, jnp.asarray([0.1, 0.9], dtype=jnp.float32))
+    assert fn._cache_size() == n0
+
+
+def test_unwarp_wraps_horizontally(rng):
+    """A gaze at the left edge pulls fovea-resolution content across the
+    x seam — outputs near x=W-1 should draw from the fovea region."""
+    hr, wr = 16, 24
+    out_w, out_h = 96, 64
+    reduced = rng.integers(0, 256, size=(hr, wr, 3), dtype=np.uint8)
+    c = jnp.asarray([0.01, 0.5], dtype=jnp.float32)
+    out = np.asarray(unwarp_rect(jnp.asarray(reduced), out_w, out_h, c))
+    ref = golden.unwarp_rect(reduced, out_w, out_h, (0.01, 0.5))
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert (diff <= 1).mean() > 0.99
