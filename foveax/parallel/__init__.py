@@ -1,0 +1,9 @@
+"""Device-mesh sharding: spatial scan parallelism + client data parallelism."""
+
+from foveax.parallel.mesh import make_mesh
+from foveax.parallel.sharded import (
+    multi_client_step,
+    sharded_build_sat,
+)
+
+__all__ = ["make_mesh", "sharded_build_sat", "multi_client_step"]

@@ -1,0 +1,124 @@
+"""Sharded pipeline steps via shard_map over a ("data", "space") mesh.
+
+Design (SPMD, collectives on ICI):
+
+1. **Sharded SAT build** — the 2-D inclusive prefix scan is the framework's
+   sequence-parallel component.  The frame is sharded along image rows over
+   the ``space`` axis.  Row scans (axis=x) are embarrassingly parallel.
+   The column scan (axis=y) is a blocked scan: every device cumsums its own
+   row block locally, then adds the sum of all *preceding* blocks — an
+   exclusive prefix over per-block column totals, obtained with one
+   ``all_gather`` of (1, W, 3)-sized totals over ICI and a masked sum.
+   This mirrors the classic local-scan + carry-broadcast decomposition
+   (the reference instead runs one serial scan per row/column on a single
+   GPU, reference: src/sat_encoder_encode_kernels.cl:44-74).
+
+2. **Multi-client step** — gazes are sharded over the ``data`` axis.  Each
+   device needs the full SAT to sample its clients' gaze-dependent boxes, so
+   the row-sharded SAT is all-gathered along ``space`` (pixels cross ICI
+   exactly once per frame; gaze scalars are broadcast from host).  Sampling
+   + unwarp then run vmapped per device with zero further communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from foveax.core.logrect import LogRectGrid
+from foveax.core.sample import sample_rect_from_sat
+from foveax.core.unwarp import unwarp_rect
+
+
+def _local_sat_block(frame_block: jax.Array) -> jax.Array:
+    """Per-device partial SAT of a (3, h_local, W) row block, plus carry fix."""
+    local = jnp.cumsum(frame_block, axis=2, dtype=jnp.uint32)
+    local = jnp.cumsum(local, axis=1, dtype=jnp.uint32)
+
+    # Exclusive prefix of per-block column totals across the `space` axis.
+    totals = local[:, -1:, :]  # (3, 1, W): column sums of this block
+    gathered = jax.lax.all_gather(totals, "space", axis=1, tiled=True)  # (3, n, W)
+    idx = jax.lax.axis_index("space")
+    n = jax.lax.axis_size("space")
+    mask = (jnp.arange(n) < idx).astype(jnp.uint32)  # strictly preceding
+    carry = jnp.einsum(
+        "cnw,n->cw", gathered.astype(jnp.uint32), mask
+    ).astype(jnp.uint32)
+    return local + carry[:, None, :]
+
+
+def sharded_build_sat(frame: jax.Array, mesh: Mesh) -> jax.Array:
+    """(H, W, 3) uint8 -> (3, H, W) uint32 SAT, row-sharded over ``space``.
+
+    H must divide evenly by the mesh's space size.
+    """
+    fn = shard_map(
+        lambda f: _local_sat_block(f.astype(jnp.uint32).transpose(2, 0, 1)),
+        mesh=mesh,
+        in_specs=P("space", None, None),
+        out_specs=P(None, "space", None),
+    )
+    return fn(frame)
+
+
+def multi_client_step(
+    frame: jax.Array,
+    centers: jax.Array,
+    grid: LogRectGrid,
+    mesh: Mesh,
+    *,
+    unwarp: bool = True,
+):
+    """Full sharded serving step: one frame, a batch of client gazes.
+
+    ``frame``: (H, W, 3) uint8 — sharded by rows over ``space``.
+    ``centers``: (N, 2) float32 — sharded over ``data``; N must divide by
+    the data-axis size.
+
+    Returns the per-client reduced frames (N, Hr, Wr, 3) and, if ``unwarp``,
+    the per-client restored frames (N, H, W, 3), both sharded over ``data``.
+    """
+    sh, sw = frame.shape[0], frame.shape[1]
+
+    def step(frame_block, centers_block):
+        # frame_block: (h_local, W, 3) on each space shard (replicated over
+        # data); centers_block: (n_local, 2) on each data shard.
+        partial = _local_sat_block(
+            frame_block.astype(jnp.uint32).transpose(2, 0, 1)
+        )
+        sat = jax.lax.all_gather(partial, "space", axis=1, tiled=True)
+
+        def per_client(c):
+            reduced = sample_rect_from_sat(sat, grid, c)
+            if unwarp:
+                return reduced, unwarp_rect(reduced, sw, sh, c)
+            return (reduced,)
+
+        return jax.vmap(per_client)(centers_block)
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P("space", None, None), P("data", None)),
+        out_specs=P("data"),
+        # Outputs are replicated over `space` (every space shard holds the
+        # full gathered SAT and the same client block) — the static VMA
+        # analysis cannot prove that, so disable the check.
+        check_vma=False,
+    )
+    return fn(frame, centers)
+
+
+def jit_multi_client_step(grid: LogRectGrid, mesh: Mesh, *, unwarp: bool = True):
+    """Compiled closure over (grid, mesh) for the serving hot loop."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(frame, centers):
+        return multi_client_step(frame, centers, grid, mesh, unwarp=unwarp)
+
+    return fn

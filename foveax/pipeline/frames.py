@@ -1,0 +1,107 @@
+"""Jitted frame-level pipeline functions.
+
+The reference's per-frame hot loop is: decode -> SAT build -> (pace) ->
+gaze-sample -> encode on the server (reference: src/video_server.cc:287-427)
+and decode -> unwarp -> render on the client (src/video_client.cc:275-366).
+foveax packages the device portions as jitted, shape-static functions:
+
+    foveate(frame, center)          server-side SAT build + sample
+    sample(sat, center)             sample only (SAT built once per frame)
+    unwarp(reduced, center)         client-side inverse
+    roundtrip(frame, center)        foveate + unwarp (quality studies; the
+                                    analog of `foveate_no_encoding`,
+                                    reference: src/run_satlogrectilinear.cc:857-959)
+    foveate_batch(frame, centers)   one SAT, N gazes — the multi-client
+                                    batched launch (vmap over gaze)
+
+Gaze centers are traced scalars: a moving gaze never recompiles.  All
+functions are compiled once per (source, reduced) shape pair.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from foveax.config import FoveaxConfig
+from foveax.core.logrect import LogRectGrid, make_grid
+from foveax.core.sample import sample_rect_from_sat
+from foveax.core.sat import build_sat
+from foveax.core.unwarp import unwarp_rect
+
+
+class FoveationPipeline:
+    """Compiled pipeline for one (source, reduced) shape configuration.
+
+    This is the TPU analog of the reference's per-connection engine bundle
+    (OpenCLManager + SATEncoder + SATDecoder + grid, reference:
+    src/video_server.h:33-54) — except engines here are stateless compiled
+    functions and ONE pipeline instance is safely shared by any number of
+    connections (the grid is a device constant; there is no per-connection
+    GPU context).
+    """
+
+    def __init__(self, config: FoveaxConfig | None = None, *, wrap_x: bool = True):
+        self.config = config or FoveaxConfig()
+        cfg = self.config
+        self.grid: LogRectGrid = make_grid(
+            cfg.reduced_width, cfg.reduced_height, cfg.source_width, cfg.source_height
+        )
+        self._wrap_x = wrap_x
+
+        grid = self.grid
+        sw, sh = cfg.source_width, cfg.source_height
+
+        def _sample(sat, center):
+            return sample_rect_from_sat(sat, grid, center, wrap_x=wrap_x)
+
+        def _foveate(frame, center):
+            return _sample(build_sat(frame), center)
+
+        def _unwarp(reduced, center):
+            return unwarp_rect(reduced, sw, sh, center)
+
+        def _roundtrip(frame, center):
+            reduced = _foveate(frame, center)
+            return reduced, _unwarp(reduced, center)
+
+        def _foveate_batch(frame, centers):
+            sat = build_sat(frame)
+            return jax.vmap(lambda c: _sample(sat, c))(centers)
+
+        def _roundtrip_batch(frame, centers):
+            sat = build_sat(frame)
+
+            def per_client(c):
+                reduced = _sample(sat, c)
+                return reduced, _unwarp(reduced, c)
+
+            return jax.vmap(per_client)(centers)
+
+        self.build_sat = jax.jit(build_sat)
+        self.sample = jax.jit(_sample)
+        self.foveate = jax.jit(_foveate)
+        self.unwarp = jax.jit(_unwarp)
+        self.roundtrip = jax.jit(_roundtrip)
+        self.foveate_batch = jax.jit(_foveate_batch)
+        self.roundtrip_batch = jax.jit(_roundtrip_batch)
+
+    # -- convenience -------------------------------------------------------
+
+    def center(self, cx: float, cy: float) -> jax.Array:
+        return jnp.asarray([cx, cy], dtype=jnp.float32)
+
+    @property
+    def reduced_shape(self) -> tuple[int, int, int]:
+        return (self.config.reduced_height, self.config.reduced_width, 3)
+
+    @property
+    def source_shape(self) -> tuple[int, int, int]:
+        return (self.config.source_height, self.config.source_width, 3)
+
+
+@functools.lru_cache(maxsize=8)
+def default_pipeline() -> FoveationPipeline:
+    return FoveationPipeline()

@@ -1,6 +1,11 @@
-"""Test configuration: force an 8-device virtual CPU platform BEFORE jax
-initializes, so sharding tests run without TPU hardware and all kernel tests
-exercise the same code paths CI would."""
+"""Test configuration: force an 8-device virtual CPU platform so sharding
+tests run without TPU hardware and all kernel tests exercise the same code
+paths CI would.
+
+Note: env vars (JAX_PLATFORMS / XLA_FLAGS) are NOT sufficient in this
+sandbox — the TPU-tunnel site hook calls jax.config.update("jax_platforms",
+...) at interpreter start, so we must override via jax.config too.
+"""
 
 import os
 
@@ -11,11 +16,16 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent compilation cache: eager op compiles cost ~1s each in this
-# sandbox; caching makes repeat test runs fast.
+# Persistent compilation cache: compiles are slow in this sandbox; caching
+# makes repeat test runs fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/foveax_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,68 @@
+"""Mesh sharding: blocked SAT scan with carry exchange, multi-client step.
+Runs on the 8-device virtual CPU mesh from conftest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foveax.core.logrect import make_grid
+from foveax.core.sample import sample_rect_from_sat
+from foveax.core.sat import build_sat
+from foveax.core.unwarp import unwarp_rect
+from foveax.parallel import make_mesh, multi_client_step, sharded_build_sat
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(n_space=8, n_data=1)
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    return make_mesh(n_space=4, n_data=2)
+
+
+def test_sharded_sat_matches_single_device(small_frame, mesh8):
+    frame = jnp.asarray(small_frame)
+    ref = np.asarray(build_sat(frame))
+    sharded = np.asarray(sharded_build_sat(frame, mesh8))
+    np.testing.assert_array_equal(sharded, ref)
+
+
+def test_sharded_sat_on_2d_mesh(small_frame, mesh2x4):
+    frame = jnp.asarray(small_frame)
+    ref = np.asarray(build_sat(frame))
+    sharded = np.asarray(sharded_build_sat(frame, mesh2x4))
+    np.testing.assert_array_equal(sharded, ref)
+
+
+def test_multi_client_step_matches_local(small_frame, mesh2x4):
+    h, w, _ = small_frame.shape
+    grid = make_grid(48, 32, w, h)
+    frame = jnp.asarray(small_frame)
+    centers = jnp.asarray(
+        [[0.5, 0.5], [0.25, 0.75], [0.9, 0.1], [0.1, 0.9]], dtype=jnp.float32
+    )
+    reduced, restored = multi_client_step(frame, centers, grid, mesh2x4)
+    assert reduced.shape == (4, 32, 48, 3)
+    assert restored.shape == (4, h, w, 3)
+
+    sat = build_sat(frame)
+    for i in range(4):
+        r_ref = sample_rect_from_sat(sat, grid, centers[i])
+        np.testing.assert_array_equal(np.asarray(reduced[i]), np.asarray(r_ref))
+        u_ref = unwarp_rect(r_ref, w, h, centers[i])
+        np.testing.assert_array_equal(np.asarray(restored[i]), np.asarray(u_ref))
+
+
+def test_multi_client_step_jits(small_frame, mesh2x4):
+    h, w, _ = small_frame.shape
+    grid = make_grid(48, 32, w, h)
+    frame = jnp.asarray(small_frame)
+    centers = jnp.zeros((2, 2), dtype=jnp.float32) + 0.5
+    fn = jax.jit(
+        lambda f, c: multi_client_step(f, c, grid, mesh2x4, unwarp=False)
+    )
+    (reduced,) = fn(frame, centers)
+    assert reduced.shape == (2, 32, 48, 3)

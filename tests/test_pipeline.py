@@ -1,0 +1,57 @@
+"""Pipeline layer: jitted functions, vmap batching, no per-gaze recompiles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from foveax.config import FoveaxConfig
+from foveax.pipeline import FoveationPipeline
+
+CFG = FoveaxConfig(
+    source_width=96, source_height=64, reduced_width=48, reduced_height=32
+)
+
+
+def test_shapes_and_roundtrip(small_frame):
+    p = FoveationPipeline(CFG)
+    frame = jnp.asarray(small_frame)
+    c = p.center(0.5, 0.5)
+    reduced, restored = p.roundtrip(frame, c)
+    assert reduced.shape == (32, 48, 3)
+    assert restored.shape == (64, 96, 3)
+    # Fovea pixels survive exactly.
+    np.testing.assert_array_equal(
+        np.asarray(restored)[30:34, 46:50], small_frame[30:34, 46:50]
+    )
+
+
+def test_foveate_equals_sample_of_sat(small_frame):
+    p = FoveationPipeline(CFG)
+    frame = jnp.asarray(small_frame)
+    c = p.center(0.3, 0.7)
+    sat = p.build_sat(frame)
+    np.testing.assert_array_equal(
+        np.asarray(p.foveate(frame, c)), np.asarray(p.sample(sat, c))
+    )
+
+
+def test_batch_matches_loop(small_frame):
+    p = FoveationPipeline(CFG)
+    frame = jnp.asarray(small_frame)
+    centers = jnp.asarray(
+        [[0.5, 0.5], [0.2, 0.3], [0.8, 0.9], [0.05, 0.5]], dtype=jnp.float32
+    )
+    batch = np.asarray(p.foveate_batch(frame, centers))
+    assert batch.shape == (4, 32, 48, 3)
+    for i in range(4):
+        single = np.asarray(p.foveate(frame, centers[i]))
+        np.testing.assert_array_equal(batch[i], single)
+
+
+def test_no_recompile_across_gazes(small_frame):
+    p = FoveationPipeline(CFG)
+    frame = jnp.asarray(small_frame)
+    p.roundtrip(frame, p.center(0.5, 0.5))
+    n0 = p.roundtrip._cache_size()
+    for c in [(0.1, 0.1), (0.9, 0.9), (0.33, 0.66)]:
+        p.roundtrip(frame, p.center(*c))
+    assert p.roundtrip._cache_size() == n0
