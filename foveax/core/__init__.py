@@ -10,8 +10,25 @@ from foveax.core.logrect import (
     make_point_grid,
 )
 from foveax.core.sat import build_sat, decode_sat
-from foveax.core.sample import sample_rect_from_sat
+from foveax.core.sample import sample_rect_from_sat, sample_rect_point
 from foveax.core.unwarp import unwarp_rect
+from foveax.core.logpolar import (
+    LogPolarGrid,
+    build_pyramid,
+    logpolar_gaussian_blur,
+    make_logpolar_grid,
+    sample_logpolar,
+    sample_logpolar_pyramid,
+    unwarp_logpolar,
+)
+from foveax.core.gnomonic import gnomonic_project
+from foveax.core.svd_sat import (
+    SVDSat,
+    compress_sat,
+    create_reduced_sat,
+    reconstruct_sat,
+    sample_from_reduced_sat,
+)
 
 __all__ = [
     "LogRectGrid",
@@ -22,5 +39,19 @@ __all__ = [
     "build_sat",
     "decode_sat",
     "sample_rect_from_sat",
+    "sample_rect_point",
     "unwarp_rect",
+    "LogPolarGrid",
+    "make_logpolar_grid",
+    "sample_logpolar",
+    "logpolar_gaussian_blur",
+    "unwarp_logpolar",
+    "build_pyramid",
+    "sample_logpolar_pyramid",
+    "gnomonic_project",
+    "SVDSat",
+    "compress_sat",
+    "reconstruct_sat",
+    "create_reduced_sat",
+    "sample_from_reduced_sat",
 ]
