@@ -1,0 +1,290 @@
+"""foveax CLI.
+
+Subcommands mirror the reference's three executables:
+  serve                 <- driver.x (reference: src/driver.cc)
+  client                <- client_driver.x (reference: src/client_driver.cc)
+  single_frame, interpolate_sampled, encode_bitrate, decode,
+  foveate_no_encoding   <- run_satlogrectilinear.x subcommands
+                           (reference: src/run_satlogrectilinear.cc:55-69)
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _center(arg: str):
+    x, y = arg.split(",")
+    return float(x), float(y)
+
+
+def _add_io_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--gaze-trace", help="360_em-format gaze trace file")
+    p.add_argument(
+        "--gaze", type=_center, default=(0.5, 0.5), help="fixed gaze 'x,y' in [0,1]"
+    )
+
+
+def _gaze_fn(args):
+    if getattr(args, "gaze_trace", None):
+        from foveax.io.gaze import GazeViewPoints
+
+        gvp = GazeViewPoints(args.gaze_trace)
+        return lambda i: gvp.gaze_for_frame(i)
+    fixed = args.gaze
+    return lambda i: fixed
+
+
+def cmd_serve(args) -> int:
+    from foveax.config import FoveaxConfig
+    from foveax.serve.server import FoveaxServer
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = FoveaxConfig(fps=args.fps)
+    server = FoveaxServer(
+        cfg, video_dir=args.video_dir, jpeg_quality=args.quality
+    )
+    try:
+        asyncio.run(server.run(args.port))
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_client(args) -> int:
+    from foveax.config import FoveaxConfig
+    from foveax.io.png import save_png
+    from foveax.serve.client import FoveaxClient
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = FoveaxConfig()
+    if args.source_size:
+        w, h = (int(v) for v in args.source_size.split("x"))
+        cfg = cfg.with_source(w, h)
+
+    sink = None
+    if args.out_dir:
+        out_dir = Path(args.out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+        def sink(frame, meta):
+            save_png(out_dir / f"frame_{meta.frameNum:03d}.png", frame)
+
+    client = FoveaxClient(
+        args.uri,
+        video=args.video,
+        config=cfg,
+        gaze_source=_gaze_fn(args),
+        frame_sink=sink,
+        max_frames=args.max_frames,
+    )
+    stats = asyncio.run(client.run())
+    print(stats.report())
+    return 0
+
+
+def _open_reader(source: str):
+    from foveax.io.video import open_video
+
+    return open_video(source)
+
+
+def _skip_to(reader, frame_idx: int):
+    frame = reader.read()
+    for _ in range(frame_idx):
+        nxt = reader.read()
+        if nxt is None:
+            break
+        frame = nxt
+    return frame
+
+
+def cmd_single_frame(args) -> int:
+    """Foveate one frame, save source + reduced PNGs (reference:
+    src/run_satlogrectilinear.cc:173-242)."""
+    import jax.numpy as jnp
+
+    from foveax.config import FoveaxConfig
+    from foveax.io.png import save_png
+    from foveax.pipeline.frames import FoveationPipeline
+
+    with _open_reader(args.video) as r:
+        frame = _skip_to(r, args.frame)
+        if frame is None:
+            print("no such frame", file=sys.stderr)
+            return 1
+        cfg = FoveaxConfig().with_source(r.width, r.height)
+    p = FoveationPipeline(cfg)
+    reduced = np.asarray(p.foveate(jnp.asarray(frame), p.center(*args.gaze)))
+    save_png(f"{args.out_prefix}_source.png", np.asarray(frame))
+    save_png(f"{args.out_prefix}_foveated.png", reduced)
+    print(f"wrote {args.out_prefix}_source.png and _foveated.png")
+    return 0
+
+
+def cmd_interpolate_sampled(args) -> int:
+    """Foveate + unwarp one frame, save all three stages (reference:
+    src/run_satlogrectilinear.cc:330-417)."""
+    import jax.numpy as jnp
+
+    from foveax.config import FoveaxConfig
+    from foveax.io.png import save_png
+    from foveax.pipeline.frames import FoveationPipeline
+
+    with _open_reader(args.video) as r:
+        frame = _skip_to(r, args.frame)
+        if frame is None:
+            print("no such frame", file=sys.stderr)
+            return 1
+        cfg = FoveaxConfig().with_source(r.width, r.height)
+    p = FoveationPipeline(cfg)
+    c = p.center(*args.gaze)
+    reduced, restored = p.roundtrip(jnp.asarray(frame), c)
+    save_png(f"{args.out_prefix}_source.png", np.asarray(frame))
+    save_png(f"{args.out_prefix}_foveated.png", np.asarray(reduced))
+    save_png(f"{args.out_prefix}_restored.png", np.asarray(restored))
+    print(f"wrote {args.out_prefix}_{{source,foveated,restored}}.png")
+    return 0
+
+
+def _transcode(args, mode: str) -> int:
+    """Shared offline transcode loop (reference:
+    src/run_satlogrectilinear.cc:660-763 encode_bitrate, :765-855 decode,
+    :857-959 foveate_no_encoding)."""
+    import jax.numpy as jnp
+
+    from foveax.config import FoveaxConfig
+    from foveax.io.video import VideoWriter
+    from foveax.pipeline.frames import FoveationPipeline
+
+    gaze = _gaze_fn(args)
+    t0 = time.perf_counter()
+    with _open_reader(args.video) as r:
+        cfg = FoveaxConfig().with_source(r.width, r.height)
+        if mode == "decode":
+            # Input is already foveated at reduced size; unwarp to full.
+            out_w = args.width or cfg.source_width
+            out_h = args.height or cfg.source_height
+            cfg = FoveaxConfig().with_source(out_w, out_h)
+            if (r.width, r.height) != (cfg.reduced_width, cfg.reduced_height):
+                print(
+                    f"note: input {r.width}x{r.height} != reduced "
+                    f"{cfg.reduced_width}x{cfg.reduced_height} for "
+                    f"{out_w}x{out_h}",
+                    file=sys.stderr,
+                )
+            out_size = (out_w, out_h)
+        elif mode == "encode":
+            out_size = (cfg.reduced_width, cfg.reduced_height)
+        else:  # foveate_no_encoding: roundtrip at full size
+            out_size = (cfg.source_width, cfg.source_height)
+
+        p = FoveationPipeline(cfg)
+        n = 0
+        with VideoWriter(
+            args.output, out_size[0], out_size[1], fps=r.fps, quality=args.quality
+        ) as w:
+            for frame in r:
+                c = p.center(*gaze(n))
+                fj = jnp.asarray(frame)
+                if mode == "encode":
+                    out = p.foveate(fj, c)
+                elif mode == "decode":
+                    out = p.unwarp(fj, c)
+                else:
+                    _, out = p.roundtrip(fj, c)
+                w.write(np.asarray(out))
+                n += 1
+                if n % 30 == 0:
+                    print(f"frame {n}", file=sys.stderr)
+                if args.max_frames and n >= args.max_frames:
+                    break
+    dt = time.perf_counter() - t0
+    print(f"{mode}: {n} frames -> {args.output} in {dt:.1f}s ({n / dt:.1f} fps)")
+    return 0
+
+
+def cmd_encode_bitrate(args) -> int:
+    return _transcode(args, "encode")
+
+
+def cmd_decode(args) -> int:
+    return _transcode(args, "decode")
+
+
+def cmd_foveate_no_encoding(args) -> int:
+    return _transcode(args, "roundtrip")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="foveax")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("serve", help="run the streaming server")
+    p.add_argument("--port", type=int, default=9562)
+    p.add_argument("--video-dir", default="1080p_videos")
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--quality", type=int, default=90)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("client", help="run the headless streaming client")
+    p.add_argument("--uri", default="ws://localhost:9562")
+    p.add_argument("--video", default="03_drone_d5d4gnuAJLo")
+    p.add_argument("--max-frames", type=int)
+    p.add_argument("--out-dir", help="dump received frames as PNGs")
+    p.add_argument("--source-size", help="e.g. 1920x1080")
+    _add_io_args(p)
+    p.set_defaults(fn=cmd_client)
+
+    p = sub.add_parser("single_frame", help="foveate one frame to PNG")
+    p.add_argument("video")
+    p.add_argument("frame", type=int)
+    p.add_argument("out_prefix")
+    _add_io_args(p)
+    p.set_defaults(fn=cmd_single_frame)
+
+    p = sub.add_parser(
+        "interpolate_sampled", help="foveate+unwarp one frame to PNGs"
+    )
+    p.add_argument("video")
+    p.add_argument("frame", type=int)
+    p.add_argument("out_prefix")
+    _add_io_args(p)
+    p.set_defaults(fn=cmd_interpolate_sampled)
+
+    for name, fn, hlp in [
+        ("encode_bitrate", cmd_encode_bitrate, "offline foveated transcode"),
+        ("decode", cmd_decode, "unwarp an already-foveated video"),
+        (
+            "foveate_no_encoding",
+            cmd_foveate_no_encoding,
+            "foveate+unwarp transcode without intermediate codec",
+        ),
+    ]:
+        p = sub.add_parser(name, help=hlp)
+        p.add_argument("video")
+        p.add_argument("output")
+        p.add_argument("--quality", type=float, default=None)
+        p.add_argument("--max-frames", type=int)
+        p.add_argument("--width", type=int)
+        p.add_argument("--height", type=int)
+        _add_io_args(p)
+        p.set_defaults(fn=fn)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,199 @@
+"""Video decode/encode behind small interfaces.
+
+The reference binds FFmpeg directly (demux/decode/swscale, reference:
+src/video_decoder.cc:32-238) and NVENC for H.264 encode (reference:
+src/video_encoder.cc:3-342) — both CUDA-locked choices.  foveax keeps the
+codec behind ``VideoReader`` / ``VideoWriter`` interfaces with OpenCV's
+FFmpeg backend for files, a procedural synthetic source for tests and
+benches, and in-memory JPEG for the low-latency streaming path (see
+foveax.io.mux for the fragmented-MP4 wire format).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAVE_CV2 = True
+except Exception:  # pragma: no cover
+    _HAVE_CV2 = False
+
+
+class VideoReader:
+    """File-backed reader (OpenCV/FFmpeg).  Yields RGB uint8 frames."""
+
+    def __init__(self, path: str | Path):
+        if not _HAVE_CV2:  # pragma: no cover
+            raise RuntimeError("OpenCV not available for file video decode")
+        self._cap = cv2.VideoCapture(str(path))
+        if not self._cap.isOpened():
+            raise IOError(f"cannot open video: {path}")
+        self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.n_frames = n if n > 0 else None
+
+    def read(self) -> np.ndarray | None:
+        ok, bgr = self._cap.read()
+        if not ok:
+            return None
+        return bgr[:, :, ::-1]
+
+    def close(self) -> None:
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self):
+        while (f := self.read()) is not None:
+            yield f
+
+
+_SYNTH_RE = re.compile(r"synthetic://(\d+)x(\d+)(?:@(\d+))?(?:/(\d+))?")
+
+
+class SyntheticReader:
+    """Procedural equirect-like source: a panning scene with high-frequency
+    detail so foveation artifacts are visible.  Spec string:
+    ``synthetic://WxH@FPS/NFRAMES`` (fps and frame count optional)."""
+
+    def __init__(self, width: int, height: int, fps: float = 30.0, n_frames: int = 300):
+        self.width, self.height = width, height
+        self.fps, self.n_frames = fps, n_frames
+        self._i = 0
+        yy, xx = np.mgrid[0:height, 0:width]
+        self._xx, self._yy = xx, yy
+        self._base = np.stack(
+            [
+                (255 * (0.5 + 0.5 * np.sin(xx / 23.0))),
+                (yy * 255 // max(height, 1)),
+                ((xx // 6 % 2) * 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+
+    @classmethod
+    def from_spec(cls, spec: str) -> "SyntheticReader":
+        m = _SYNTH_RE.match(spec)
+        if not m:
+            raise ValueError(f"bad synthetic spec: {spec}")
+        w, h = int(m.group(1)), int(m.group(2))
+        fps = float(m.group(3)) if m.group(3) else 30.0
+        n = int(m.group(4)) if m.group(4) else 300
+        return cls(w, h, fps, n)
+
+    def read(self) -> np.ndarray | None:
+        if self._i >= self.n_frames:
+            return None
+        shift = (self._i * 3) % self.width
+        frame = np.roll(self._base, shift, axis=1)
+        # A moving bright blob (object motion on top of the pan).
+        cx = int((0.5 + 0.4 * np.sin(self._i / 20.0)) * self.width)
+        cy = int((0.5 + 0.3 * np.cos(self._i / 17.0)) * self.height)
+        r = max(4, self.height // 24)
+        frame = frame.copy()
+        y0, y1 = max(cy - r, 0), min(cy + r, self.height)
+        x0, x1 = max(cx - r, 0), min(cx + r, self.width)
+        frame[y0:y1, x0:x1] = 255 - frame[y0:y1, x0:x1]
+        self._i += 1
+        return frame
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self):
+        while (f := self.read()) is not None:
+            yield f
+
+
+def open_video(source: str | Path):
+    """Open a file path or a ``synthetic://WxH@FPS/N`` spec."""
+    s = str(source)
+    if s.startswith("synthetic://"):
+        return SyntheticReader.from_spec(s)
+    return VideoReader(s)
+
+
+class VideoWriter:
+    """File writer (OpenCV/FFmpeg, MPEG-4 in .mp4).
+
+    ``quality`` maps the reference's bitrate knob (reference encoder
+    configs: src/video_encoder.cc:22-58) onto the codec's quality scale;
+    H.264/NVENC has no portable equivalent in this toolchain so the codec
+    stays an implementation detail behind this interface.
+    """
+
+    def __init__(
+        self,
+        path: str | Path,
+        width: int,
+        height: int,
+        fps: float = 30.0,
+        *,
+        fourcc: str = "mp4v",
+        quality: float | None = None,
+    ):
+        if not _HAVE_CV2:  # pragma: no cover
+            raise RuntimeError("OpenCV not available for video encode")
+        self._w = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*fourcc), fps, (width, height)
+        )
+        if not self._w.isOpened():
+            raise IOError(f"cannot open video writer: {path}")
+        if quality is not None:
+            self._w.set(cv2.VIDEOWRITER_PROP_QUALITY, float(quality))
+        self.width, self.height = width, height
+        self.n_written = 0
+
+    def write(self, frame_rgb: np.ndarray) -> None:
+        frame_rgb = np.asarray(frame_rgb)
+        if frame_rgb.shape[:2] != (self.height, self.width):
+            raise ValueError(
+                f"frame {frame_rgb.shape[:2]} != writer {(self.height, self.width)}"
+            )
+        self._w.write(frame_rgb[:, :, ::-1])
+        self.n_written += 1
+
+    def close(self) -> None:
+        self._w.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# --- in-memory intra-frame codec for the low-latency streaming path -------
+
+
+def encode_jpeg(frame_rgb: np.ndarray, quality: int = 90) -> bytes:
+    ok, buf = cv2.imencode(
+        ".jpg", np.asarray(frame_rgb)[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, quality]
+    )
+    if not ok:
+        raise IOError("jpeg encode failed")
+    return bytes(buf.tobytes())
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    bgr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise IOError("jpeg decode failed")
+    return bgr[:, :, ::-1]

@@ -1,0 +1,193 @@
+"""Headless websocket streaming client.
+
+The reference client (src/video_client.cc) couples websocket receive, FFmpeg
+streaming decode, the OpenCL unwarp, and an SDL/OpenGL renderer via CL-GL
+interop.  The TPU has no display interop; foveax's client demuxes fragments,
+JPEG-decodes the reduced frame, unwarps on device, and hands full frames to
+a pluggable sink (PNG dump, callback, or nothing — for latency measurement).
+
+Per-phase latency accounting mirrors the reference's receive/decode/unwarp
+averages printed at exit (src/video_client.h:68-73, src/video_client.cc:
+375-383), including the gaze-bucketed breakdown (GazeToIndex quantizes the
+gaze into a 10x10 grid, src/video_client.cc:434-438).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import time
+from collections import defaultdict
+
+import numpy as np
+
+from foveax.config import FoveaxConfig
+from foveax.io.mux import FragmentReader
+from foveax.io.video import decode_jpeg
+from foveax.serve import protocol
+from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, VideoRequest
+
+
+def gaze_to_index(cx: float, cy: float) -> int:
+    """Quantize a gaze to a 10x10 bucket (reference:
+    src/video_client.cc:434-438)."""
+    xi = min(int(cx * 10), 9)
+    yi = min(int(cy * 10), 9)
+    return yi * 10 + xi
+
+
+@dataclasses.dataclass
+class ClientStats:
+    frames: int = 0
+    receive_ms: float = 0.0
+    decode_ms: float = 0.0
+    unwarp_ms: float = 0.0
+    by_gaze: dict = dataclasses.field(
+        default_factory=lambda: defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    )
+
+    def record(self, gaze_idx: int, recv: float, dec: float, unw: float) -> None:
+        self.frames += 1
+        self.receive_ms += recv
+        self.decode_ms += dec
+        self.unwarp_ms += unw
+        b = self.by_gaze[gaze_idx]
+        b[0] += 1
+        b[1] += recv
+        b[2] += dec
+        b[3] += unw
+
+    def averages(self) -> dict:
+        n = max(self.frames, 1)
+        return {
+            "frames": self.frames,
+            "avg_receive_ms": self.receive_ms / n,
+            "avg_decode_ms": self.decode_ms / n,
+            "avg_unwarp_ms": self.unwarp_ms / n,
+        }
+
+    def report(self) -> str:
+        a = self.averages()
+        lines = [
+            f"frames: {a['frames']}",
+            f"avg receive: {a['avg_receive_ms']:.2f} ms",
+            f"avg decode: {a['avg_decode_ms']:.2f} ms",
+            f"avg unwarp: {a['avg_unwarp_ms']:.2f} ms",
+        ]
+        for idx in sorted(self.by_gaze):
+            n, r, d, u = self.by_gaze[idx]
+            lines.append(
+                f"gaze[{idx:02d}] n={n} recv={r / n:.2f} dec={d / n:.2f} "
+                f"unwarp={u / n:.2f} ms"
+            )
+        return "\n".join(lines)
+
+
+class FoveaxClient:
+    def __init__(
+        self,
+        uri: str,
+        *,
+        video: str = "03_drone_d5d4gnuAJLo",
+        config: FoveaxConfig | None = None,
+        gaze_source=None,
+        frame_sink=None,
+        max_frames: int | None = None,
+    ):
+        self.uri = uri
+        self.video = video
+        self.config = config or FoveaxConfig()
+        self.gaze_source = gaze_source  # callable i -> (cx, cy)
+        self.frame_sink = frame_sink  # callable (frame_np, meta) -> None
+        self.max_frames = max_frames
+        self.stats = ClientStats()
+        self._gaze_by_frame: dict[int, tuple[float, float]] = {}
+        self._packet_number = 0
+        self._last_sent_gaze: tuple[float, float] | None = None
+
+    async def run(self) -> ClientStats:
+        import websockets
+
+        import jax.numpy as jnp
+
+        from foveax.pipeline.frames import FoveationPipeline
+
+        cfg = self.config
+        pipeline = FoveationPipeline(cfg)
+        demux = FragmentReader()
+        pending_meta: FrameMeta | None = None
+        last_recv = time.perf_counter()
+
+        async with websockets.connect(
+            self.uri, max_size=64 * 1024 * 1024
+        ) as ws:
+            await ws.send(protocol.dumps(VideoRequest(self.video)))
+            async for raw in ws:
+                if isinstance(raw, str):
+                    msg = protocol.loads(raw)
+                    if isinstance(msg, FrameMeta):
+                        pending_meta = msg
+                        self._gaze_by_frame[msg.frameNum] = (
+                            msg.centerX,
+                            msg.centerY,
+                        )
+                    elif isinstance(msg, (Ack, TextMessage)):
+                        pass
+                    continue
+
+                # Binary: header or fragment.
+                recv_ms = (time.perf_counter() - last_recv) * 1e3
+                samples = demux.feed(bytes(raw))
+                for sample in samples:
+                    meta = pending_meta
+                    t0 = time.perf_counter()
+                    reduced = decode_jpeg(sample)
+                    dec_ms = (time.perf_counter() - t0) * 1e3
+
+                    center = (
+                        self._gaze_by_frame.get(meta.frameNum, (0.5, 0.5))
+                        if meta
+                        else (0.5, 0.5)
+                    )
+                    t0 = time.perf_counter()
+                    full = pipeline.unwarp(
+                        jnp.asarray(reduced),
+                        jnp.asarray(center, jnp.float32),
+                    )
+                    full_np = np.asarray(full)
+                    unw_ms = (time.perf_counter() - t0) * 1e3
+
+                    self.stats.record(
+                        gaze_to_index(*center), recv_ms, dec_ms, unw_ms
+                    )
+                    if self.frame_sink is not None:
+                        self.frame_sink(full_np, meta)
+
+                    # Gaze update (the mouse-move path, reference:
+                    # src/video_client.cc:125-146): dedupe by epsilon.
+                    if self.gaze_source is not None:
+                        gaze = self.gaze_source(self.stats.frames)
+                        if (
+                            self._last_sent_gaze is None
+                            or abs(gaze[0] - self._last_sent_gaze[0]) > 1e-5
+                            or abs(gaze[1] - self._last_sent_gaze[1]) > 1e-5
+                        ):
+                            self._packet_number += 1
+                            await ws.send(
+                                protocol.dumps(
+                                    FrameRequest(
+                                        centerX=gaze[0],
+                                        centerY=gaze[1],
+                                        packetNumber=self._packet_number,
+                                    )
+                                )
+                            )
+                            self._last_sent_gaze = gaze
+
+                    if (
+                        self.max_frames is not None
+                        and self.stats.frames >= self.max_frames
+                    ):
+                        return self.stats
+                last_recv = time.perf_counter()
+        return self.stats

@@ -1,0 +1,203 @@
+"""Asyncio websocket streaming server.
+
+Architecture vs the reference (src/video_server.cc): the reference spawns a
+thread per connection, a *detached thread per gaze message*, and a full GPU
+context + engine stack per client.  foveax runs one asyncio event loop, one
+send-loop task per connection, one shared FoveationPipeline (the grid and
+compiled functions are gaze-independent), and per-connection session state
+only for the decoder, muxer, and latest gaze.  Gaze updates are a plain
+attribute write on the session (single-threaded event loop — no mutexes,
+no data races by construction; the reference needed three mutexes per
+connection, src/video_server.h:49-53).
+
+Frame loop per tick (reference hot loop src/video_server.cc:287-427):
+decode (thread pool) -> device foveate with the latest gaze -> JPEG encode
+(thread pool) -> mux fragment -> send JSON metadata + binary fragment,
+paced to the configured fps.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from foveax.config import FoveaxConfig
+from foveax.io.mux import FragmentWriter
+from foveax.io.video import encode_jpeg, open_video
+from foveax.pipeline.frames import FoveationPipeline
+from foveax.serve import protocol
+from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, VideoRequest
+
+log = logging.getLogger("foveax.serve")
+
+
+class Session:
+    """Per-connection state (the analog of the reference's connection_data,
+    src/video_server.h:33-54 — minus the per-connection GPU context)."""
+
+    def __init__(self, ws, server: "FoveaxServer"):
+        self.ws = ws
+        self.server = server
+        self.center = (0.5, 0.5)
+        self.reader = None
+        self.mux: FragmentWriter | None = None
+        self.send_task: asyncio.Task | None = None
+        self.frames_sent = 0
+
+    async def close(self) -> None:
+        if self.send_task is not None:
+            self.send_task.cancel()
+            try:
+                await self.send_task
+            except (asyncio.CancelledError, Exception):
+                pass
+        if self.reader is not None:
+            self.reader.close()
+
+
+class FoveaxServer:
+    def __init__(
+        self,
+        config: FoveaxConfig | None = None,
+        *,
+        video_dir: str | Path = "1080p_videos",
+        jpeg_quality: int = 90,
+        max_frames: int | None = None,
+    ):
+        self.config = config or FoveaxConfig()
+        self.video_dir = Path(video_dir)
+        self.jpeg_quality = jpeg_quality
+        self.max_frames = max_frames
+        self.pipeline: FoveationPipeline | None = None
+        self.sessions: set[Session] = set()
+        self._pipelines: dict[tuple[int, int], FoveationPipeline] = {}
+
+    # -- video resolution --------------------------------------------------
+
+    def _resolve(self, name: str):
+        """Map a videoRequest name to a source (the reference hardcodes
+        `1080p_videos/<name>.mp4`, src/video_server.cc:53)."""
+        if name.startswith("synthetic://"):
+            return open_video(name)
+        p = Path(name)
+        if p.exists():
+            return open_video(p)
+        return open_video(self.video_dir / f"{name}.mp4")
+
+    def _pipeline_for(self, width: int, height: int) -> FoveationPipeline:
+        key = (width, height)
+        if key not in self._pipelines:
+            cfg = self.config
+            if (width, height) != (cfg.source_width, cfg.source_height):
+                cfg = cfg.with_source(width, height)
+            self._pipelines[key] = FoveationPipeline(cfg)
+        return self._pipelines[key]
+
+    # -- websocket handlers ------------------------------------------------
+
+    async def handle(self, ws) -> None:
+        session = Session(ws, self)
+        self.sessions.add(session)
+        try:
+            async for raw in ws:
+                if isinstance(raw, (bytes, bytearray)):
+                    continue  # clients do not send binary
+                try:
+                    msg = protocol.loads(raw)
+                except ValueError as e:
+                    log.warning("bad message: %s", e)
+                    continue
+                if isinstance(msg, TextMessage):
+                    await ws.send(
+                        protocol.dumps(
+                            TextMessage(f"I got your message: {msg.message}")
+                        )
+                    )
+                elif isinstance(msg, FrameRequest):
+                    session.center = (msg.centerX, msg.centerY)
+                    await ws.send(protocol.dumps(Ack(msg.packetNumber)))
+                elif isinstance(msg, VideoRequest):
+                    await self._start_stream(session, msg.video)
+        finally:
+            self.sessions.discard(session)
+            await session.close()
+
+    async def _start_stream(self, session: Session, video: str) -> None:
+        if session.send_task is not None:
+            return
+        session.reader = self._resolve(video)
+        pipeline = self._pipeline_for(session.reader.width, session.reader.height)
+        cfg = pipeline.config
+        session.mux = FragmentWriter(
+            cfg.reduced_width, cfg.reduced_height, self.config.fps
+        )
+        session.send_task = asyncio.create_task(
+            self._send_frame_loop(session, pipeline)
+        )
+
+    async def _send_frame_loop(
+        self, session: Session, pipeline: FoveationPipeline
+    ) -> None:
+        """The 30 fps hot loop (reference: src/video_server.cc:197-427)."""
+        import jax
+        import jax.numpy as jnp
+
+        loop = asyncio.get_running_loop()
+        ws, mux, reader = session.ws, session.mux, session.reader
+        tick = 1.0 / self.config.fps
+
+        # Header-first, as the reference sends the mp4 header as the first
+        # binary frame (src/video_server.cc:273-280).
+        await ws.send(mux.header())
+
+        frame_num = 0
+        next_deadline = time.perf_counter()
+        while True:
+            if self.max_frames is not None and frame_num >= self.max_frames:
+                break
+            frame = await loop.run_in_executor(None, reader.read)
+            if frame is None:
+                break
+            device_frame = jnp.asarray(frame)
+            # SAT is built eagerly; the gaze is read as late as possible
+            # (the reference sleeps to the tick *between* SAT build and
+            # gaze sampling, src/video_server.cc:302-328).
+            sat = pipeline.build_sat(device_frame)
+            now = time.perf_counter()
+            if now < next_deadline:
+                await asyncio.sleep(next_deadline - now)
+            next_deadline = max(next_deadline + tick, time.perf_counter())
+
+            cx, cy = session.center
+            reduced = pipeline.sample(sat, pipeline.center(cx, cy))
+            reduced_np = np.asarray(reduced)
+            sample = await loop.run_in_executor(
+                None, encode_jpeg, reduced_np, self.jpeg_quality
+            )
+            meta = FrameMeta(centerX=cx, centerY=cy, frameNum=frame_num % 256)
+            await ws.send(protocol.dumps(meta))
+            await ws.send(mux.frame(sample))
+            session.frames_sent += 1
+            frame_num += 1
+
+    # -- entry -------------------------------------------------------------
+
+    async def run(self, port: int | None = None, *, host: str = "0.0.0.0"):
+        import websockets
+
+        port = port or self.config.server_port
+        async with websockets.serve(
+            self.handle, host, port, max_size=64 * 1024 * 1024
+        ):
+            log.info("Listening on port %d", port)
+            await asyncio.Future()
+
+    async def serve_ctx(self, port: int, *, host: str = "127.0.0.1"):
+        """Context-manager variant for tests."""
+        import websockets
+
+        return websockets.serve(self.handle, host, port, max_size=64 * 1024 * 1024)

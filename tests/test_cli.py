@@ -1,0 +1,74 @@
+"""CLI subcommands on synthetic sources (offline-driver integration tests,
+the analog of the reference's run_satlogrectilinear subcommands)."""
+
+import numpy as np
+import pytest
+
+from foveax.cli.main import main
+from foveax.io.gaze import synthetic_trace
+from foveax.io.png import load_png
+from foveax.io.video import VideoReader
+
+
+def test_single_frame(tmp_path):
+    prefix = str(tmp_path / "sf")
+    rc = main(
+        ["single_frame", "synthetic://96x64@30/5", "2", prefix, "--gaze", "0.4,0.6"]
+    )
+    assert rc == 0
+    src = load_png(prefix + "_source.png")
+    fov = load_png(prefix + "_foveated.png")
+    assert src.shape == (64, 96, 3)
+    assert fov.shape == (48, 64, 3)  # 16*ceil(dim/1.8/16) per axis
+
+
+def test_interpolate_sampled(tmp_path):
+    prefix = str(tmp_path / "is")
+    rc = main(["interpolate_sampled", "synthetic://96x64@30/3", "0", prefix])
+    assert rc == 0
+    restored = load_png(prefix + "_restored.png")
+    src = load_png(prefix + "_source.png")
+    assert restored.shape == src.shape == (64, 96, 3)
+    # Fovea at default gaze center is exact.
+    np.testing.assert_array_equal(restored[31:34, 47:50], src[31:34, 47:50])
+
+
+def test_encode_bitrate_with_gaze_trace(tmp_path):
+    trace = tmp_path / "trace.txt"
+    trace.write_text(synthetic_trace(10))
+    out = str(tmp_path / "fov.mp4")
+    rc = main(
+        [
+            "encode_bitrate",
+            "synthetic://96x64@30/10",
+            out,
+            "--gaze-trace",
+            str(trace),
+        ]
+    )
+    assert rc == 0
+    with VideoReader(out) as r:
+        assert (r.width, r.height) == (64, 48)
+        assert len(list(r)) == 10
+
+
+def test_foveate_no_encoding_then_decode(tmp_path):
+    out1 = str(tmp_path / "roundtrip.mp4")
+    rc = main(
+        ["foveate_no_encoding", "synthetic://96x64@30/6", out1, "--gaze", "0.5,0.5"]
+    )
+    assert rc == 0
+    with VideoReader(out1) as r:
+        assert (r.width, r.height) == (96, 64)
+
+    # decode: unwarp an already-foveated clip.
+    fov = str(tmp_path / "fov.mp4")
+    main(["encode_bitrate", "synthetic://96x64@30/6", fov])
+    out2 = str(tmp_path / "restored.mp4")
+    rc = main(
+        ["decode", fov, out2, "--width", "96", "--height", "64"]
+    )
+    assert rc == 0
+    with VideoReader(out2) as r:
+        assert (r.width, r.height) == (96, 64)
+        assert len(list(r)) == 6

@@ -1,0 +1,134 @@
+"""IO layer: gaze traces, PNG, video reader/writer, fMP4 mux round-trip."""
+
+import numpy as np
+import pytest
+
+from foveax.io.gaze import GazeViewPoints, synthetic_trace
+from foveax.io.mux import FragmentReader, FragmentWriter, init_segment
+from foveax.io.png import load_png, save_png
+from foveax.io.video import (
+    SyntheticReader,
+    VideoReader,
+    VideoWriter,
+    decode_jpeg,
+    encode_jpeg,
+    open_video,
+)
+
+
+def test_gaze_parse_reference_format():
+    text = (
+        "frame,0,forward,0.5,0.5,eye,0.51,0.49\n"
+        "garbage line\n"
+        "frame,1,forward,0.52,0.5,eye,0.53,0.48\n"
+        "frame,2,forward,-0.1,1e-3,eye,0.5,0.5\n"
+    )
+    g = GazeViewPoints.from_text(text)
+    assert len(g) == 3
+    assert g.points[0].gaze_point == (0.51, 0.49)
+    # One-frame-lag prediction: first record predicts itself.
+    assert g.points[0].pred_gaze_point == (0.51, 0.49)
+    assert g.points[1].pred_gaze_point == (0.51, 0.49)
+    assert g.points[2].view_point == (-0.1, 0.001)
+    assert g.gaze_for_frame(99) == (0.5, 0.5)
+    assert g.gaze_array().shape == (3, 2)
+
+
+def test_synthetic_trace_parses_back():
+    g = GazeViewPoints.from_text(synthetic_trace(50))
+    assert len(g) == 50
+    arr = g.gaze_array()
+    assert (arr >= 0).all() and (arr <= 1).all()
+
+
+def test_png_roundtrip(tmp_path, small_frame):
+    p = tmp_path / "frame.png"
+    save_png(p, small_frame)
+    back = load_png(p)
+    np.testing.assert_array_equal(back, small_frame)
+
+
+def test_synthetic_reader():
+    r = SyntheticReader(64, 32, n_frames=5)
+    frames = list(r)
+    assert len(frames) == 5
+    assert frames[0].shape == (32, 64, 3)
+    assert (frames[0] != frames[1]).any()  # motion
+    r2 = open_video("synthetic://64x32@30/5")
+    assert isinstance(r2, SyntheticReader)
+    assert r2.fps == 30.0 and r2.n_frames == 5
+
+
+def test_video_write_read_roundtrip(tmp_path):
+    path = tmp_path / "clip.mp4"
+    src = SyntheticReader(96, 64, n_frames=8)
+    with VideoWriter(path, 96, 64, fps=30.0) as w:
+        for f in src:
+            w.write(f)
+    assert w.n_written == 8
+    with VideoReader(path) as r:
+        assert (r.width, r.height) == (96, 64)
+        frames = list(r)
+    assert len(frames) == 8
+    # Lossy codec: frames resemble the source.
+    src2 = SyntheticReader(96, 64, n_frames=8)
+    err = np.abs(
+        frames[0].astype(int) - src2.read().astype(int)
+    ).mean()
+    assert err < 24, err
+
+
+def test_jpeg_codec_roundtrip(small_frame):
+    data = encode_jpeg(small_frame, quality=95)
+    back = decode_jpeg(data)
+    assert back.shape == small_frame.shape
+    assert np.abs(back.astype(int) - small_frame.astype(int)).mean() < 12
+
+
+def test_mux_init_segment_structure():
+    seg = init_segment(1072, 608)
+    assert seg[4:8] == b"ftyp"
+    # moov follows ftyp
+    import struct
+
+    ftyp_size = struct.unpack(">I", seg[:4])[0]
+    assert seg[ftyp_size + 4 : ftyp_size + 8] == b"moov"
+
+
+def test_mux_demux_roundtrip():
+    w = FragmentWriter(96, 64, 30.0)
+    r = FragmentReader()
+    header = w.header()
+    payloads = [b"frame-%d" % i * 10 for i in range(5)]
+    stream = header + b"".join(w.frame(p) for p in payloads)
+    # Feed in awkward chunk sizes to exercise incremental parsing.
+    out = []
+    for i in range(0, len(stream), 37):
+        out.extend(r.feed(stream[i : i + 37]))
+    assert out == payloads
+    assert r.header_seen
+    assert (r.width, r.height) == (96, 64)
+    assert r.last_seq == 5
+
+
+def test_mux_fragment_data_offset_points_at_sample():
+    import struct
+
+    w = FragmentWriter(32, 32, 30.0)
+    frag = w.frame(b"PAYLOAD")
+    moof_size = struct.unpack(">I", frag[:4])[0]
+    # mdat payload begins right after the moof + 8-byte mdat header.
+    assert frag[moof_size + 8 : moof_size + 15] == b"PAYLOAD"
+
+
+def test_stream_survives_mid_join():
+    """A client that joins after the header still decodes fragments — the
+    resumability property of the fragmented layout."""
+    w = FragmentWriter(64, 64, 30.0)
+    header = w.header()
+    frags = [w.frame(b"S%d" % i) for i in range(4)]
+    late = FragmentReader()
+    got = []
+    for f in frags[2:]:
+        got.extend(late.feed(f))
+    assert got == [b"S2", b"S3"]

@@ -1,0 +1,106 @@
+"""Loopback protocol test: real websocket server + headless client on
+localhost, synthetic video, dynamic gaze."""
+
+import asyncio
+import socket
+
+import numpy as np
+import pytest
+
+from foveax.config import FoveaxConfig
+from foveax.serve import protocol
+from foveax.serve.client import FoveaxClient, gaze_to_index
+from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, VideoRequest
+from foveax.serve.server import FoveaxServer
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+CFG = FoveaxConfig(
+    source_width=96, source_height=64, reduced_width=48, reduced_height=32
+)
+
+
+def test_protocol_roundtrip_dataclasses():
+    for msg in [
+        VideoRequest("clip"),
+        FrameRequest(0.25, 0.75, 7),
+        Ack(7),
+        FrameMeta(0.1, 0.2, 3),
+    ]:
+        back = protocol.loads(protocol.dumps(msg))
+        assert back == msg
+
+
+def test_gaze_bucketing():
+    assert gaze_to_index(0.0, 0.0) == 0
+    assert gaze_to_index(0.99, 0.99) == 99
+    assert gaze_to_index(1.0, 1.0) == 99
+    assert gaze_to_index(0.55, 0.25) == 25
+
+
+def test_loopback_stream():
+    port = _free_port()
+    server = FoveaxServer(CFG, max_frames=6)
+    frames_seen = []
+
+    gaze_trace = [(0.5, 0.5), (0.3, 0.4), (0.7, 0.6), (0.2, 0.8)]
+
+    client = FoveaxClient(
+        f"ws://127.0.0.1:{port}",
+        video="synthetic://96x64@30/20",
+        config=CFG,
+        gaze_source=lambda i: gaze_trace[i % len(gaze_trace)],
+        frame_sink=lambda f, meta: frames_seen.append((f, meta)),
+        max_frames=6,
+    )
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(client.run(), timeout=60)
+
+    stats = asyncio.run(main())
+    assert stats.frames == 6
+    assert len(frames_seen) == 6
+
+    # Full-resolution output at the session's source size.
+    frame, meta = frames_seen[0]
+    assert frame.shape == (64, 96, 3)
+    assert isinstance(meta, FrameMeta)
+    assert 0 <= meta.frameNum < 256
+
+    # Server echoed gazes: after the client's updates propagate, later
+    # frames carry non-default centers.
+    centers = [(m.centerX, m.centerY) for _, m in frames_seen]
+    assert any(c != (0.5, 0.5) for c in centers[1:]), centers
+
+    # Latency accounting populated.
+    a = stats.averages()
+    assert a["avg_decode_ms"] > 0 and a["avg_unwarp_ms"] > 0
+    assert stats.report()
+
+
+def test_loopback_text_message():
+    port = _free_port()
+    server = FoveaxServer(CFG)
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(server.handle, "127.0.0.1", port):
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                await ws.send(
+                    protocol.dumps(protocol.TextMessage("hello"))
+                )
+                reply = protocol.loads(await asyncio.wait_for(ws.recv(), 10))
+                assert "hello" in reply.message
+
+    asyncio.run(main())
