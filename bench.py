@@ -54,33 +54,36 @@ def main() -> None:
         return reduced, restored
 
     rng = np.random.default_rng(0)
-    n_frames_resident = 4
-    frames = [
-        jax.device_put(
-            rng.integers(0, 256, size=(src_h, src_w, 3), dtype=np.uint8)
-        )
-        for _ in range(n_frames_resident)
-    ]
+    frame = jax.device_put(
+        rng.integers(0, 256, size=(src_h, src_w, 3), dtype=np.uint8)
+    )
 
     # Gaze trace: a smooth scan path, one gaze per frame.
     n_iters = 30
-    t = np.linspace(0.0, 1.0, n_iters)
+    t = np.linspace(0.0, 1.0, n_iters + 2)
     gaze = np.stack(
         [0.5 + 0.45 * np.sin(2 * np.pi * t), 0.5 + 0.3 * np.cos(2 * np.pi * t)],
         axis=-1,
     ).astype(np.float32)
     centers = [jax.device_put(g) for g in gaze]
 
-    # Warm-up / compile.
-    r, o = step(frames[0], centers[0])
-    jax.block_until_ready((r, o))
+    # Timing methodology: chain each frame's restored output into the next
+    # frame's input (a data dependency) and force completion with a scalar
+    # readback.  Plain block_until_ready is not a reliable fence through
+    # remote-attached device transports, so async-loop timings can under-
+    # report; the dependency chain bounds true serialized device time.
+    def run_chain(n: int) -> float:
+        y = frame
+        t0 = time.perf_counter()
+        for i in range(n):
+            _, y = step(y, centers[i])
+        float(jnp.sum(y.astype(jnp.uint32)))
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(n_iters):
-        outs = step(frames[i % n_frames_resident], centers[i])
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    run_chain(2)  # warm-up / compile
+    base = run_chain(2)
+    total = run_chain(n_iters + 2)
+    dt = max(total - base, 1e-9)
     fps = n_iters / dt
 
     print(

@@ -133,16 +133,17 @@ def unwarp_rect(
     ex_x, ix_e, ix_lo, ix_hi, rx = _axis_vectors(out_width, wr, cx, wrap=True)
     ex_y, iy_e, iy_lo, iy_hi, ry = _axis_vectors(out_height, hr, cy, wrap=False)
 
-    src = reduced.astype(jnp.float32)
-    rows_lo = jnp.take(src, iy_lo, axis=0)  # (Ho, Wr, 3)
-    rows_hi = jnp.take(src, iy_hi, axis=0)
-    rows_ex = jnp.take(src, iy_e, axis=0)
+    # Gather in uint8 (4x less HBM traffic than gathering float32) and
+    # convert to float only inside the fused blend arithmetic.
+    rows_lo = jnp.take(reduced, iy_lo, axis=0)  # (Ho, Wr, 3) u8
+    rows_hi = jnp.take(reduced, iy_hi, axis=0)
+    rows_ex = jnp.take(reduced, iy_e, axis=0)
 
-    tl = jnp.take(rows_lo, ix_lo, axis=1)  # (Ho, Wo, 3)
-    tr = jnp.take(rows_lo, ix_hi, axis=1)
-    bl = jnp.take(rows_hi, ix_lo, axis=1)
-    br = jnp.take(rows_hi, ix_hi, axis=1)
-    exact_val = jnp.take(rows_ex, ix_e, axis=1)
+    tl = jnp.take(rows_lo, ix_lo, axis=1).astype(jnp.float32)  # (Ho, Wo, 3)
+    tr = jnp.take(rows_lo, ix_hi, axis=1).astype(jnp.float32)
+    bl = jnp.take(rows_hi, ix_lo, axis=1).astype(jnp.float32)
+    br = jnp.take(rows_hi, ix_hi, axis=1).astype(jnp.float32)
+    exact_val = jnp.take(rows_ex, ix_e, axis=1).astype(jnp.float32)
 
     ry2 = ry[:, None, None]
     rx2 = rx[None, :, None]
