@@ -33,8 +33,8 @@ def main() -> None:
     from foveax.config import FoveaxConfig, reduced_dim
     from foveax.core.logrect import make_grid
     from foveax.core.sample import sample_rect_from_sat
-    from foveax.core.sat import build_sat
     from foveax.core.unwarp import unwarp_rect
+    from foveax.kernels.scan2d import build_sat_pallas as build_sat
 
     src_w, src_h = 3840, 2160
     red_w, red_h = reduced_dim(src_w), reduced_dim(src_h)

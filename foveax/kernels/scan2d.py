@@ -1,0 +1,128 @@
+"""Blocked 2-D inclusive prefix scan (SAT build) as a single Pallas kernel.
+
+The reference builds the SAT with one serial pass per row then per column
+(one work-item each, reference: src/sat_encoder_encode_kernels.cl:44-74),
+i.e. O(W)-deep serial chains.  XLA's `cumsum` pair does two full HBM round
+trips (write 4x-expanded u32 SAT, re-read, re-write).  This kernel does the
+whole SAT in ONE pass — read the u8 image once, write the u32 SAT once —
+by exploiting that a TPU Pallas grid executes *sequentially* on the core:
+it walks row blocks top to bottom and carries the running column totals
+across grid steps in a VMEM scratch accumulator.
+
+In-block scan strategy (TPU-shaped):
+  * Row scan (lane axis): chunked *triangular matmul* on the MXU.  Each
+    128-lane chunk is multiplied by a constant 128x128 lower-triangular
+    ones matrix; chunk offsets are a short log-scan over the ~W/128 chunk
+    totals.  Exactness: inputs are uint8, so every f32 partial sum is
+    <= 255*3840 < 2^24 — exactly representable; the result converts to
+    uint32 losslessly.  (Lane-wise shift scans are slow on TPU — shifting
+    across lanes costs permutes; the MXU does the same reduction tree at
+    matmul speed.)
+  * Column scan (sublane axis): log-step shifted adds in uint32 (sublane
+    shifts are cheap) + the cross-block scratch carry, preserving the
+    mod-2^32 wraparound semantics of the reference SAT.
+
+The same local-scan + carry structure extends across chips (see
+foveax.parallel.sharded) — this kernel is the single-chip leg of that
+decomposition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _log_scan_sublanes(x: jax.Array, rows: int) -> jax.Array:
+    """Inclusive Hillis-Steele scan along axis 1 of a (C, R, W) block."""
+    shift = 1
+    while shift < rows:
+        x = x + jnp.pad(x, ((0, 0), (shift, 0), (0, 0)))[:, :rows, :]
+        shift *= 2
+    return x
+
+
+def _sat_kernel(frame_ref, out_ref, carry_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    blk = frame_ref[...]  # (3, R, W) uint8
+    c, r, w = blk.shape
+    nch = w // _LANE
+
+    # Mosaic has no direct u8->f32 cast; hop through int32.
+    x = blk.astype(jnp.int32).astype(jnp.float32).reshape(c * r, nch, _LANE)
+
+    # 128x128 lower-triangular ones: L[k, l] = (k <= l).
+    ks = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    ls = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    tri = (ks <= ls).astype(jnp.float32)
+
+    local = jax.lax.dot_general(
+        x,
+        tri,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (c*r, nch, 128): inclusive scan within each chunk
+
+    totals = local[..., _LANE - 1]  # (c*r, nch) chunk sums
+    # Exclusive chunk-offset scan: log-step shifted adds over the tiny nch
+    # axis.  NOT a matmul — chunk totals reach 255*128 = 32640, beyond
+    # bf16's exact-integer range, and the MXU truncates f32 operands to
+    # bf16 (the first matmul is safe: its inputs are <= 255).
+    incl = totals
+    shift = 1
+    while shift < nch:
+        incl = incl + jnp.pad(incl, ((0, 0), (shift, 0)))[:, :nch]
+        shift *= 2
+    excl = incl - totals
+    # f32 -> u32 also needs an int32 hop in Mosaic (values < 2^24).
+    rows = (local + excl[..., None]).reshape(c, r, w).astype(jnp.int32).astype(jnp.uint32)
+
+    cols = _log_scan_sublanes(rows, r)
+    out_ref[...] = cols + carry_ref[...]
+    carry_ref[...] = carry_ref[...] + cols[:, r - 1 :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def build_sat_pallas(
+    frame: jax.Array, *, block_rows: int = 64, interpret: bool = False
+) -> jax.Array:
+    """(H, W, 3) uint8 -> (3, H, W) uint32 SAT.  Bit-identical to
+    foveax.core.sat.build_sat (uint32 wraparound included).
+
+    Requires W % 128 == 0 (every standard video width); callers should use
+    foveax.core.sat.build_sat for odd sizes.
+    """
+    h, w, _ = frame.shape
+    if w % _LANE != 0:
+        raise ValueError(f"width {w} not a multiple of {_LANE}")
+    if h % block_rows != 0:
+        block_rows = next(b for b in (64, 32, 16, 8, 5, 4, 3, 2, 1) if h % b == 0)
+    planes = frame.transpose(2, 0, 1)  # (3, H, W) u8
+
+    grid = (h // block_rows,)
+    return pl.pallas_call(
+        _sat_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (3, block_rows, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (3, block_rows, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((3, 1, w), jnp.uint32)],
+        interpret=interpret,
+    )(planes)

@@ -43,7 +43,13 @@ class FoveationPipeline:
     GPU context).
     """
 
-    def __init__(self, config: FoveaxConfig | None = None, *, wrap_x: bool = True):
+    def __init__(
+        self,
+        config: FoveaxConfig | None = None,
+        *,
+        wrap_x: bool = True,
+        use_pallas: bool | None = None,
+    ):
         self.config = config or FoveaxConfig()
         cfg = self.config
         self.grid: LogRectGrid = make_grid(
@@ -54,11 +60,23 @@ class FoveationPipeline:
         grid = self.grid
         sw, sh = cfg.source_width, cfg.source_height
 
+        # Pallas single-pass SAT kernel where supported (TPU backend,
+        # lane-aligned width); XLA cumsum otherwise.
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu" and sw % 128 == 0
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from foveax.kernels.scan2d import build_sat_pallas
+
+            _build = build_sat_pallas
+        else:
+            _build = build_sat
+
         def _sample(sat, center):
             return sample_rect_from_sat(sat, grid, center, wrap_x=wrap_x)
 
         def _foveate(frame, center):
-            return _sample(build_sat(frame), center)
+            return _sample(_build(frame), center)
 
         def _unwarp(reduced, center):
             return unwarp_rect(reduced, sw, sh, center)
@@ -68,11 +86,11 @@ class FoveationPipeline:
             return reduced, _unwarp(reduced, center)
 
         def _foveate_batch(frame, centers):
-            sat = build_sat(frame)
+            sat = _build(frame)
             return jax.vmap(lambda c: _sample(sat, c))(centers)
 
         def _roundtrip_batch(frame, centers):
-            sat = build_sat(frame)
+            sat = _build(frame)
 
             def per_client(c):
                 reduced = _sample(sat, c)
@@ -80,7 +98,7 @@ class FoveationPipeline:
 
             return jax.vmap(per_client)(centers)
 
-        self.build_sat = jax.jit(build_sat)
+        self.build_sat = jax.jit(_build)
         self.sample = jax.jit(_sample)
         self.foveate = jax.jit(_foveate)
         self.unwarp = jax.jit(_unwarp)
