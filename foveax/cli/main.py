@@ -187,27 +187,32 @@ def _transcode(args, mode: str) -> int:
             out_size = (cfg.source_width, cfg.source_height)
 
         p = FoveationPipeline(cfg)
-        n = 0
+        if mode == "encode":
+            process = p.foveate
+        elif mode == "decode":
+            process = p.unwarp
+        else:
+            process = lambda f, c: p.roundtrip(f, c)[1]
+
+        from foveax.pipeline.profiling import StageTimer
+        from foveax.pipeline.runner import run_transcode
+
         with VideoWriter(
             args.output, out_size[0], out_size[1], fps=r.fps, quality=args.quality
         ) as w:
-            for frame in r:
-                c = p.center(*gaze(n))
-                fj = jnp.asarray(frame)
-                if mode == "encode":
-                    out = p.foveate(fj, c)
-                elif mode == "decode":
-                    out = p.unwarp(fj, c)
-                else:
-                    _, out = p.roundtrip(fj, c)
-                w.write(np.asarray(out))
-                n += 1
-                if n % 30 == 0:
-                    print(f"frame {n}", file=sys.stderr)
-                if args.max_frames and n >= args.max_frames:
-                    break
+            timer = run_transcode(
+                r,
+                process,
+                gaze,
+                lambda frame, i: w.write(frame),
+                max_frames=args.max_frames,
+                timer=StageTimer(),
+            )
+            n = w.n_written
     dt = time.perf_counter() - t0
     print(f"{mode}: {n} frames -> {args.output} in {dt:.1f}s ({n / dt:.1f} fps)")
+    if getattr(args, "profile", False):
+        print(timer.report(), file=sys.stderr)
     return 0
 
 
@@ -275,6 +280,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--max-frames", type=int)
         p.add_argument("--width", type=int)
         p.add_argument("--height", type=int)
+        p.add_argument("--profile", action="store_true", help="print stage timings")
         _add_io_args(p)
         p.set_defaults(fn=fn)
 

@@ -159,19 +159,58 @@ def fragment(
 
 class FragmentWriter:
     """Stateful per-connection muxer: header first, then per-frame
-    fragments with running sequence numbers and decode times."""
+    fragments with running sequence numbers and decode times.
 
-    def __init__(self, width: int, height: int, fps: float, sample_format: bytes = b"jpeg"):
+    Uses the C++ muxer (foveax/native) when built; falls back to the pure
+    -Python boxes above.  Both produce byte-identical streams (tested).
+    """
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        fps: float,
+        sample_format: bytes = b"jpeg",
+        *,
+        backend: str = "auto",
+    ):
         self.width, self.height, self.fps = width, height, fps
         self.sample_format = sample_format
         self.duration = int(round(TIMESCALE / fps))
         self.seq = 0
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from foveax import native
+
+                if native.available():
+                    self._native = native
+                elif backend == "native":
+                    raise RuntimeError("native muxer requested but unavailable")
+            except ImportError:
+                if backend == "native":
+                    raise
+
+    @property
+    def backend(self) -> str:
+        return "native" if self._native is not None else "python"
 
     def header(self) -> bytes:
+        if self._native is not None:
+            return self._native.init_segment(
+                self.width, self.height, self.sample_format
+            )
         return init_segment(self.width, self.height, self.sample_format)
 
     def frame(self, sample: bytes) -> bytes:
-        out = fragment(self.seq + 1, self.seq * self.duration, sample, self.duration)
+        if self._native is not None:
+            out = self._native.fragment(
+                self.seq + 1, self.seq * self.duration, sample, self.duration
+            )
+        else:
+            out = fragment(
+                self.seq + 1, self.seq * self.duration, sample, self.duration
+            )
         self.seq += 1
         return out
 

@@ -1,0 +1,262 @@
+// Fragmented-MP4 (ISO-BMFF) muxer — native implementation.
+//
+// The reference vendors two full FFmpeg source trees (~160 MB) solely to
+// drive movenc's fragmented output and poke a private NVENC field
+// (reference: src/video_encoder.h:16-20, src/video_server.cc:241-280).
+// foveax writes the box format directly.  This C++ library is the
+// production muxer for the serving hot path; foveax/io/mux.py is the
+// always-available pure-Python twin.  The two must produce byte-identical
+// output — enforced by tests/test_native.py.
+//
+// Build: `make -C foveax/native` -> libfoveax_native.so (ctypes-loaded).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint32_t kTimescale = 90000;
+
+class BoxWriter {
+ public:
+  BoxWriter(uint8_t* buf, int cap) : buf_(buf), cap_(cap), pos_(0), ok_(true) {}
+
+  int pos() const { return ok_ ? pos_ : -1; }
+  bool ok() const { return ok_; }
+
+  void u8(uint8_t v) { put(&v, 1); }
+  void u16(uint16_t v) {
+    uint8_t b[2] = {uint8_t(v >> 8), uint8_t(v)};
+    put(b, 2);
+  }
+  void u32(uint32_t v) {
+    uint8_t b[4] = {uint8_t(v >> 24), uint8_t(v >> 16), uint8_t(v >> 8),
+                    uint8_t(v)};
+    put(b, 4);
+  }
+  void i32(int32_t v) { u32(static_cast<uint32_t>(v)); }
+  void u64(uint64_t v) {
+    u32(uint32_t(v >> 32));
+    u32(uint32_t(v));
+  }
+  void raw(const void* data, int n) { put(data, n); }
+  void zeros(int n) {
+    for (int i = 0; i < n; ++i) u8(0);
+  }
+  void fourcc(const char* f) { put(f, 4); }
+
+  // Open a box; returns the offset of its size field for close().
+  int open(const char* type) {
+    int at = pos_;
+    u32(0);  // size placeholder
+    fourcc(type);
+    return at;
+  }
+  // Full box: version + 24-bit flags.
+  int open_full(const char* type, uint8_t version, uint32_t flags) {
+    int at = open(type);
+    u32((uint32_t(version) << 24) | (flags & 0xFFFFFF));
+    return at;
+  }
+  void close(int at) {
+    if (!ok_) return;
+    uint32_t size = uint32_t(pos_ - at);
+    buf_[at] = uint8_t(size >> 24);
+    buf_[at + 1] = uint8_t(size >> 16);
+    buf_[at + 2] = uint8_t(size >> 8);
+    buf_[at + 3] = uint8_t(size);
+  }
+
+  void matrix_identity() {
+    i32(0x10000); i32(0); i32(0);
+    i32(0); i32(0x10000); i32(0);
+    i32(0); i32(0); i32(0x40000000);
+  }
+
+ private:
+  void put(const void* data, int n) {
+    if (!ok_ || pos_ + n > cap_) {
+      ok_ = false;
+      return;
+    }
+    std::memcpy(buf_ + pos_, data, n);
+    pos_ += n;
+  }
+  uint8_t* buf_;
+  int cap_;
+  int pos_;
+  bool ok_;
+};
+
+}  // namespace
+
+extern "C" {
+
+// ftyp + moov(mvhd, trak, mvex).  Returns bytes written, or -1 on
+// insufficient capacity.
+int fvx_init_segment(uint32_t width, uint32_t height, const char sample_format[4],
+                     uint8_t* out, int cap) {
+  BoxWriter w(out, cap);
+
+  int ftyp = w.open("ftyp");
+  w.fourcc("isom");
+  w.u32(0x200);
+  w.raw("isomiso5dash", 12);
+  w.close(ftyp);
+
+  int moov = w.open("moov");
+
+  int mvhd = w.open_full("mvhd", 0, 0);
+  w.u32(0); w.u32(0);          // creation/modification time
+  w.u32(kTimescale);
+  w.u32(0);                    // duration unknown (fragmented)
+  w.i32(0x00010000);           // rate 1.0
+  w.u16(0x0100);               // volume
+  w.zeros(10);                 // reserved
+  w.matrix_identity();
+  w.zeros(24);                 // predefined
+  w.u32(2);                    // next track id
+  w.close(mvhd);
+
+  int trak = w.open("trak");
+
+  int tkhd = w.open_full("tkhd", 0, 7);
+  w.u32(0); w.u32(0);
+  w.u32(1);                    // track id
+  w.u32(0);                    // reserved
+  w.u32(0);                    // duration
+  w.zeros(8);
+  w.u16(0); w.u16(0);          // layer, alternate group
+  w.u16(0); w.u16(0);          // volume, reserved
+  w.matrix_identity();
+  w.u32(width << 16);
+  w.u32(height << 16);
+  w.close(tkhd);
+
+  int mdia = w.open("mdia");
+
+  int mdhd = w.open_full("mdhd", 0, 0);
+  w.u32(0); w.u32(0);
+  w.u32(kTimescale);
+  w.u32(0);
+  w.u16(0x55C4);               // language 'und'
+  w.u16(0);
+  w.close(mdhd);
+
+  int hdlr = w.open_full("hdlr", 0, 0);
+  w.u32(0);
+  w.fourcc("vide");
+  w.zeros(12);
+  w.raw("foveax\0", 7);
+  w.close(hdlr);
+
+  int minf = w.open("minf");
+
+  int vmhd = w.open_full("vmhd", 0, 1);
+  w.u16(0); w.u16(0); w.u16(0); w.u16(0);
+  w.close(vmhd);
+
+  int dinf = w.open("dinf");
+  int dref = w.open_full("dref", 0, 0);
+  w.u32(1);
+  int url = w.open_full("url ", 0, 1);
+  w.close(url);
+  w.close(dref);
+  w.close(dinf);
+
+  int stbl = w.open("stbl");
+
+  int stsd = w.open_full("stsd", 0, 0);
+  w.u32(1);
+  int entry = w.open(sample_format);
+  w.zeros(6);                  // reserved
+  w.u16(1);                    // data reference index
+  w.zeros(16);                 // predefined/reserved
+  w.u16(uint16_t(width));
+  w.u16(uint16_t(height));
+  w.u32(0x480000);             // 72 dpi horizontal
+  w.u32(0x480000);             // 72 dpi vertical
+  w.u32(0);
+  w.u16(1);                    // frame count
+  w.zeros(32);                 // compressor name
+  w.u16(24);                   // depth
+  w.u16(0xFFFF);               // predefined -1
+  w.close(entry);
+  w.close(stsd);
+
+  int stts = w.open_full("stts", 0, 0); w.u32(0); w.close(stts);
+  int stsc = w.open_full("stsc", 0, 0); w.u32(0); w.close(stsc);
+  int stsz = w.open_full("stsz", 0, 0); w.u32(0); w.u32(0); w.close(stsz);
+  int stco = w.open_full("stco", 0, 0); w.u32(0); w.close(stco);
+
+  w.close(stbl);
+  w.close(minf);
+  w.close(mdia);
+  w.close(trak);
+
+  int mvex = w.open("mvex");
+  int trex = w.open_full("trex", 0, 0);
+  w.u32(1);                    // track id
+  w.u32(1);                    // default sample description index
+  w.u32(0);                    // default sample duration
+  w.u32(0);                    // default sample size
+  w.u32(0x01010000);           // default sample flags
+  w.close(trex);
+  w.close(mvex);
+
+  w.close(moov);
+  return w.pos();
+}
+
+// moof + mdat for one sample.  Returns bytes written, or -1.
+int fvx_fragment(uint32_t seq, uint64_t decode_time, const uint8_t* sample,
+                 int sample_len, uint32_t duration, int is_sync, uint8_t* out,
+                 int cap) {
+  BoxWriter w(out, cap);
+
+  int moof = w.open("moof");
+
+  int mfhd = w.open_full("mfhd", 0, 0);
+  w.u32(seq);
+  w.close(mfhd);
+
+  int traf = w.open("traf");
+
+  // default-base-is-moof (0x020000), matching the reference's movflags.
+  int tfhd = w.open_full("tfhd", 0, 0x020000);
+  w.u32(1);                    // track id
+  w.close(tfhd);
+
+  int tfdt = w.open_full("tfdt", 1, 0);
+  w.u64(decode_time);
+  w.close(tfdt);
+
+  // trun flags: data-offset | duration | size | flags.
+  int trun = w.open_full("trun", 0, 0x000001 | 0x000100 | 0x000200 | 0x000400);
+  w.u32(1);                    // sample count
+  int offset_at = w.pos();
+  w.i32(0);                    // data offset placeholder
+  w.u32(duration);
+  w.u32(uint32_t(sample_len));
+  w.u32(is_sync ? 0x02000000u : 0x01010000u);
+  w.close(trun);
+
+  w.close(traf);
+  w.close(moof);
+
+  if (!w.ok()) return -1;
+  // Patch data offset: first sample byte relative to moof start.
+  int moof_size = w.pos();
+  int32_t data_offset = moof_size + 8;
+  out[offset_at] = uint8_t(data_offset >> 24);
+  out[offset_at + 1] = uint8_t(data_offset >> 16);
+  out[offset_at + 2] = uint8_t(data_offset >> 8);
+  out[offset_at + 3] = uint8_t(data_offset);
+
+  int mdat = w.open("mdat");
+  w.raw(sample, sample_len);
+  w.close(mdat);
+  return w.pos();
+}
+
+}  // extern "C"
