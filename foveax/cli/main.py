@@ -107,8 +107,10 @@ def _skip_to(reader, frame_idx: int):
 
 
 def cmd_single_frame(args) -> int:
-    """Foveate one frame, save source + reduced PNGs (reference:
-    src/run_satlogrectilinear.cc:173-242)."""
+    """Foveate one frame with a chosen technique, save source + reduced
+    PNGs (reference: src/run_satlogrectilinear.cc:173-242; the log-polar
+    and point-sample baselines come from the reference's ImageSampler,
+    src/image_sampler.cc)."""
     import jax.numpy as jnp
 
     from foveax.config import FoveaxConfig
@@ -121,11 +123,111 @@ def cmd_single_frame(args) -> int:
             print("no such frame", file=sys.stderr)
             return 1
         cfg = FoveaxConfig().with_source(r.width, r.height)
-    p = FoveationPipeline(cfg)
-    reduced = np.asarray(p.foveate(jnp.asarray(frame), p.center(*args.gaze)))
+
+    fj = jnp.asarray(frame)
+    c = jnp.asarray(args.gaze, dtype=jnp.float32)
+    tech = args.technique
+    if tech == "logrect":
+        p = FoveationPipeline(cfg)
+        reduced = np.asarray(p.foveate(fj, c))
+    elif tech == "logrect_point":
+        from foveax.core.logrect import make_point_grid
+        from foveax.core.sample import sample_rect_point
+
+        g = make_point_grid(
+            cfg.reduced_width, cfg.reduced_height, r.width, r.height
+        )
+        reduced = np.asarray(sample_rect_point(fj, g, c))
+    elif tech in ("logpolar", "logpolar_pyramid"):
+        from foveax.core.logpolar import (
+            build_pyramid,
+            logpolar_gaussian_blur,
+            make_logpolar_grid,
+            sample_logpolar,
+            sample_logpolar_pyramid,
+        )
+
+        g = make_logpolar_grid(
+            cfg.reduced_width, cfg.reduced_height, r.width, r.height
+        )
+        if tech == "logpolar":
+            sampled = sample_logpolar(fj, g, c)
+        else:
+            pyr = build_pyramid(fj, args.pyramid_levels)
+            sampled = sample_logpolar_pyramid(pyr, g, c, args.pyramid_levels)
+        reduced = np.asarray(logpolar_gaussian_blur(sampled))
+    else:
+        print(f"unknown technique {tech}", file=sys.stderr)
+        return 1
+
     save_png(f"{args.out_prefix}_source.png", np.asarray(frame))
     save_png(f"{args.out_prefix}_foveated.png", reduced)
-    print(f"wrote {args.out_prefix}_source.png and _foveated.png")
+    print(f"wrote {args.out_prefix}_source.png and _foveated.png ({tech})")
+    return 0
+
+
+def cmd_viewport(args) -> int:
+    """Gnomonic rectilinear viewport from an equirect frame (reference:
+    src/projections.cc:51-86 — a standalone capability never wired into a
+    reference driver)."""
+    import jax.numpy as jnp
+
+    from foveax.core.gnomonic import gnomonic_project
+    from foveax.io.png import save_png
+
+    with _open_reader(args.video) as r:
+        frame = _skip_to(r, args.frame)
+        if frame is None:
+            print("no such frame", file=sys.stderr)
+            return 1
+    out = np.asarray(
+        gnomonic_project(
+            jnp.asarray(frame),
+            args.width,
+            args.height,
+            jnp.asarray(args.gaze, dtype=jnp.float32),
+        )
+    )
+    save_png(args.output, out)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_svd_bench(args) -> int:
+    """SVD-compressed SAT benchmark: factorize, reconstruct, time it
+    (reference: src/eigen_sat_generate.cc — the Eigen CPU benchmark)."""
+    import jax
+    import jax.numpy as jnp
+
+    from foveax.core.sat import build_sat
+    from foveax.core.svd_sat import compress_sat, reconstruct_sat
+
+    with _open_reader(args.video) as r:
+        frame = _skip_to(r, args.frame)
+        if frame is None:
+            print("no such frame", file=sys.stderr)
+            return 1
+    sat = build_sat(jnp.asarray(frame))
+    t0 = time.perf_counter()
+    svd = compress_sat(sat, args.rank)
+    t_compress = time.perf_counter() - t0
+
+    rec = jax.jit(reconstruct_sat)
+    jax.block_until_ready(rec(svd))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = rec(svd)
+    jax.block_until_ready(out)
+    t_rec = (time.perf_counter() - t0) / args.iters
+
+    err = float(
+        jnp.abs(out - sat.astype(jnp.float32)).mean()
+        / jnp.maximum(sat.astype(jnp.float32).mean(), 1.0)
+    )
+    print(
+        f"rank={args.rank} compress={t_compress * 1000:.1f}ms "
+        f"reconstruct={t_rec * 1000:.2f}ms rel_err={err:.2e}"
+    )
     return 0
 
 
@@ -252,8 +354,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("video")
     p.add_argument("frame", type=int)
     p.add_argument("out_prefix")
+    p.add_argument(
+        "--technique",
+        choices=["logrect", "logrect_point", "logpolar", "logpolar_pyramid"],
+        default="logrect",
+    )
+    p.add_argument("--pyramid-levels", type=int, default=4)
     _add_io_args(p)
     p.set_defaults(fn=cmd_single_frame)
+
+    p = sub.add_parser("viewport", help="gnomonic viewport from equirect")
+    p.add_argument("video")
+    p.add_argument("frame", type=int)
+    p.add_argument("output")
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    _add_io_args(p)
+    p.set_defaults(fn=cmd_viewport)
+
+    p = sub.add_parser("svd_bench", help="SVD-compressed SAT benchmark")
+    p.add_argument("video")
+    p.add_argument("--frame", type=int, default=0)
+    p.add_argument("--rank", type=int, default=30)
+    p.add_argument("--iters", type=int, default=5)
+    p.set_defaults(fn=cmd_svd_bench)
 
     p = sub.add_parser(
         "interpolate_sampled", help="foveate+unwarp one frame to PNGs"

@@ -72,3 +72,44 @@ def test_foveate_no_encoding_then_decode(tmp_path):
     with VideoReader(out2) as r:
         assert (r.width, r.height) == (96, 64)
         assert len(list(r)) == 6
+
+
+def test_single_frame_techniques(tmp_path):
+    for tech in ["logrect_point", "logpolar", "logpolar_pyramid"]:
+        prefix = str(tmp_path / tech)
+        rc = main(
+            [
+                "single_frame",
+                "synthetic://96x64@30/3",
+                "1",
+                prefix,
+                "--technique",
+                tech,
+            ]
+        )
+        assert rc == 0
+        assert load_png(prefix + "_foveated.png").shape == (48, 64, 3)
+
+
+def test_viewport(tmp_path):
+    out = str(tmp_path / "vp.png")
+    rc = main(
+        [
+            "viewport",
+            "synthetic://96x64@30/2",
+            "0",
+            out,
+            "--width",
+            "48",
+            "--height",
+            "24",
+        ]
+    )
+    assert rc == 0
+    assert load_png(out).shape == (24, 48, 3)
+
+
+def test_svd_bench(capsys):
+    rc = main(["svd_bench", "synthetic://96x64@30/2", "--rank", "8", "--iters", "1"])
+    assert rc == 0
+    assert "rel_err" in capsys.readouterr().out
