@@ -49,7 +49,10 @@ def cmd_serve(args) -> int:
     logging.basicConfig(level=logging.INFO)
     cfg = FoveaxConfig(fps=args.fps)
     server = FoveaxServer(
-        cfg, video_dir=args.video_dir, jpeg_quality=args.quality
+        cfg,
+        video_dir=args.video_dir,
+        jpeg_quality=args.quality,
+        broadcast=args.broadcast,
     )
     try:
         asyncio.run(server.run(args.port))
@@ -339,6 +342,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video-dir", default="1080p_videos")
     p.add_argument("--fps", type=float, default=30.0)
     p.add_argument("--quality", type=int, default=90)
+    p.add_argument(
+        "--broadcast",
+        action="store_true",
+        help="viewers of one video share a frame clock; gazes sample as "
+        "one batched launch",
+    )
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("client", help="run the headless streaming client")

@@ -100,6 +100,10 @@ class FoveationPipeline:
 
         self.build_sat = jax.jit(_build)
         self.sample = jax.jit(_sample)
+        # One SAT, a batch of gazes — the multi-client launch.  Compiled
+        # per batch size; callers should pad to slot sizes to bound
+        # recompiles.
+        self.sample_batch = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
         self.foveate = jax.jit(_foveate)
         self.unwarp = jax.jit(_unwarp)
         self.roundtrip = jax.jit(_roundtrip)

@@ -46,9 +46,13 @@ class Session:
         self.reader = None
         self.mux: FragmentWriter | None = None
         self.send_task: asyncio.Task | None = None
+        self.channel = None  # BroadcastChannel membership
         self.frames_sent = 0
 
     async def close(self) -> None:
+        if self.channel is not None:
+            self.channel.leave(self)
+            self.channel = None
         if self.send_task is not None:
             self.send_task.cancel()
             try:
@@ -59,6 +63,115 @@ class Session:
             self.reader.close()
 
 
+class BroadcastChannel:
+    """All viewers of one video share a frame clock and one SAT; their
+    gazes are sampled in a single vmapped launch per tick.
+
+    This is the TPU-native answer to the reference's per-connection engine
+    stacks (SURVEY section 2.3): N clients cost one SAT build plus a
+    batched sample, not N pipelines.  Batch sizes are padded to slot sizes
+    (1, 2, 4, 8, ...) so joining clients trigger at most log2(N) compiles.
+    """
+
+    def __init__(self, server: "FoveaxServer", video: str):
+        self.server = server
+        self.video = video
+        self.members: dict[Session, FragmentWriter] = {}
+        self.task: asyncio.Task | None = None
+        self.reader = None
+        self.pipeline: FoveationPipeline | None = None
+
+    def join(self, session: Session) -> None:
+        cfg = None
+        if self.reader is None:
+            self.reader = self.server._resolve(self.video)
+            self.pipeline = self.server._pipeline_for(
+                self.reader.width, self.reader.height
+            )
+        cfg = self.pipeline.config
+        self.members[session] = FragmentWriter(
+            cfg.reduced_width, cfg.reduced_height, self.server.config.fps
+        )
+        if self.task is None:
+            self.task = asyncio.create_task(self._loop())
+
+    def leave(self, session: Session) -> None:
+        self.members.pop(session, None)
+        if not self.members and self.task is not None:
+            self.task.cancel()
+            self.task = None
+            if self.reader is not None:
+                self.reader.close()
+                self.reader = None
+            self.server.channels.pop(self.video, None)
+
+    @staticmethod
+    def _slot(n: int) -> int:
+        s = 1
+        while s < n:
+            s *= 2
+        return s
+
+    async def _loop(self) -> None:
+        import jax.numpy as jnp
+
+        loop = asyncio.get_running_loop()
+        p = self.pipeline
+        tick = 1.0 / self.server.config.fps
+        sent_header: set[Session] = set()
+        frame_num = 0
+        next_deadline = time.perf_counter()
+        while True:
+            if (
+                self.server.max_frames is not None
+                and frame_num >= self.server.max_frames
+            ):
+                break
+            frame = await loop.run_in_executor(None, self.reader.read)
+            if frame is None:
+                break
+            sat = p.build_sat(jnp.asarray(frame))
+
+            now = time.perf_counter()
+            if now < next_deadline:
+                await asyncio.sleep(next_deadline - now)
+            next_deadline = max(next_deadline + tick, time.perf_counter())
+
+            members = list(self.members.items())
+            if not members:
+                frame_num += 1
+                continue
+            centers = [s.center for s, _ in members]
+            slot = self._slot(len(centers))
+            padded = centers + [centers[-1]] * (slot - len(centers))
+            batch = p.sample_batch(
+                sat, jnp.asarray(padded, dtype=jnp.float32)
+            )
+            batch_np = np.asarray(batch[: len(centers)])
+
+            for i, (session, mux) in enumerate(members):
+                try:
+                    if session not in sent_header:
+                        await session.ws.send(mux.header())
+                        sent_header.add(session)
+                    sample = await loop.run_in_executor(
+                        None,
+                        encode_jpeg,
+                        batch_np[i],
+                        self.server.jpeg_quality,
+                    )
+                    cx, cy = centers[i]
+                    meta = FrameMeta(
+                        centerX=cx, centerY=cy, frameNum=frame_num % 256
+                    )
+                    await session.ws.send(protocol.dumps(meta))
+                    await session.ws.send(mux.frame(sample))
+                    session.frames_sent += 1
+                except Exception:
+                    self.leave(session)
+            frame_num += 1
+
+
 class FoveaxServer:
     def __init__(
         self,
@@ -67,13 +180,16 @@ class FoveaxServer:
         video_dir: str | Path = "1080p_videos",
         jpeg_quality: int = 90,
         max_frames: int | None = None,
+        broadcast: bool = False,
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
         self.jpeg_quality = jpeg_quality
         self.max_frames = max_frames
+        self.broadcast = broadcast
         self.pipeline: FoveationPipeline | None = None
         self.sessions: set[Session] = set()
+        self.channels: dict[str, BroadcastChannel] = {}
         self._pipelines: dict[tuple[int, int], FoveationPipeline] = {}
 
     # -- video resolution --------------------------------------------------
@@ -127,6 +243,15 @@ class FoveaxServer:
             await session.close()
 
     async def _start_stream(self, session: Session, video: str) -> None:
+        if self.broadcast:
+            if session.channel is None:
+                channel = self.channels.get(video)
+                if channel is None:
+                    channel = BroadcastChannel(self, video)
+                    self.channels[video] = channel
+                channel.join(session)
+                session.channel = channel
+            return
         if session.send_task is not None:
             return
         session.reader = self._resolve(video)

@@ -104,3 +104,43 @@ def test_loopback_text_message():
                 assert "hello" in reply.message
 
     asyncio.run(main())
+
+
+def test_broadcast_multi_client():
+    """3 concurrent clients of one video in broadcast mode: shared frame
+    clock, one batched sample per tick, each client unwarps with its own
+    gaze."""
+    port = _free_port()
+    server = FoveaxServer(CFG, max_frames=8, broadcast=True)
+
+    gazes = [(0.2, 0.3), (0.5, 0.5), (0.8, 0.7)]
+    clients = [
+        FoveaxClient(
+            f"ws://127.0.0.1:{port}",
+            video="synthetic://96x64@30/30",
+            config=CFG,
+            gaze_source=lambda i, g=g: g,
+            max_frames=5,
+        )
+        for g in gazes
+    ]
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(
+                asyncio.gather(*(c.run() for c in clients)), timeout=90
+            )
+
+    stats = asyncio.run(main())
+    assert all(s.frames == 5 for s in stats)
+    # Exactly one broadcast channel existed (shared SAT + batched sample).
+    # After all clients disconnect the channel is torn down.
+    assert len(server.channels) == 0
+    # Per-gaze buckets: each client's later frames carry its own gaze.
+    buckets = [set(s.by_gaze) for s in stats]
+    assert gaze_to_index(0.2, 0.3) in buckets[0]
+    assert gaze_to_index(0.8, 0.7) in buckets[2]
