@@ -333,6 +333,65 @@ def cmd_foveate_no_encoding(args) -> int:
     return _transcode(args, "roundtrip")
 
 
+def cmd_perf(args) -> int:
+    """Device-path throughput across resolutions (1080p/4K/8K) using the
+    dependency-chained methodology of bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from foveax.config import FoveaxConfig, reduced_dim
+    from foveax.core.logrect import make_grid
+    from foveax.core.sample import sample_rect_from_sat
+    from foveax.core.unwarp import unwarp_rect
+    from foveax.core.sat import build_sat as build_xla
+
+    resolutions = {
+        "1080p": (1920, 1080),
+        "4k": (3840, 2160),
+        "8k": (7680, 4320),
+    }
+    names = args.resolutions or ["1080p", "4k"]
+    rng = np.random.default_rng(0)
+    for name in names:
+        w, h = resolutions[name]
+        rw, rh = reduced_dim(w), reduced_dim(h)
+        grid = make_grid(rw, rh, w, h)
+        if w % 128 == 0 and jax.default_backend() != "cpu":
+            from foveax.kernels.scan2d import build_sat_pallas as build
+        else:
+            build = build_xla
+
+        @jax.jit
+        def step(f, c):
+            sat = build(f)
+            red = sample_rect_from_sat(sat, grid, c)
+            return unwarp_rect(red, w, h, c)
+
+        frame = jax.device_put(rng.integers(0, 256, (h, w, 3), np.uint8))
+        centers = [
+            jax.device_put(np.asarray([0.3 + 0.01 * i, 0.5], np.float32))
+            for i in range(args.frames + 4)
+        ]
+
+        def chain(n):
+            y = frame
+            t0 = time.perf_counter()
+            for i in range(n):
+                y = step(y, centers[i])
+            float(jnp.sum(y.astype(jnp.uint32)))
+            return time.perf_counter() - t0
+
+        chain(2)
+        base = chain(2)
+        total = chain(args.frames + 2)
+        per = (total - base) / args.frames * 1000
+        print(
+            f"{name}: {w}x{h} -> {rw}x{rh}  {per:.2f} ms/frame  "
+            f"{1000 / per:.1f} fps"
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="foveax")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -380,6 +439,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=540)
     _add_io_args(p)
     p.set_defaults(fn=cmd_viewport)
+
+    p = sub.add_parser("perf", help="device-path fps across resolutions")
+    p.add_argument(
+        "--resolutions", nargs="*", choices=["1080p", "4k", "8k"], default=None
+    )
+    p.add_argument("--frames", type=int, default=20)
+    p.set_defaults(fn=cmd_perf)
 
     p = sub.add_parser("svd_bench", help="SVD-compressed SAT benchmark")
     p.add_argument("video")

@@ -95,7 +95,7 @@ def _sat_kernel(frame_ref, out_ref, carry_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def build_sat_pallas(
-    frame: jax.Array, *, block_rows: int = 64, interpret: bool = False
+    frame: jax.Array, *, block_rows: int | None = None, interpret: bool = False
 ) -> jax.Array:
     """(H, W, 3) uint8 -> (3, H, W) uint32 SAT.  Bit-identical to
     foveax.core.sat.build_sat (uint32 wraparound included).
@@ -106,8 +106,18 @@ def build_sat_pallas(
     h, w, _ = frame.shape
     if w % _LANE != 0:
         raise ValueError(f"width {w} not a multiple of {_LANE}")
+    if block_rows is None:
+        # VMEM budget: the block plus scan temporaries must fit the 16 MB
+        # scoped limit.  Empirically 64 rows compile at 4K but 32 rows OOM
+        # at 8K (scan temporaries grow with width beyond the block bytes),
+        # so fall off quadratically: 64 at <=4K, 16 at 8K.
+        block_rows = max(8, (64 * 3840 * 3840) // (w * w))
     if h % block_rows != 0:
-        block_rows = next(b for b in (64, 32, 16, 8, 5, 4, 3, 2, 1) if h % b == 0)
+        block_rows = next(
+            b
+            for b in (64, 54, 45, 40, 36, 32, 27, 24, 20, 16, 12, 10, 9, 8, 6, 5, 4, 3, 2, 1)
+            if b <= block_rows and h % b == 0
+        )
     planes = frame.transpose(2, 0, 1)  # (3, H, W) u8
 
     grid = (h // block_rows,)
