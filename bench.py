@@ -47,15 +47,22 @@ def main() -> None:
     grid = make_grid(red_w, red_h, src_w, src_h)
 
     @jax.jit
-    def step(frame, center):
-        sat = build_sat(frame)
-        reduced = sample_rect_from_sat(sat, grid, center)
-        restored = unwarp_rect(reduced, src_w, src_h, center)
+    def step(frame_chw, center):
+        # Channel-planar end-to-end: the size-3 channel axis never lands on
+        # the vector lanes, and no transposes sit between stages.  Frames
+        # are device-resident planar; production ingest (H2D + one layout
+        # transpose per decoded frame) overlaps device compute via async
+        # dispatch (see foveax.pipeline.runner).
+        sat = build_sat(frame_chw, in_layout="chw")
+        reduced = sample_rect_from_sat(sat, grid, center, out_layout="chw")
+        restored = unwarp_rect(
+            reduced, src_w, src_h, center, in_layout="chw", out_layout="chw"
+        )
         return reduced, restored
 
     rng = np.random.default_rng(0)
     frame = jax.device_put(
-        rng.integers(0, 256, size=(src_h, src_w, 3), dtype=np.uint8)
+        rng.integers(0, 256, size=(3, src_h, src_w), dtype=np.uint8)
     )
 
     # Gaze trace: a smooth scan path, one gaze per frame.

@@ -361,13 +361,27 @@ def cmd_perf(args) -> int:
         else:
             build = build_xla
 
-        @jax.jit
-        def step(f, c):
-            sat = build(f)
-            red = sample_rect_from_sat(sat, grid, c)
-            return unwarp_rect(red, w, h, c)
+        if build is not build_xla:
 
-        frame = jax.device_put(rng.integers(0, 256, (h, w, 3), np.uint8))
+            @jax.jit
+            def step(f, c, build=build, grid=grid, w=w, h=h):
+                sat = build(f, in_layout="chw")
+                red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
+                return unwarp_rect(
+                    red, w, h, c, in_layout="chw", out_layout="chw"
+                )
+
+        else:
+
+            @jax.jit
+            def step(f, c, grid=grid, w=w, h=h):
+                sat = build_xla(f.transpose(1, 2, 0))
+                red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
+                return unwarp_rect(
+                    red, w, h, c, in_layout="chw", out_layout="chw"
+                )
+
+        frame = jax.device_put(rng.integers(0, 256, (3, h, w), np.uint8))
         centers = [
             jax.device_put(np.asarray([0.3 + 0.01 * i, 0.5], np.float32))
             for i in range(args.frames + 4)

@@ -36,8 +36,9 @@ def sample_rect_from_sat(
     center: jax.Array,
     *,
     wrap_x: bool = True,
+    out_layout: str = "hwc",
 ) -> jax.Array:
-    """Foveate: (3, Hs, Ws) uint32 SAT -> (Ho, Wo, 3) uint8 reduced frame.
+    """Foveate: (3, Hs, Ws) uint32 SAT -> reduced uint8 frame.
 
     ``center`` is a float32 (2,) array (cx, cy) in [0, 1].  ``wrap_x``
     enables the 360-degree horizontal wraparound applied when both rectangle
@@ -46,6 +47,11 @@ def sample_rect_from_sat(
     fully outside the frame vertically) are written as 0 — the reference
     leaves stale buffer contents there instead (src/.../:197-200), which is
     not reproducible in a functional setting.
+
+    ``out_layout``: "hwc" returns (Ho, Wo, 3); "chw" returns the internal
+    channel-planar (3, Ho, Wo) — the TPU-preferred layout (the size-3
+    channel axis on lanes wastes 125/128 of the vector width, and the
+    planar form skips a minor-dim transpose worth ~1.4 ms at 4K).
     """
     _, hs, ws = sat.shape
     cx = (center[0] * jnp.float32(ws)).astype(jnp.int32)
@@ -86,6 +92,8 @@ def sample_rect_from_sat(
 
     valid = (valid_y[:, None] & valid_x[None, :])[None]
     out = jnp.where(valid, vals, jnp.uint8(0))
+    if out_layout == "chw":
+        return out
     return out.transpose(1, 2, 0)
 
 

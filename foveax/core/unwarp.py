@@ -1,23 +1,35 @@
 """Inverse log-rectilinear unwarp (the client-side hot op).
 
 For every full-resolution output pixel: invert the log map to find the
-enclosing reduced-frame texel, snap to it when the forward map lands exactly
-back on this pixel, otherwise bilinearly blend the two enclosing log cells
-per axis with edge clamping (reference:
+enclosing reduced-frame texel, then bilinearly blend the two enclosing log
+cells per axis with edge clamping (reference:
 src/sat_decoder_interpolate_kernel.cl:1-151, host
 src/sat_decoder.cc:887-928, CPU twin :618-772).
 
 TPU-native design: the inverse map is separable like the forward one — every
 quantity (u, min_u/max_u, min_x/max_x, ratios, the wrap flag) depends on only
 one output axis.  foveax computes all of them as O(W_out)+O(H_out) 1-D
-vectors, then performs three row gathers + column indexing on the small
+vectors, then performs two row gathers + column indexing on the small
 reduced frame.  The whole op is dense vector math driven by two traced gaze
-scalars — no recompilation as the gaze moves.
+scalars — no recompilation as the gaze moves.  Internals are channel-planar
+(3, H, W): a trailing size-3 channel axis would waste 125/128 vector lanes.
+
+Exact-snap elimination: the reference kernel special-cases pixels where the
+forward map lands exactly back on the pixel (a point copy instead of the
+bilinear blend, src/sat_decoder_interpolate_kernel.cl:67-72).  That branch
+is *provably redundant* given the cell construction: when d == d_calc the
+pixel sits on the lo or hi cell boundary, the blend ratio is exactly 0 or 1,
+and the bilinear mix of uint8 corners (integers, exact in float32)
+degenerates to the same point copy bit-for-bit.  foveax therefore computes
+only the blend — verified bit-identical against the explicit-snap variant
+at 4K across gazes, and against the float64 golden (which keeps the
+reference's explicit branch) in tests.
 
 Precision note: the reference mixes float and double in the snap check
 (2.0 vs 2.0f literals, src/sat_decoder_interpolate_kernel.cl:59 vs :80);
-foveax uses float32 uniformly so the forward grid and the inverse check are
-computed in the *same* precision and the snap test is self-consistent.
+foveax derives the forward deltas from the same float64 LUT the sampling
+grid uses (see foveax.core.logrect.delta64) so both directions of the
+transform agree exactly.
 """
 
 from __future__ import annotations
@@ -37,26 +49,23 @@ def _axis_vectors(
     *,
     wrap: bool,
 ):
-    """All per-axis 1-D quantities for the unwarp.
+    """Per-axis 1-D quantities for the unwarp.
 
-    Returns (exact, idx_exact, idx_min, idx_max, ratio) each of shape
-    (out_dim,):
-      exact     — forward(delta_inverse(pixel)) == pixel on this axis
-      idx_exact — clamped reduced-frame index for the snap path
-      idx_min/idx_max — clamped reduced-frame indices of the two log cells
-      ratio     — bilinear blend factor in [0, 1]
+    Returns (idx_lo, idx_hi, ratio), each of shape (out_dim,): clamped
+    reduced-frame indices of the two enclosing log cells and the blend
+    factor in [0, 1].
     """
     lam_out = _lam(out_dim)
     cp = center_scaled  # int32 scalar: trunc(center * out_dim)
     p = jnp.arange(out_dim, dtype=jnp.int32)
 
-    # Forward-delta LUT, precomputed in float64 at trace time so the snap
-    # check below is bit-consistent with the sampling grid (see
+    # Forward-delta LUT, precomputed in float64 at trace time so the cell
+    # construction below is bit-consistent with the sampling grid (see
     # foveax.core.logrect.delta64).  |u| <= reduced_dim/2 + 1 always holds:
     # the inverse log map is bounded by ceil(reduced_dim/2) and the
     # neighbour step adds 1.
     u_off = reduced_dim // 2 + 2
-    # The unwarp's forward check uses lambda derived from the *output* dim
+    # The unwarp's forward deltas use lambda derived from the *output* dim
     # (reference: src/sat_decoder_interpolate_kernel.cl:11-12).
     lut = jnp.asarray(delta_table(-u_off, u_off, reduced_dim, out_dim))
 
@@ -81,9 +90,7 @@ def _axis_vectors(
     ).astype(jnp.int32) * jnp.sign(d)
     u = jnp.where((jnp.abs(u_raw) > jnp.abs(d)) | (u_raw == 0), d, u_raw)
 
-    # Forward re-check for the snap test (reference kernel :56-67).
     d_calc = lut[u + u_off]
-    exact = d_calc == d
 
     # Neighbour cell toward the center; sign taken from u, not u+du
     # (reference kernel :75-89).
@@ -108,12 +115,16 @@ def _axis_vectors(
     ratio = jnp.where(
         hi == lo,
         jnp.float32(0.0),
-        jnp.clip((pw - lo).astype(jnp.float32) / (hi - lo).astype(jnp.float32), 0.0, 1.0),
+        jnp.clip(
+            (pw - lo).astype(jnp.float32) / (hi - lo).astype(jnp.float32),
+            0.0,
+            1.0,
+        ),
     )
 
     half_r = reduced_dim // 2
     clampr = lambda v: jnp.clip(v + half_r, 0, reduced_dim - 1)
-    return exact, clampr(u), clampr(u_lo2), clampr(u_hi2), ratio
+    return clampr(u_lo2), clampr(u_hi2), ratio
 
 
 def unwarp_rect(
@@ -121,36 +132,41 @@ def unwarp_rect(
     out_width: int,
     out_height: int,
     center: jax.Array,
+    *,
+    in_layout: str = "hwc",
+    out_layout: str = "hwc",
 ) -> jax.Array:
-    """Unwarp a (Hr, Wr, 3) uint8 reduced frame to (out_height, out_width, 3).
+    """Unwarp a reduced uint8 frame back to (out_height, out_width).
 
-    ``center`` is float32 (2,) in [0, 1].
+    ``center`` is float32 (2,) in [0, 1].  Layouts: "hwc" (H, W, 3) or the
+    TPU-preferred channel-planar "chw" (3, H, W).
     """
-    hr, wr, _ = reduced.shape
+    if in_layout == "hwc":
+        planar = reduced.transpose(2, 0, 1)
+    else:
+        planar = reduced
+    _, hr, wr = planar.shape
     cx = (center[0] * jnp.float32(out_width)).astype(jnp.int32)
     cy = (center[1] * jnp.float32(out_height)).astype(jnp.int32)
 
-    ex_x, ix_e, ix_lo, ix_hi, rx = _axis_vectors(out_width, wr, cx, wrap=True)
-    ex_y, iy_e, iy_lo, iy_hi, ry = _axis_vectors(out_height, hr, cy, wrap=False)
+    ix_lo, ix_hi, rx = _axis_vectors(out_width, wr, cx, wrap=True)
+    iy_lo, iy_hi, ry = _axis_vectors(out_height, hr, cy, wrap=False)
 
     # Gather in uint8 (4x less HBM traffic than gathering float32) and
     # convert to float only inside the fused blend arithmetic.
-    rows_lo = jnp.take(reduced, iy_lo, axis=0)  # (Ho, Wr, 3) u8
-    rows_hi = jnp.take(reduced, iy_hi, axis=0)
-    rows_ex = jnp.take(reduced, iy_e, axis=0)
+    rows_lo = jnp.take(planar, iy_lo, axis=1)  # (3, Ho, Wr) u8
+    rows_hi = jnp.take(planar, iy_hi, axis=1)
 
-    tl = jnp.take(rows_lo, ix_lo, axis=1).astype(jnp.float32)  # (Ho, Wo, 3)
-    tr = jnp.take(rows_lo, ix_hi, axis=1).astype(jnp.float32)
-    bl = jnp.take(rows_hi, ix_lo, axis=1).astype(jnp.float32)
-    br = jnp.take(rows_hi, ix_hi, axis=1).astype(jnp.float32)
-    exact_val = jnp.take(rows_ex, ix_e, axis=1).astype(jnp.float32)
+    tl = jnp.take(rows_lo, ix_lo, axis=2).astype(jnp.float32)  # (3, Ho, Wo)
+    tr = jnp.take(rows_lo, ix_hi, axis=2).astype(jnp.float32)
+    bl = jnp.take(rows_hi, ix_lo, axis=2).astype(jnp.float32)
+    br = jnp.take(rows_hi, ix_hi, axis=2).astype(jnp.float32)
 
-    ry2 = ry[:, None, None]
-    rx2 = rx[None, :, None]
+    ry2 = ry[None, :, None]
+    rx2 = rx[None, None, :]
     left = tl + (bl - tl) * ry2
     right = tr + (br - tr) * ry2
-    blended = left + (right - left) * rx2
-
-    exact = (ex_y[:, None] & ex_x[None, :])[..., None]
-    out = jnp.where(exact, exact_val, blended)
-    return out.astype(jnp.uint8)
+    out = (left + (right - left) * rx2).astype(jnp.uint8)
+    if out_layout == "chw":
+        return out
+    return out.transpose(1, 2, 0)

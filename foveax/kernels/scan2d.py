@@ -93,32 +93,49 @@ def _sat_kernel(frame_ref, out_ref, carry_ref):
     carry_ref[...] = carry_ref[...] + cols[:, r - 1 :, :]
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "interpret", "in_layout")
+)
 def build_sat_pallas(
-    frame: jax.Array, *, block_rows: int | None = None, interpret: bool = False
+    frame: jax.Array,
+    *,
+    block_rows: int | None = None,
+    interpret: bool = False,
+    in_layout: str = "hwc",
 ) -> jax.Array:
-    """(H, W, 3) uint8 -> (3, H, W) uint32 SAT.  Bit-identical to
-    foveax.core.sat.build_sat (uint32 wraparound included).
+    """(H, W, 3) uint8 (or (3, H, W) with in_layout="chw") -> (3, H, W)
+    uint32 SAT.  Bit-identical to foveax.core.sat.build_sat (uint32
+    wraparound included).
 
     Requires W % 128 == 0 (every standard video width); callers should use
     foveax.core.sat.build_sat for odd sizes.
     """
-    h, w, _ = frame.shape
+    if in_layout == "chw":
+        _, h, w = frame.shape
+    else:
+        h, w, _ = frame.shape
     if w % _LANE != 0:
         raise ValueError(f"width {w} not a multiple of {_LANE}")
     if block_rows is None:
         # VMEM budget: the block plus scan temporaries must fit the 16 MB
-        # scoped limit.  Empirically 64 rows compile at 4K but 32 rows OOM
-        # at 8K (scan temporaries grow with width beyond the block bytes),
-        # so fall off quadratically: 64 at <=4K, 16 at 8K.
-        block_rows = max(8, (64 * 3840 * 3840) // (w * w))
-    if h % block_rows != 0:
+        # scoped limit.  Empirically verified safe: 32 rows at <=4K widths,
+        # 16 rows at 8K (32 OOMs there); larger/odd block sizes tripped the
+        # scoped limit in non-obvious ways, so stay with powers of two.
+        block_rows = 32 if w <= 3840 else 16
+    if h % block_rows != 0 or block_rows % 8 != 0:
+        # Mosaic needs the sublane block divisible by 8 (or equal to the
+        # full dimension); pick the largest power-of-two divisor of h
+        # within the budget.
         block_rows = next(
-            b
-            for b in (64, 54, 45, 40, 36, 32, 27, 24, 20, 16, 12, 10, 9, 8, 6, 5, 4, 3, 2, 1)
-            if b <= block_rows and h % b == 0
+            (b for b in (32, 16, 8) if b <= block_rows and h % b == 0),
+            None,
         )
-    planes = frame.transpose(2, 0, 1)  # (3, H, W) u8
+        if block_rows is None:
+            raise ValueError(
+                f"height {h} has no 8-multiple row-block divisor; use "
+                "foveax.core.sat.build_sat"
+            )
+    planes = frame if in_layout == "chw" else frame.transpose(2, 0, 1)
 
     grid = (h // block_rows,)
     return pl.pallas_call(

@@ -63,7 +63,9 @@ class FoveationPipeline:
         # Pallas single-pass SAT kernel where supported (TPU backend,
         # lane-aligned width); XLA cumsum otherwise.
         if use_pallas is None:
-            use_pallas = jax.default_backend() != "cpu" and sw % 128 == 0
+            use_pallas = (
+                jax.default_backend() != "cpu" and sw % 128 == 0 and sh % 8 == 0
+            )
         self.use_pallas = use_pallas
         if use_pallas:
             from foveax.kernels.scan2d import build_sat_pallas
@@ -84,6 +86,26 @@ class FoveationPipeline:
         def _roundtrip(frame, center):
             reduced = _foveate(frame, center)
             return reduced, _unwarp(reduced, center)
+
+        # Channel-planar (3, H, W) variants — the TPU-preferred layout for
+        # the device-resident hot path (no size-3 lane axis, no boundary
+        # transposes between stages).
+        def _sample_chw(sat, center):
+            return sample_rect_from_sat(
+                sat, grid, center, wrap_x=wrap_x, out_layout="chw"
+            )
+
+        def _foveate_chw(frame, center):
+            return _sample_chw(_build(frame), center)
+
+        def _unwarp_chw(reduced_chw, center):
+            return unwarp_rect(
+                reduced_chw, sw, sh, center, in_layout="chw", out_layout="chw"
+            )
+
+        def _roundtrip_chw(frame, center):
+            reduced = _foveate_chw(frame, center)
+            return reduced, _unwarp_chw(reduced, center)
 
         def _foveate_batch(frame, centers):
             sat = _build(frame)
@@ -109,6 +131,10 @@ class FoveationPipeline:
         self.roundtrip = jax.jit(_roundtrip)
         self.foveate_batch = jax.jit(_foveate_batch)
         self.roundtrip_batch = jax.jit(_roundtrip_batch)
+        self.sample_chw = jax.jit(_sample_chw)
+        self.foveate_chw = jax.jit(_foveate_chw)
+        self.unwarp_chw = jax.jit(_unwarp_chw)
+        self.roundtrip_chw = jax.jit(_roundtrip_chw)
 
     # -- convenience -------------------------------------------------------
 

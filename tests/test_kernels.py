@@ -34,6 +34,12 @@ def test_scan2d_rejects_unaligned_width(rng):
 def test_scan2d_carry_across_many_blocks(rng):
     """Column carry must accumulate across >2 grid steps."""
     f = jnp.asarray(rng.integers(0, 256, size=(64, 128, 3), dtype=np.uint8))
-    a = np.asarray(build_sat_pallas(f, block_rows=4, interpret=True))
+    a = np.asarray(build_sat_pallas(f, block_rows=8, interpret=True))
     b = np.asarray(build_sat(f))
     np.testing.assert_array_equal(a, b)
+
+
+def test_scan2d_rejects_block_unfriendly_height(rng):
+    f = jnp.asarray(rng.integers(0, 256, size=(36, 128, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        build_sat_pallas(f, interpret=True)
