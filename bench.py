@@ -55,8 +55,16 @@ def main() -> None:
         # dispatch (see foveax.pipeline.runner).
         sat = build_sat(frame_chw, in_layout="chw")
         reduced = sample_rect_from_sat(sat, grid, center, out_layout="chw")
+        # precision="fast" routes the column selection through one-hot MXU
+        # matmuls; bounded at 1 LSB deviation — within the project target.
         restored = unwarp_rect(
-            reduced, src_w, src_h, center, in_layout="chw", out_layout="chw"
+            reduced,
+            src_w,
+            src_h,
+            center,
+            in_layout="chw",
+            out_layout="chw",
+            precision="fast",
         )
         return reduced, restored
 

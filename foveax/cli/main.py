@@ -368,7 +368,8 @@ def cmd_perf(args) -> int:
                 sat = build(f, in_layout="chw")
                 red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
                 return unwarp_rect(
-                    red, w, h, c, in_layout="chw", out_layout="chw"
+                    red, w, h, c, in_layout="chw", out_layout="chw",
+                    precision=args.precision,
                 )
 
         else:
@@ -378,7 +379,8 @@ def cmd_perf(args) -> int:
                 sat = build_xla(f.transpose(1, 2, 0))
                 red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
                 return unwarp_rect(
-                    red, w, h, c, in_layout="chw", out_layout="chw"
+                    red, w, h, c, in_layout="chw", out_layout="chw",
+                    precision=args.precision,
                 )
 
         frame = jax.device_put(rng.integers(0, 256, (3, h, w), np.uint8))
@@ -459,6 +461,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--resolutions", nargs="*", choices=["1080p", "4k", "8k"], default=None
     )
     p.add_argument("--frames", type=int, default=20)
+    p.add_argument(
+        "--precision", choices=["exact", "fast"], default="exact",
+        help="fast = one-hot MXU matmul unwarp columns (<=1 LSB; wins at "
+        "4K, loses below/above where one-hot build dominates)",
+    )
     p.set_defaults(fn=cmd_perf)
 
     p = sub.add_parser("svd_bench", help="SVD-compressed SAT benchmark")

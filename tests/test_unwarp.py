@@ -83,3 +83,21 @@ def test_unwarp_wraps_horizontally(rng):
     ref = golden.unwarp_rect(reduced, out_w, out_h, (0.01, 0.5))
     diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
     assert (diff <= 1).mean() > 0.99
+
+
+def test_fast_precision_within_one_lsb(rng):
+    """precision="fast" (one-hot MXU matmul columns) must stay within 1 LSB
+    of the exact gather path everywhere."""
+    import jax
+
+    hr, wr = 16, 24
+    out_w, out_h = 96, 64
+    reduced = jnp.asarray(rng.integers(0, 256, size=(hr, wr, 3), dtype=np.uint8))
+    for center in [(0.5, 0.5), (0.1, 0.8)]:
+        c = jnp.asarray(center, dtype=jnp.float32)
+        exact = np.asarray(unwarp_rect(reduced, out_w, out_h, c))
+        fast = np.asarray(
+            unwarp_rect(reduced, out_w, out_h, c, precision="fast")
+        )
+        d = np.abs(exact.astype(np.int32) - fast.astype(np.int32))
+        assert d.max() <= 1, d.max()
