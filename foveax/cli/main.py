@@ -234,6 +234,65 @@ def cmd_svd_bench(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """Foveate+unwarp quality study over a clip: full-frame, foveal, and
+    eccentricity-weighted PSNR per gaze trace (the paper's evaluation axis;
+    the repo itself stores no numbers — SURVEY.md section 6)."""
+    import jax.numpy as jnp
+
+    from foveax.config import FoveaxConfig
+    from foveax.core.metrics import (
+        eccentricity_weighted_psnr,
+        foveal_psnr,
+        psnr,
+    )
+    from foveax.pipeline.frames import FoveationPipeline
+
+    gaze = _gaze_fn(args)
+    techniques = args.techniques or ["logrect"]
+    with _open_reader(args.video) as r:
+        cfg = FoveaxConfig().with_source(r.width, r.height)
+        p = FoveationPipeline(cfg)
+        frames = []
+        for i, frame in enumerate(r):
+            frames.append(frame)
+            if args.max_frames and len(frames) >= args.max_frames:
+                break
+
+    for tech in techniques:
+        full, fov, ecc = [], [], []
+        for i, frame in enumerate(frames):
+            c = p.center(*gaze(i))
+            fj = jnp.asarray(frame)
+            if tech == "logrect":
+                _, restored = p.roundtrip(fj, c)
+            elif tech == "logpolar":
+                from foveax.core.logpolar import (
+                    logpolar_gaussian_blur,
+                    make_logpolar_grid,
+                    sample_logpolar,
+                    unwarp_logpolar,
+                )
+
+                g = make_logpolar_grid(
+                    cfg.reduced_width, cfg.reduced_height, r.width, r.height
+                )
+                red = logpolar_gaussian_blur(sample_logpolar(fj, g, c))
+                restored = unwarp_logpolar(red, r.width, r.height, c)
+            else:
+                print(f"unknown technique {tech}", file=sys.stderr)
+                return 1
+            full.append(float(psnr(restored, fj)))
+            fov.append(float(foveal_psnr(restored, fj, c)))
+            ecc.append(float(eccentricity_weighted_psnr(restored, fj, c)))
+        n = len(full)
+        print(
+            f"{tech}: frames={n} psnr={sum(full) / n:.2f}dB "
+            f"foveal={sum(fov) / n:.2f}dB ecc-weighted={sum(ecc) / n:.2f}dB"
+        )
+    return 0
+
+
 def cmd_interpolate_sampled(args) -> int:
     """Foveate + unwarp one frame, save all three stages (reference:
     src/run_satlogrectilinear.cc:330-417)."""
@@ -455,6 +514,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=540)
     _add_io_args(p)
     p.set_defaults(fn=cmd_viewport)
+
+    p = sub.add_parser("quality", help="PSNR quality study over a clip")
+    p.add_argument("video")
+    p.add_argument("--max-frames", type=int, default=30)
+    p.add_argument(
+        "--techniques", nargs="*", choices=["logrect", "logpolar"], default=None
+    )
+    _add_io_args(p)
+    p.set_defaults(fn=cmd_quality)
 
     p = sub.add_parser("perf", help="device-path fps across resolutions")
     p.add_argument(
