@@ -469,6 +469,13 @@ def cmd_perf(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="foveax")
+    ap.add_argument(
+        "--platform",
+        choices=["cpu", "axon", "tpu"],
+        default=None,
+        help="force the JAX platform (e.g. cpu for a client co-located "
+        "with a server that holds the TPU)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("serve", help="run the streaming server")
@@ -577,6 +584,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        # Must run before any jax operation.  The TPU tunnel admits a
+        # single process; a client sharing a host with the server runs on
+        # CPU (env vars alone are overridden by the tunnel's site hook).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -42,6 +42,9 @@ class ClientStats:
     receive_ms: float = 0.0
     decode_ms: float = 0.0
     unwarp_ms: float = 0.0
+    # Gaze-application latency: time from sending a frameRequest to
+    # receiving the first frame whose echoed center matches it.
+    gaze_apply_ms: list = dataclasses.field(default_factory=list)
     by_gaze: dict = dataclasses.field(
         default_factory=lambda: defaultdict(lambda: [0, 0.0, 0.0, 0.0])
     )
@@ -59,11 +62,13 @@ class ClientStats:
 
     def averages(self) -> dict:
         n = max(self.frames, 1)
+        g = self.gaze_apply_ms
         return {
             "frames": self.frames,
             "avg_receive_ms": self.receive_ms / n,
             "avg_decode_ms": self.decode_ms / n,
             "avg_unwarp_ms": self.unwarp_ms / n,
+            "avg_gaze_apply_ms": sum(g) / len(g) if g else None,
         }
 
     def report(self) -> str:
@@ -74,6 +79,8 @@ class ClientStats:
             f"avg decode: {a['avg_decode_ms']:.2f} ms",
             f"avg unwarp: {a['avg_unwarp_ms']:.2f} ms",
         ]
+        if a["avg_gaze_apply_ms"] is not None:
+            lines.append(f"avg gaze-apply: {a['avg_gaze_apply_ms']:.2f} ms")
         for idx in sorted(self.by_gaze):
             n, r, d, u = self.by_gaze[idx]
             lines.append(
@@ -104,6 +111,7 @@ class FoveaxClient:
         self._gaze_by_frame: dict[int, tuple[float, float]] = {}
         self._packet_number = 0
         self._last_sent_gaze: tuple[float, float] | None = None
+        self._gaze_sent_at: dict[tuple[float, float], float] = {}
 
     async def run(self) -> ClientStats:
         import websockets
@@ -131,6 +139,14 @@ class FoveaxClient:
                             msg.centerX,
                             msg.centerY,
                         )
+                        # Gaze-application latency: first frame whose echoed
+                        # center matches a gaze we sent.
+                        key = (round(msg.centerX, 5), round(msg.centerY, 5))
+                        sent = self._gaze_sent_at.pop(key, None)
+                        if sent is not None:
+                            self.stats.gaze_apply_ms.append(
+                                (time.perf_counter() - sent) * 1e3
+                            )
                     elif isinstance(msg, (Ack, TextMessage)):
                         pass
                     continue
@@ -183,6 +199,10 @@ class FoveaxClient:
                                 )
                             )
                             self._last_sent_gaze = gaze
+                            self._gaze_sent_at.setdefault(
+                                (round(gaze[0], 5), round(gaze[1], 5)),
+                                time.perf_counter(),
+                            )
 
                     if (
                         self.max_frames is not None

@@ -48,6 +48,7 @@ class Session:
         self.send_task: asyncio.Task | None = None
         self.channel = None  # BroadcastChannel membership
         self.frames_sent = 0
+        self.frames_dropped = 0
 
     async def close(self) -> None:
         if self.channel is not None:
@@ -130,7 +131,9 @@ class BroadcastChannel:
             frame = await loop.run_in_executor(None, self.reader.read)
             if frame is None:
                 break
-            sat = p.build_sat(jnp.asarray(frame))
+            sat = await loop.run_in_executor(
+                None, lambda: p.build_sat(jnp.asarray(frame))
+            )
 
             now = time.perf_counter()
             if now < next_deadline:
@@ -144,10 +147,12 @@ class BroadcastChannel:
             centers = [s.center for s, _ in members]
             slot = self._slot(len(centers))
             padded = centers + [centers[-1]] * (slot - len(centers))
-            batch = p.sample_batch(
-                sat, jnp.asarray(padded, dtype=jnp.float32)
+            batch_np = await loop.run_in_executor(
+                None,
+                lambda: np.asarray(
+                    p.sample_batch(sat, jnp.asarray(padded, dtype=jnp.float32))
+                )[: len(centers)],
             )
-            batch_np = np.asarray(batch[: len(centers)])
 
             for i, (session, mux) in enumerate(members):
                 try:
@@ -187,6 +192,9 @@ class FoveaxServer:
         self.jpeg_quality = jpeg_quality
         self.max_frames = max_frames
         self.broadcast = broadcast
+        # Write-buffer bytes beyond which a session's frame is dropped
+        # rather than stalling the pacer.
+        self.max_send_backlog = 8 * 1024 * 1024
         self.pipeline: FoveationPipeline | None = None
         self.sessions: set[Session] = set()
         self.channels: dict[str, BroadcastChannel] = {}
@@ -212,6 +220,16 @@ class FoveaxServer:
                 cfg = cfg.with_source(width, height)
             self._pipelines[key] = FoveationPipeline(cfg)
         return self._pipelines[key]
+
+    @staticmethod
+    def _backlog(ws) -> int:
+        transport = getattr(ws, "transport", None)
+        if transport is None:
+            return 0
+        try:
+            return transport.get_write_buffer_size()
+        except Exception:
+            return 0
 
     # -- websocket handlers ------------------------------------------------
 
@@ -287,26 +305,38 @@ class FoveaxServer:
             frame = await loop.run_in_executor(None, reader.read)
             if frame is None:
                 break
-            device_frame = jnp.asarray(frame)
             # SAT is built eagerly; the gaze is read as late as possible
             # (the reference sleeps to the tick *between* SAT build and
-            # gaze sampling, src/video_server.cc:302-328).
-            sat = pipeline.build_sat(device_frame)
+            # gaze sampling, src/video_server.cc:302-328).  Device calls
+            # run in the executor so jit compilation (tens of seconds on
+            # first frame) never blocks the event loop's keepalives.
+            sat = await loop.run_in_executor(
+                None, lambda: pipeline.build_sat(jnp.asarray(frame))
+            )
             now = time.perf_counter()
             if now < next_deadline:
                 await asyncio.sleep(next_deadline - now)
             next_deadline = max(next_deadline + tick, time.perf_counter())
 
             cx, cy = session.center
-            reduced = pipeline.sample(sat, pipeline.center(cx, cy))
-            reduced_np = np.asarray(reduced)
-            sample = await loop.run_in_executor(
-                None, encode_jpeg, reduced_np, self.jpeg_quality
-            )
+
+            def _sample_encode():
+                reduced = pipeline.sample(sat, pipeline.center(cx, cy))
+                return encode_jpeg(np.asarray(reduced), self.jpeg_quality)
+
+            sample = await loop.run_in_executor(None, _sample_encode)
             meta = FrameMeta(centerX=cx, centerY=cy, frameNum=frame_num % 256)
-            await ws.send(protocol.dumps(meta))
-            await ws.send(mux.frame(sample))
-            session.frames_sent += 1
+            # Drop-on-backlog: a slow consumer must not stall the frame
+            # clock (the reference's analog is its bounded 20x1 ms encoder
+            # packet wait before the frame-drop path,
+            # src/video_server.cc:365-374).  The frame is skipped *before*
+            # any bytes go out so the meta/fragment pairing stays intact.
+            if self._backlog(ws) > self.max_send_backlog:
+                session.frames_dropped += 1
+            else:
+                await ws.send(protocol.dumps(meta))
+                await ws.send(mux.frame(sample))
+                session.frames_sent += 1
             frame_num += 1
 
     # -- entry -------------------------------------------------------------
