@@ -394,7 +394,9 @@ def cmd_foveate_no_encoding(args) -> int:
 
 def cmd_perf(args) -> int:
     """Device-path throughput across resolutions (1080p/4K/8K) using the
-    dependency-chained methodology of bench.py."""
+    dependency-chained methodology of bench.py.  With --clients N, also
+    measures the batched multi-gaze serve step (one SAT, N sampled gaze
+    streams in one fused launch — BASELINE staged config 5)."""
     import jax
     import jax.numpy as jnp
 
@@ -464,6 +466,53 @@ def cmd_perf(args) -> int:
             f"{name}: {w}x{h} -> {rw}x{rh}  {per:.2f} ms/frame  "
             f"{1000 / per:.1f} fps"
         )
+
+        if args.clients:
+            n_c = args.clients
+            if build is not build_xla:
+
+                @jax.jit
+                def batch_step(f, cs, build=build, grid=grid):
+                    sat = build(f, in_layout="chw")
+                    return jax.vmap(
+                        lambda c: sample_rect_from_sat(
+                            sat, grid, c, out_layout="chw"
+                        )
+                    )(cs)
+
+            else:
+
+                @jax.jit
+                def batch_step(f, cs, grid=grid):
+                    sat = build_xla(f.transpose(1, 2, 0))
+                    return jax.vmap(
+                        lambda c: sample_rect_from_sat(
+                            sat, grid, c, out_layout="chw"
+                        )
+                    )(cs)
+
+            cs0 = jax.device_put(
+                rng.uniform(0.1, 0.9, (n_c, 2)).astype(np.float32)
+            )
+
+            def chain_b(n):
+                y, cs = frame, cs0
+                t0 = time.perf_counter()
+                for i in range(n):
+                    reds = batch_step(y, cs)
+                    y = y ^ reds[0, :, :1, :1]
+                    cs = jnp.remainder(cs + 0.003, 1.0)
+                float(jnp.sum(y.astype(jnp.uint32)))
+                return time.perf_counter() - t0
+
+            chain_b(2)
+            base = chain_b(2)
+            total = chain_b(args.frames + 2)
+            per = (total - base) / args.frames * 1000
+            print(
+                f"{name} x{n_c} clients (one SAT, batched sample): "
+                f"{per:.2f} ms/frame  {1000 / per * n_c:.1f} client-fps"
+            )
     return 0
 
 
@@ -536,6 +585,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--resolutions", nargs="*", choices=["1080p", "4k", "8k"], default=None
     )
     p.add_argument("--frames", type=int, default=20)
+    p.add_argument(
+        "--clients", type=int, default=0,
+        help="also bench the batched N-gaze serve step (one SAT)",
+    )
     p.add_argument(
         "--precision", choices=["exact", "fast"], default="exact",
         help="fast = one-hot MXU matmul unwarp columns (<=1 LSB; wins at "
