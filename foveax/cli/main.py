@@ -571,6 +571,13 @@ def build_parser() -> argparse.ArgumentParser:
     _add_io_args(p)
     p.set_defaults(fn=cmd_viewport)
 
+    p = sub.add_parser(
+        "stages", help="run the five staged validation configs (BASELINE.md)"
+    )
+    p.set_defaults(fn=lambda a: __import__(
+        "foveax.cli.stages", fromlist=["run_all"]
+    ).run_all())
+
     p = sub.add_parser("quality", help="PSNR quality study over a clip")
     p.add_argument("video")
     p.add_argument("--max-frames", type=int, default=30)
