@@ -53,6 +53,7 @@ def cmd_serve(args) -> int:
         video_dir=args.video_dir,
         jpeg_quality=args.quality,
         broadcast=args.broadcast,
+        loop_videos=args.loop,
     )
     try:
         asyncio.run(server.run(args.port))
@@ -73,7 +74,14 @@ def cmd_client(args) -> int:
         cfg = cfg.with_source(w, h)
 
     sink = None
-    if args.out_dir:
+    if getattr(args, "display", False):
+        import cv2
+
+        def sink(frame, meta):
+            cv2.imshow("foveax", frame[:, :, ::-1])
+            cv2.waitKey(1)
+
+    elif args.out_dir:
         out_dir = Path(args.out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -533,6 +541,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=float, default=30.0)
     p.add_argument("--quality", type=int, default=90)
     p.add_argument(
+        "--loop", action="store_true", help="loop videos when they end"
+    )
+    p.add_argument(
         "--broadcast",
         action="store_true",
         help="viewers of one video share a frame clock; gazes sample as "
@@ -545,6 +556,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video", default="03_drone_d5d4gnuAJLo")
     p.add_argument("--max-frames", type=int)
     p.add_argument("--out-dir", help="dump received frames as PNGs")
+    p.add_argument(
+        "--display", action="store_true",
+        help="show frames in an OpenCV window (needs a display)",
+    )
     p.add_argument("--source-size", help="e.g. 1920x1080")
     _add_io_args(p)
     p.set_defaults(fn=cmd_client)

@@ -122,9 +122,45 @@ class SyntheticReader:
             yield f
 
 
-def open_video(source: str | Path):
+class LoopingReader:
+    """Endlessly repeat an underlying source (server ``--loop`` mode —
+    sessions outlive the clip length)."""
+
+    def __init__(self, factory):
+        self._factory = factory
+        self._reader = factory()
+        self.width = self._reader.width
+        self.height = self._reader.height
+        self.fps = self._reader.fps
+        self.n_frames = None
+
+    def read(self) -> np.ndarray | None:
+        frame = self._reader.read()
+        if frame is None:
+            self._reader.close()
+            self._reader = self._factory()
+            frame = self._reader.read()
+        return frame
+
+    def close(self) -> None:
+        self._reader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self):
+        while (f := self.read()) is not None:
+            yield f
+
+
+def open_video(source: str | Path, *, loop: bool = False):
     """Open a file path or a ``synthetic://WxH@FPS/N`` spec."""
     s = str(source)
+    if loop:
+        return LoopingReader(lambda: open_video(s))
     if s.startswith("synthetic://"):
         return SyntheticReader.from_spec(s)
     return VideoReader(s)

@@ -35,6 +35,16 @@ from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, Vid
 log = logging.getLogger("foveax.serve")
 
 
+def _log_task_failure(task: asyncio.Task) -> None:
+    """Session supervision: a crashed send loop is logged, never silent
+    (the reference's per-connection threads die invisibly)."""
+    if task.cancelled():
+        return
+    exc = task.exception()
+    if exc is not None:
+        log.error("session task failed: %r", exc)
+
+
 class Session:
     """Per-connection state (the analog of the reference's connection_data,
     src/video_server.h:33-54 — minus the per-connection GPU context)."""
@@ -186,12 +196,14 @@ class FoveaxServer:
         jpeg_quality: int = 90,
         max_frames: int | None = None,
         broadcast: bool = False,
+        loop_videos: bool = False,
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
         self.jpeg_quality = jpeg_quality
         self.max_frames = max_frames
         self.broadcast = broadcast
+        self.loop_videos = loop_videos
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024
@@ -206,11 +218,13 @@ class FoveaxServer:
         """Map a videoRequest name to a source (the reference hardcodes
         `1080p_videos/<name>.mp4`, src/video_server.cc:53)."""
         if name.startswith("synthetic://"):
-            return open_video(name)
+            return open_video(name, loop=self.loop_videos)
         p = Path(name)
         if p.exists():
-            return open_video(p)
-        return open_video(self.video_dir / f"{name}.mp4")
+            return open_video(p, loop=self.loop_videos)
+        return open_video(
+            self.video_dir / f"{name}.mp4", loop=self.loop_videos
+        )
 
     def _pipeline_for(self, width: int, height: int) -> FoveationPipeline:
         key = (width, height)
@@ -281,6 +295,7 @@ class FoveaxServer:
         session.send_task = asyncio.create_task(
             self._send_frame_loop(session, pipeline)
         )
+        session.send_task.add_done_callback(_log_task_failure)
 
     async def _send_frame_loop(
         self, session: Session, pipeline: FoveationPipeline

@@ -132,3 +132,14 @@ def test_stream_survives_mid_join():
     for f in frags[2:]:
         got.extend(late.feed(f))
     assert got == [b"S2", b"S3"]
+
+
+def test_looping_reader():
+    from foveax.io.video import open_video
+
+    r = open_video("synthetic://32x16@30/3", loop=True)
+    frames = [r.read() for _ in range(8)]
+    assert all(f is not None for f in frames)
+    np.testing.assert_array_equal(frames[0], frames[3])
+    np.testing.assert_array_equal(frames[1], frames[4])
+    r.close()

@@ -111,3 +111,45 @@ def test_pyramid_sample_uses_finer_levels_near_center(small_frame):
     np.testing.assert_array_equal(out[:, :6], plain[:, :6])
     # Outer rings differ somewhere (mip filtering kicked in).
     assert (out[:, 16:] != plain[:, 16:]).any()
+
+
+def test_unwarp_logpolar_scalar_reference(small_frame):
+    """Spot-check the inverse log-polar against direct scalar math from
+    the reference kernel formulas (src/image_sampler_interpolate_kernel.cl)."""
+    h, w, _ = small_frame.shape
+    wr, hr = 32, 24
+    g = make_logpolar_grid(wr, hr, w, h)
+    center = (0.5, 0.5)
+    c = jnp.asarray(center, jnp.float32)
+    red = np.asarray(sample_logpolar(jnp.asarray(small_frame), g, c))
+    out = np.asarray(unwarp_logpolar(jnp.asarray(red), w, h, c))
+
+    cxp = int(np.float32(center[0]) * w)
+    cyp = int(np.float32(center[1]) * h)
+    for (x, y) in [(cxp + 7, cyp), (cxp, cyp + 5), (cxp - 9, cyp - 3)]:
+        dx, dy = x - cxp, y - cyp
+        r = np.sqrt(dx * dx + dy * dy)
+        i_f = wr * (np.log(r) / 10.0)
+        if dx != 0:
+            j_f = (np.arctan(dy / dx) + np.pi * (dx < 0)) * (hr / (2 * np.pi))
+            j_f = np.mod(j_f + 2 * hr, hr)
+        else:
+            j_f = (np.pi / 2 + np.pi * (dy < 0)) * (hr / (2 * np.pi))
+        i_idx = int(np.clip(np.floor(i_f + 0.5), 0, wr - 1))
+        j_idx = int(np.clip(np.floor(j_f + 0.5), 0, hr - 1))
+        # Forward check: if the forward map reproduces (x, y), output must
+        # equal the sampled texel exactly.
+        rho = np.exp(10.0 * i_idx / wr)
+        calc_x = int(np.float32(center[0]) * w + rho * np.cos(j_idx / hr * 2 * np.pi))
+        calc_y = int(np.float32(center[1]) * h + rho * np.sin(j_idx / hr * 2 * np.pi))
+        if calc_x == x and calc_y == y:
+            np.testing.assert_array_equal(out[y, x], red[j_idx, i_idx])
+        else:
+            # Bilinear result must lie within the hull of the 4 corners.
+            mi, ma = int(np.floor(i_f)), int(np.ceil(i_f))
+            mi, ma = np.clip([mi, ma], 0, wr - 1)
+            mj = int(np.floor(j_f + hr)) % hr
+            Mj = int(np.ceil(j_f + hr)) % hr
+            corners = red[[mj, mj, Mj, Mj], [mi, ma, mi, ma]].astype(int)
+            assert (out[y, x].astype(int) >= corners.min(axis=0) - 1).all()
+            assert (out[y, x].astype(int) <= corners.max(axis=0) + 1).all()

@@ -144,3 +144,24 @@ def test_broadcast_multi_client():
     buckets = [set(s.by_gaze) for s in stats]
     assert gaze_to_index(0.2, 0.3) in buckets[0]
     assert gaze_to_index(0.8, 0.7) in buckets[2]
+
+
+def test_server_ignores_malformed_messages():
+    """Garbage JSON, unknown types, and client binary must not kill the
+    connection."""
+    port = _free_port()
+    server = FoveaxServer(CFG)
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(server.handle, "127.0.0.1", port):
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                await ws.send("this is not json")
+                await ws.send('{"type": "warpDrive"}')
+                await ws.send(b"\x00\x01binary nonsense")
+                await ws.send(protocol.dumps(protocol.TextMessage("alive?")))
+                reply = protocol.loads(await asyncio.wait_for(ws.recv(), 10))
+                assert "alive?" in reply.message
+
+    asyncio.run(main())
