@@ -275,3 +275,19 @@ class FragmentReader:
                     if fc2 == b"tkhd":
                         w, h = struct.unpack_from(">II", moov_payload, e2 - 8)
                         self.width, self.height = w >> 16, h >> 16
+
+
+def make_fragment_reader(backend: str = "auto"):
+    """Demuxer factory: the C++ parser when built, the Python one
+    otherwise.  Both expose feed()/width/height/last_seq/header_seen."""
+    if backend in ("auto", "native"):
+        try:
+            from foveax import native
+
+            if native.available():
+                return native.NativeDemuxer()
+        except ImportError:
+            pass
+        if backend == "native":
+            raise RuntimeError("native demuxer requested but unavailable")
+    return FragmentReader()

@@ -95,3 +95,92 @@ def fragment(
 
 def available() -> bool:
     return load() is not None
+
+
+class NativeDemuxer:
+    """Incremental fMP4 demuxer backed by the C++ parser — the native twin
+    of foveax.io.mux.FragmentReader."""
+
+    def __init__(self):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        if not hasattr(lib, "_demux_configured"):
+            lib.fvx_demux_new.restype = ctypes.c_void_p
+            lib.fvx_demux_free.argtypes = [ctypes.c_void_p]
+            lib.fvx_demux_feed.restype = ctypes.c_int
+            lib.fvx_demux_feed.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
+            lib.fvx_demux_next.restype = ctypes.c_int
+            lib.fvx_demux_next.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
+            lib.fvx_demux_info.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib._demux_configured = True
+        self._h = lib.fvx_demux_new()
+        self._cap = 1 << 20
+        self._buf = ctypes.create_string_buffer(self._cap)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.fvx_demux_free(h)
+            self._h = None
+
+    def feed(self, chunk: bytes) -> list[bytes]:
+        n = self._lib.fvx_demux_feed(self._h, bytes(chunk), len(chunk))
+        out = []
+        for _ in range(n):
+            r = self._lib.fvx_demux_next(self._h, self._buf, self._cap)
+            if r == 0:
+                break
+            if r < 0:
+                self._cap = -r
+                self._buf = ctypes.create_string_buffer(self._cap)
+                r = self._lib.fvx_demux_next(self._h, self._buf, self._cap)
+            out.append(self._buf.raw[:r])
+        return out
+
+    def _info(self):
+        w = ctypes.c_uint32()
+        h = ctypes.c_uint32()
+        seq = ctypes.c_uint32()
+        hdr = ctypes.c_int()
+        self._lib.fvx_demux_info(
+            self._h,
+            ctypes.byref(w),
+            ctypes.byref(h),
+            ctypes.byref(seq),
+            ctypes.byref(hdr),
+        )
+        return w.value, h.value, seq.value, bool(hdr.value)
+
+    @property
+    def width(self):
+        w, _, _, hdr = self._info()
+        return w if hdr else None
+
+    @property
+    def height(self):
+        _, h, _, hdr = self._info()
+        return h if hdr else None
+
+    @property
+    def last_seq(self):
+        return self._info()[2]
+
+    @property
+    def header_seen(self):
+        return self._info()[3]

@@ -260,3 +260,124 @@ int fvx_fragment(uint32_t seq, uint64_t decode_time, const uint8_t* sample,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Incremental fMP4 demuxer — native twin of foveax.io.mux.FragmentReader.
+// Skips ftyp, parses track dimensions from moov/trak/tkhd, fragment
+// sequence numbers from moof/mfhd, and queues mdat payloads.
+
+#include <cstdlib>
+#include <deque>
+#include <vector>
+
+namespace {
+
+struct Demuxer {
+  std::vector<uint8_t> buf;
+  std::deque<std::vector<uint8_t>> samples;
+  uint32_t width = 0;
+  uint32_t height = 0;
+  uint32_t last_seq = 0;
+  bool header_seen = false;
+};
+
+uint32_t rd32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+bool is4(const uint8_t* p, const char* f) { return std::memcmp(p, f, 4) == 0; }
+
+// Scan children of a container box payload [p, p+len).
+template <typename Fn>
+void for_boxes(const uint8_t* p, size_t len, Fn fn) {
+  size_t pos = 0;
+  while (pos + 8 <= len) {
+    uint32_t size = rd32(p + pos);
+    if (size < 8 || pos + size > len) break;
+    fn(p + pos + 4, p + pos + 8, size - 8);
+    pos += size;
+  }
+}
+
+void parse_moov(Demuxer* d, const uint8_t* payload, size_t len) {
+  d->header_seen = true;
+  for_boxes(payload, len, [&](const uint8_t* fourcc, const uint8_t* body,
+                              size_t blen) {
+    if (!is4(fourcc, "trak")) return;
+    for_boxes(body, blen, [&](const uint8_t* f2, const uint8_t* b2,
+                              size_t l2) {
+      if (!is4(f2, "tkhd") || l2 < 8) return;
+      // width/height are the last two u32 (16.16 fixed) of tkhd.
+      d->width = rd32(b2 + l2 - 8) >> 16;
+      d->height = rd32(b2 + l2 - 4) >> 16;
+    });
+  });
+}
+
+void parse_moof(Demuxer* d, const uint8_t* payload, size_t len) {
+  for_boxes(payload, len,
+            [&](const uint8_t* fourcc, const uint8_t* body, size_t blen) {
+              if (is4(fourcc, "mfhd") && blen >= 8) {
+                d->last_seq = rd32(body + 4);
+              }
+            });
+}
+
+}  // namespace
+
+extern "C" {
+
+void* fvx_demux_new() { return new Demuxer(); }
+
+void fvx_demux_free(void* h) { delete static_cast<Demuxer*>(h); }
+
+// Feed a chunk; returns the number of samples now queued.
+int fvx_demux_feed(void* h, const uint8_t* chunk, int len) {
+  Demuxer* d = static_cast<Demuxer*>(h);
+  d->buf.insert(d->buf.end(), chunk, chunk + len);
+  size_t pos = 0;
+  while (d->buf.size() - pos >= 8) {
+    const uint8_t* p = d->buf.data() + pos;
+    uint32_t size = rd32(p);
+    if (size < 8 || d->buf.size() - pos < size) break;
+    const uint8_t* fourcc = p + 4;
+    const uint8_t* payload = p + 8;
+    size_t plen = size - 8;
+    if (is4(fourcc, "moov")) {
+      parse_moov(d, payload, plen);
+    } else if (is4(fourcc, "moof")) {
+      parse_moof(d, payload, plen);
+    } else if (is4(fourcc, "mdat")) {
+      d->samples.emplace_back(payload, payload + plen);
+    }
+    pos += size;
+  }
+  d->buf.erase(d->buf.begin(), d->buf.begin() + pos);
+  return int(d->samples.size());
+}
+
+// Pop one sample into out (cap bytes).  Returns its size, 0 if none
+// queued, or -(size) if cap was too small (sample stays queued).
+int fvx_demux_next(void* h, uint8_t* out, int cap) {
+  Demuxer* d = static_cast<Demuxer*>(h);
+  if (d->samples.empty()) return 0;
+  std::vector<uint8_t>& s = d->samples.front();
+  if (int(s.size()) > cap) return -int(s.size());
+  std::memcpy(out, s.data(), s.size());
+  int n = int(s.size());
+  d->samples.pop_front();
+  return n;
+}
+
+int fvx_demux_info(void* h, uint32_t* width, uint32_t* height,
+                   uint32_t* last_seq, int* header_seen) {
+  Demuxer* d = static_cast<Demuxer*>(h);
+  *width = d->width;
+  *height = d->height;
+  *last_seq = d->last_seq;
+  *header_seen = d->header_seen ? 1 : 0;
+  return 0;
+}
+
+}  // extern "C"

@@ -22,7 +22,7 @@ from collections import defaultdict
 import numpy as np
 
 from foveax.config import FoveaxConfig
-from foveax.io.mux import FragmentReader
+from foveax.io.mux import make_fragment_reader
 from foveax.io.video import decode_jpeg
 from foveax.serve import protocol
 from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, VideoRequest
@@ -122,7 +122,7 @@ class FoveaxClient:
 
         cfg = self.config
         pipeline = FoveationPipeline(cfg)
-        demux = FragmentReader()
+        demux = make_fragment_reader()
         pending_meta: FrameMeta | None = None
         last_recv = time.perf_counter()
 

@@ -52,3 +52,37 @@ def test_large_sample_capacity():
     a = native.fragment(1, 0, big, 3000)
     b = mux.fragment(1, 0, big, 3000)
     assert a == b
+
+
+def test_native_demuxer_parity():
+    """Native demuxer behaves identically to the Python FragmentReader on
+    the same stream, including awkward chunking and a late join."""
+    w = mux.FragmentWriter(96, 64, 30.0)
+    payloads = [b"frame-%d" % i * 50 for i in range(6)]
+    stream = w.header() + b"".join(w.frame(p) for p in payloads)
+
+    nd = native.NativeDemuxer()
+    py = mux.FragmentReader()
+    got_n, got_p = [], []
+    for i in range(0, len(stream), 41):
+        chunk = stream[i : i + 41]
+        got_n.extend(nd.feed(chunk))
+        got_p.extend(py.feed(chunk))
+    assert got_n == payloads == got_p
+    assert nd.header_seen and (nd.width, nd.height) == (96, 64)
+    assert nd.last_seq == py.last_seq == 6
+
+
+def test_native_demuxer_large_sample_regrow():
+    w = mux.FragmentWriter(32, 32, 30.0)
+    big = b"\x5a" * (3 * 1024 * 1024)
+    nd = native.NativeDemuxer()
+    out = nd.feed(w.header() + w.frame(big))
+    assert out == [big]
+
+
+def test_factory_prefers_native():
+    from foveax.io.mux import make_fragment_reader
+
+    r = make_fragment_reader()
+    assert type(r).__name__ == "NativeDemuxer"
