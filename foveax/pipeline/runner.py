@@ -77,27 +77,46 @@ def run_transcode(
 
     timer = timer or StageTimer()
     pf = PrefetchReader(reader)
-    pending = None  # (device_out, idx)
+
+    # Readback worker: device->host transfers and the sink run in a single
+    # ordered thread, overlapping with the next frames' decode + device
+    # compute.  (On remote-attached transports d2h is the slowest link;
+    # serializing it with compute would gate the whole pipeline on it.)
+    rq: queue.Queue = queue.Queue(maxsize=3)
+    sink_err: list[BaseException] = []
+
+    def drain():
+        while True:
+            item = rq.get()
+            if item is None:
+                return
+            dev_out, idx = item
+            try:
+                with timer.stage("d2h"):
+                    host = np.asarray(dev_out)
+                with timer.stage("sink"):
+                    sink(host, idx)
+            except BaseException as e:  # surfaced after the loop
+                sink_err.append(e)
+                return
+
+    worker = threading.Thread(target=drain, daemon=True)
+    worker.start()
+
     n = 0
     for frame in pf:
         with timer.stage("h2d+dispatch"):
             fj = jnp.asarray(frame)
             c = jnp.asarray(gaze(n), dtype=jnp.float32)
             out = process(fj, c)
-        if pending is not None:
-            prev_out, prev_idx = pending
-            with timer.stage("d2h"):
-                host = np.asarray(prev_out)
-            with timer.stage("sink"):
-                sink(host, prev_idx)
-        pending = (out, n)
+        rq.put((out, n))
+        if sink_err:
+            break
         n += 1
         if max_frames is not None and n >= max_frames:
             break
-    if pending is not None:
-        prev_out, prev_idx = pending
-        with timer.stage("d2h"):
-            host = np.asarray(prev_out)
-        with timer.stage("sink"):
-            sink(host, prev_idx)
+    rq.put(None)
+    worker.join()
+    if sink_err:
+        raise sink_err[0]
     return timer
