@@ -2,8 +2,14 @@
 
 from foveax.parallel.mesh import make_mesh
 from foveax.parallel.sharded import (
+    frame_parallel_roundtrip,
     multi_client_step,
     sharded_build_sat,
 )
 
-__all__ = ["make_mesh", "sharded_build_sat", "multi_client_step"]
+__all__ = [
+    "make_mesh",
+    "sharded_build_sat",
+    "multi_client_step",
+    "frame_parallel_roundtrip",
+]

@@ -32,6 +32,7 @@ shard_map = jax.shard_map
 
 from foveax.core.logrect import LogRectGrid
 from foveax.core.sample import sample_rect_from_sat
+from foveax.core.sat import build_sat
 from foveax.core.unwarp import unwarp_rect
 
 
@@ -112,6 +113,36 @@ def multi_client_step(
         check_vma=False,
     )
     return fn(frame, centers)
+
+
+def frame_parallel_roundtrip(
+    frames: jax.Array,
+    centers: jax.Array,
+    grid: LogRectGrid,
+    mesh: Mesh,
+):
+    """Offline transcode parallelism: a batch of frames sharded across ALL
+    mesh devices, each foveated + unwarped with its own gaze — the
+    embarrassingly parallel axis for gaze-trace transcodes on a pod.
+
+    ``frames``: (B, H, W, 3) uint8, B divisible by the mesh device count.
+    Returns (B, Hr, Wr, 3) reduced and (B, H, W, 3) restored frames.
+    """
+    _, sh, sw, _ = frames.shape
+    spec = P(("data", "space"))
+
+    def per_frame(frame, center):
+        sat = build_sat(frame)
+        reduced = sample_rect_from_sat(sat, grid, center)
+        return reduced, unwarp_rect(reduced, sw, sh, center)
+
+    fn = shard_map(
+        lambda f, c: jax.vmap(per_frame)(f, c),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+    )
+    return fn(frames, centers)
 
 
 def jit_multi_client_step(grid: LogRectGrid, mesh: Mesh, *, unwarp: bool = True):

@@ -66,3 +66,24 @@ def test_multi_client_step_jits(small_frame, mesh2x4):
     )
     (reduced,) = fn(frame, centers)
     assert reduced.shape == (2, 32, 48, 3)
+
+
+def test_frame_parallel_roundtrip(small_frame, mesh2x4):
+    from foveax.parallel import frame_parallel_roundtrip
+
+    h, w, _ = small_frame.shape
+    grid = make_grid(48, 32, w, h)
+    rng2 = np.random.default_rng(3)
+    frames = jnp.asarray(
+        np.stack([np.roll(small_frame, i * 5, axis=1) for i in range(8)])
+    )
+    centers = jnp.asarray(rng2.uniform(0.2, 0.8, (8, 2)).astype(np.float32))
+    reduced, restored = frame_parallel_roundtrip(frames, centers, grid, mesh2x4)
+    assert reduced.shape == (8, 32, 48, 3)
+    assert restored.shape == (8, h, w, 3)
+    # Parity with the unsharded path for one frame.
+    sat = build_sat(frames[3])
+    ref = sample_rect_from_sat(sat, grid, centers[3])
+    np.testing.assert_array_equal(np.asarray(reduced[3]), np.asarray(ref))
+    ref_u = unwarp_rect(ref, w, h, centers[3])
+    np.testing.assert_array_equal(np.asarray(restored[3]), np.asarray(ref_u))
