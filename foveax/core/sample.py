@@ -95,16 +95,19 @@ def sample_rect_from_sat(
     pxmc = jnp.clip(pxm, 0, pxc - 1)
     pymc = jnp.clip(pym, 0, pyc - 1)
 
-    # Two row gathers, then column indexing: (3, Ho, Ws) -> (3, Ho, Wo).
-    rows_hi = jnp.take(sat, pyc, axis=1)
+    # Two row gathers, then the VERTICAL difference is taken before the
+    # column taps: box = (BR-TR) - (BL-TL) = D[px] - D[pxm] with
+    # D = rows_hi - rows_lo, so only two column gathers are needed
+    # instead of four.  Exact under mod-2^32 arithmetic (subtraction
+    # reassociation is wrap-safe).
+    rows_hi = jnp.take(sat, pyc, axis=1)  # (3, Ho, Ws)
     rows_lo = jnp.take(sat, pymc, axis=1)
-    br = jnp.take(rows_hi, pxc, axis=2)
-    tr = jnp.take(rows_lo, pxc, axis=2)
-    bl = jnp.take(rows_hi, pxmc, axis=2)
-    tl = jnp.take(rows_lo, pxmc, axis=2)
+    d = rows_hi - rows_lo
+    right = jnp.take(d, pxc, axis=2)  # (3, Ho, Wo)
+    left = jnp.take(d, pxmc, axis=2)
 
     rect = ((pyc - pymc)[:, None] * (pxc - pxmc)[None, :]).astype(jnp.uint32)
-    box = br - tr + tl - bl  # uint32, mod-2^32 wrap is intentional
+    box = right - left  # uint32, mod-2^32 wrap is intentional
     vals = _exact_box_div(box, rect[None]).astype(jnp.uint8)
 
     valid = (valid_y[:, None] & valid_x[None, :])[None]
