@@ -22,6 +22,12 @@ from foveax.core.logpolar import (
     unwarp_logpolar,
 )
 from foveax.core.gnomonic import gnomonic_project
+from foveax.core.metrics import (
+    eccentricity_weighted_psnr,
+    foveal_psnr,
+    mse,
+    psnr,
+)
 from foveax.core.svd_sat import (
     SVDSat,
     compress_sat,
@@ -49,6 +55,10 @@ __all__ = [
     "build_pyramid",
     "sample_logpolar_pyramid",
     "gnomonic_project",
+    "mse",
+    "psnr",
+    "foveal_psnr",
+    "eccentricity_weighted_psnr",
     "SVDSat",
     "compress_sat",
     "reconstruct_sat",

@@ -72,7 +72,6 @@ def run_transcode(
     Device work for frame i overlaps host decode of i+1 and host encode of
     i-1 (the np.asarray sync happens one frame late).
     """
-    import jax
     import jax.numpy as jnp
 
     timer = timer or StageTimer()

@@ -14,7 +14,6 @@ gaze into a 10x10 grid, src/video_client.cc:434-438).
 
 from __future__ import annotations
 
-import asyncio
 import dataclasses
 import time
 from collections import defaultdict
