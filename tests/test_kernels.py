@@ -43,3 +43,47 @@ def test_scan2d_rejects_block_unfriendly_height(rng):
     f = jnp.asarray(rng.integers(0, 256, size=(36, 128, 3), dtype=np.uint8))
     with pytest.raises(ValueError):
         build_sat_pallas(f, interpret=True)
+
+
+def test_fused_select_rows_interpret_parity(rng):
+    """Experimental fused SAT+row-select kernel (interpret mode)."""
+    from foveax.kernels.fused_select import sat_select_rows
+
+    h, w, n_out = 64, 256, 20
+    frame = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    fr = jnp.asarray(np.ascontiguousarray(frame.transpose(0, 2, 1)))
+    pyc = np.sort(rng.integers(1, h, n_out)).astype(np.int32)
+    pymc = np.minimum(np.sort(rng.integers(0, h - 1, n_out)), pyc - 1).astype(
+        np.int32
+    )
+    hi, lo = sat_select_rows(
+        fr, jnp.asarray(pyc), jnp.asarray(pymc), block_rows=8, interpret=True
+    )
+    sat = np.asarray(build_sat(jnp.asarray(frame)))
+    np.testing.assert_array_equal(
+        np.asarray(hi)[:, :3].transpose(1, 0, 2), sat[:, pyc, :]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lo)[:, :3].transpose(1, 0, 2), sat[:, pymc, :]
+    )
+
+
+def test_fused_select_duplicate_and_boundary_rows(rng):
+    from foveax.kernels.fused_select import sat_select_rows
+
+    h, w = 32, 128
+    frame = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    fr = jnp.asarray(np.ascontiguousarray(frame.transpose(0, 2, 1)))
+    # Duplicates (fovea), block boundaries, and extremes.
+    pyc = np.asarray([1, 7, 8, 8, 8, 9, 16, 31, 31], np.int32)
+    pymc = np.asarray([0, 6, 7, 7, 7, 8, 15, 30, 30], np.int32)
+    hi, lo = sat_select_rows(
+        fr, jnp.asarray(pyc), jnp.asarray(pymc), block_rows=8, interpret=True
+    )
+    sat = np.asarray(build_sat(jnp.asarray(frame)))
+    np.testing.assert_array_equal(
+        np.asarray(hi)[:, :3].transpose(1, 0, 2), sat[:, pyc, :]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lo)[:, :3].transpose(1, 0, 2), sat[:, pymc, :]
+    )
