@@ -23,13 +23,12 @@ HBM traffic at 4K: read 24 MB (u8 frame) + write 2 x 17.8 MB (selected
 rows) ~= 60 MB, vs ~215 MB for build-then-gather.
 
 STATUS: experimental — correct on TPU (bit-exact vs build+gather at 4K)
-but measured at 3.25 ms vs ~2.2 ms for the unfused pair on v5e: the
-~2*1200 per-row DMAs are issued start/wait serially and their latency
-dominates the traffic savings.  To win, the emit loop needs span-coalesced
-copies (consecutive output rows map to consecutive SAT rows throughout the
-fovea) and software-pipelined waits.  Kept in-tree with interpret-mode
-tests as the basis for that follow-up; the production pipeline uses
-foveax.kernels.scan2d + XLA gathers.
+but slower than the unfused pair on v5e: 3.25 ms with per-row DMAs,
+2.90 ms with 8-row span-coalesced DMAs, vs ~2.2 ms for scan2d + XLA
+gathers.  The residual cost is the serialized scalar emit loop (while +
+cond per row) fighting the vector pipeline, plus the 4/3 channel padding
+the rows-major layout requires.  Kept in-tree with interpret-mode tests;
+the production pipeline uses foveax.kernels.scan2d + XLA gathers.
 """
 
 from __future__ import annotations
@@ -104,20 +103,47 @@ def _make_kernel(block_rows: int, h: int, w: int, n_out: int):
         r0 = i * block_rows
         r1 = r0 + block_rows
 
+        span = 8  # static DMA chunk (DMA shapes must be static)
+
         def emit(idx_ref, cursor_ref, out_ref):
             def cond(j):
                 return (j < n_out) & (idx_ref[j] < r1)
 
             def body(j):
                 src = idx_ref[j] - r0
-                cp = pltpu.make_async_copy(
-                    sat_ref.at[pl.ds(src, 1)],
-                    out_ref.at[pl.ds(j, 1)],
-                    sem,
-                )
-                cp.start()
-                cp.wait()
-                return j + 1
+
+                # Span coalescing: in the fovea the row map has unit
+                # stride, so runs of `span` consecutive (j, src) pairs are
+                # common — copy them in one DMA.  All positions must be
+                # checked (indices are only non-decreasing in general).
+                run = (j + span <= n_out) & (src + span <= block_rows)
+                for k in range(1, span):
+                    # Clamped read: the predicate above already rejects
+                    # out-of-range j+k, but the read must stay in bounds.
+                    jk = jnp.minimum(j + k, n_out - 1)
+                    run = run & (idx_ref[jk] - r0 == src + k)
+
+                def copy_span(_):
+                    cp = pltpu.make_async_copy(
+                        sat_ref.at[pl.ds(src, span)],
+                        out_ref.at[pl.ds(j, span)],
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
+                    return j + span
+
+                def copy_one(_):
+                    cp = pltpu.make_async_copy(
+                        sat_ref.at[pl.ds(src, 1)],
+                        out_ref.at[pl.ds(j, 1)],
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
+                    return j + 1
+
+                return jax.lax.cond(run, copy_span, copy_one, None)
 
             cursor_ref[0] = jax.lax.while_loop(cond, body, cursor_ref[0])
 
