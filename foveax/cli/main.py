@@ -54,6 +54,7 @@ def cmd_serve(args) -> int:
         jpeg_quality=args.quality,
         broadcast=args.broadcast,
         loop_videos=args.loop,
+        predict_gaze=args.predict_gaze,
     )
     try:
         asyncio.run(server.run(args.port))
@@ -542,6 +543,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality", type=int, default=90)
     p.add_argument(
         "--loop", action="store_true", help="loop videos when they end"
+    )
+    p.add_argument(
+        "--predict-gaze", action="store_true",
+        help="extrapolate the gaze one step ahead to hide latency",
     )
     p.add_argument(
         "--broadcast",

@@ -53,12 +53,51 @@ class Session:
         self.ws = ws
         self.server = server
         self.center = (0.5, 0.5)
+        self.prev_center = (0.5, 0.5)
         self.reader = None
         self.mux: FragmentWriter | None = None
         self.send_task: asyncio.Task | None = None
         self.channel = None  # BroadcastChannel membership
         self.frames_sent = 0
         self.frames_dropped = 0
+        # Adaptive quality (AIMD): backlog-dropped frames cut the JPEG
+        # quality multiplicatively; sustained clean delivery restores it.
+        self.quality = float(server.jpeg_quality)
+        self._clean_streak = 0
+
+    def update_gaze(self, cx: float, cy: float) -> None:
+        self.prev_center = self.center
+        self.center = (cx, cy)
+
+    def effective_center(self) -> tuple[float, float]:
+        """Gaze used for the next frame; with prediction enabled, linearly
+        extrapolate one step from the last two gazes (the dataset's
+        pred_* fields model the same one-frame-ahead idea, reference:
+        src/gaze_view_points.cc:25-31).  x wraps on the 360 seam."""
+        if not self.server.predict_gaze:
+            return self.center
+        cx, cy = self.center
+        px, py = self.prev_center
+        dx = cx - px
+        if dx > 0.5:
+            dx -= 1.0
+        elif dx < -0.5:
+            dx += 1.0
+        nx = (cx + dx) % 1.0
+        ny = min(max(cy + (cy - py), 0.0), 1.0)
+        return (nx, ny)
+
+    def on_frame_outcome(self, dropped: bool) -> None:
+        if dropped:
+            self.quality = max(40.0, self.quality * 0.8)
+            self._clean_streak = 0
+        else:
+            self._clean_streak += 1
+            if self._clean_streak >= 30:
+                self.quality = min(
+                    float(self.server.jpeg_quality), self.quality + 5.0
+                )
+                self._clean_streak = 0
 
     async def close(self) -> None:
         if self.channel is not None:
@@ -154,7 +193,7 @@ class BroadcastChannel:
             if not members:
                 frame_num += 1
                 continue
-            centers = [s.center for s, _ in members]
+            centers = [s.effective_center() for s, _ in members]
             slot = self._slot(len(centers))
             padded = centers + [centers[-1]] * (slot - len(centers))
             batch_np = await loop.run_in_executor(
@@ -197,6 +236,7 @@ class FoveaxServer:
         max_frames: int | None = None,
         broadcast: bool = False,
         loop_videos: bool = False,
+        predict_gaze: bool = False,
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
@@ -204,6 +244,7 @@ class FoveaxServer:
         self.max_frames = max_frames
         self.broadcast = broadcast
         self.loop_videos = loop_videos
+        self.predict_gaze = predict_gaze
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024
@@ -266,7 +307,7 @@ class FoveaxServer:
                         )
                     )
                 elif isinstance(msg, FrameRequest):
-                    session.center = (msg.centerX, msg.centerY)
+                    session.update_gaze(msg.centerX, msg.centerY)
                     await ws.send(protocol.dumps(Ack(msg.packetNumber)))
                 elif isinstance(msg, VideoRequest):
                     await self._start_stream(session, msg.video)
@@ -333,11 +374,12 @@ class FoveaxServer:
                 await asyncio.sleep(next_deadline - now)
             next_deadline = max(next_deadline + tick, time.perf_counter())
 
-            cx, cy = session.center
+            cx, cy = session.effective_center()
+            quality = int(session.quality)
 
             def _sample_encode():
                 reduced = pipeline.sample(sat, pipeline.center(cx, cy))
-                return encode_jpeg(np.asarray(reduced), self.jpeg_quality)
+                return encode_jpeg(np.asarray(reduced), quality)
 
             sample = await loop.run_in_executor(None, _sample_encode)
             meta = FrameMeta(centerX=cx, centerY=cy, frameNum=frame_num % 256)
@@ -346,12 +388,14 @@ class FoveaxServer:
             # packet wait before the frame-drop path,
             # src/video_server.cc:365-374).  The frame is skipped *before*
             # any bytes go out so the meta/fragment pairing stays intact.
-            if self._backlog(ws) > self.max_send_backlog:
+            dropped = self._backlog(ws) > self.max_send_backlog
+            if dropped:
                 session.frames_dropped += 1
             else:
                 await ws.send(protocol.dumps(meta))
                 await ws.send(mux.frame(sample))
                 session.frames_sent += 1
+            session.on_frame_outcome(dropped)
             frame_num += 1
 
     # -- entry -------------------------------------------------------------

@@ -165,3 +165,32 @@ def test_server_ignores_malformed_messages():
                 assert "alive?" in reply.message
 
     asyncio.run(main())
+
+
+def test_gaze_prediction_and_adaptive_quality():
+    """Unit-level: Session.effective_center extrapolates (with 360 x-wrap)
+    and the AIMD quality controller reacts to drops."""
+    server = FoveaxServer(CFG, predict_gaze=True)
+    s = __import__("foveax.serve.server", fromlist=["Session"]).Session(
+        ws=None, server=server
+    )
+    s.update_gaze(0.5, 0.5)
+    s.update_gaze(0.6, 0.55)
+    cx, cy = s.effective_center()
+    assert abs(cx - 0.7) < 1e-6 and abs(cy - 0.6) < 1e-6
+    # 360 seam: moving right across x=1 wraps.
+    s.update_gaze(0.95, 0.5)
+    s.update_gaze(0.02, 0.5)  # crossed the seam (+0.07)
+    cx, cy = s.effective_center()
+    assert abs(cx - 0.09) < 1e-6
+    # y clamps.
+    s.update_gaze(0.5, 0.05)
+    s.update_gaze(0.5, 0.01)
+    assert s.effective_center()[1] == 0.0
+
+    q0 = s.quality
+    s.on_frame_outcome(dropped=True)
+    assert s.quality < q0
+    for _ in range(30):
+        s.on_frame_outcome(dropped=False)
+    assert s.quality > q0 * 0.8
