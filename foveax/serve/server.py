@@ -400,15 +400,41 @@ class FoveaxServer:
 
     # -- entry -------------------------------------------------------------
 
+    async def _stats_loop(self, period_s: float = 10.0) -> None:
+        """Periodic one-line observability: sessions, delivered fps, drops
+        (the reference's closest analog is an every-30-frames print,
+        src/run_satlogrectilinear.cc:724-726)."""
+        prev_sent = prev_dropped = 0
+        while True:
+            await asyncio.sleep(period_s)
+            sent = sum(s.frames_sent for s in self.sessions)
+            dropped = sum(s.frames_dropped for s in self.sessions)
+            if self.sessions or sent != prev_sent:
+                log.info(
+                    "sessions=%d channels=%d fps=%.1f dropped=%d q_avg=%.0f",
+                    len(self.sessions),
+                    len(self.channels),
+                    (sent - prev_sent) / period_s,
+                    dropped - prev_dropped,
+                    np.mean([s.quality for s in self.sessions])
+                    if self.sessions
+                    else float(self.jpeg_quality),
+                )
+            prev_sent, prev_dropped = sent, dropped
+
     async def run(self, port: int | None = None, *, host: str = "0.0.0.0"):
         import websockets
 
         port = port or self.config.server_port
-        async with websockets.serve(
-            self.handle, host, port, max_size=64 * 1024 * 1024
-        ):
-            log.info("Listening on port %d", port)
-            await asyncio.Future()
+        stats_task = asyncio.create_task(self._stats_loop())
+        try:
+            async with websockets.serve(
+                self.handle, host, port, max_size=64 * 1024 * 1024
+            ):
+                log.info("Listening on port %d", port)
+                await asyncio.Future()
+        finally:
+            stats_task.cancel()
 
     async def serve_ctx(self, port: int, *, host: str = "127.0.0.1"):
         """Context-manager variant for tests."""
