@@ -289,31 +289,38 @@ class FoveaxServer:
     # -- websocket handlers ------------------------------------------------
 
     async def handle(self, ws) -> None:
+        import websockets
+
         session = Session(ws, self)
         self.sessions.add(session)
         try:
-            async for raw in ws:
-                if isinstance(raw, (bytes, bytearray)):
-                    continue  # clients do not send binary
-                try:
-                    msg = protocol.loads(raw)
-                except ValueError as e:
-                    log.warning("bad message: %s", e)
-                    continue
-                if isinstance(msg, TextMessage):
-                    await ws.send(
-                        protocol.dumps(
-                            TextMessage(f"I got your message: {msg.message}")
-                        )
-                    )
-                elif isinstance(msg, FrameRequest):
-                    session.update_gaze(msg.centerX, msg.centerY)
-                    await ws.send(protocol.dumps(Ack(msg.packetNumber)))
-                elif isinstance(msg, VideoRequest):
-                    await self._start_stream(session, msg.video)
+            await self._serve_session(ws, session)
+        except websockets.ConnectionClosed:
+            pass  # abrupt disconnects are routine, not handler failures
         finally:
             self.sessions.discard(session)
             await session.close()
+
+    async def _serve_session(self, ws, session: "Session") -> None:
+        async for raw in ws:
+            if isinstance(raw, (bytes, bytearray)):
+                continue  # clients do not send binary
+            try:
+                msg = protocol.loads(raw)
+            except ValueError as e:
+                log.warning("bad message: %s", e)
+                continue
+            if isinstance(msg, TextMessage):
+                await ws.send(
+                    protocol.dumps(
+                        TextMessage(f"I got your message: {msg.message}")
+                    )
+                )
+            elif isinstance(msg, FrameRequest):
+                session.update_gaze(msg.centerX, msg.centerY)
+                await ws.send(protocol.dumps(Ack(msg.packetNumber)))
+            elif isinstance(msg, VideoRequest):
+                await self._start_stream(session, msg.video)
 
     async def _start_stream(self, session: Session, video: str) -> None:
         if self.broadcast:
