@@ -10,7 +10,11 @@ from foveax.core.logrect import (
     make_point_grid,
 )
 from foveax.core.sat import build_sat, decode_sat
-from foveax.core.sample import sample_rect_from_sat, sample_rect_point
+from foveax.core.sample import (
+    expand_sampled_rect,
+    sample_rect_from_sat,
+    sample_rect_point,
+)
 from foveax.core.unwarp import unwarp_rect
 from foveax.core.logpolar import (
     LogPolarGrid,
@@ -46,6 +50,7 @@ __all__ = [
     "decode_sat",
     "sample_rect_from_sat",
     "sample_rect_point",
+    "expand_sampled_rect",
     "unwarp_rect",
     "LogPolarGrid",
     "make_logpolar_grid",

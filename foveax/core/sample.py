@@ -117,6 +117,52 @@ def sample_rect_from_sat(
     return out.transpose(1, 2, 0)
 
 
+def expand_sampled_rect(
+    reduced: jax.Array,
+    out_width: int,
+    out_height: int,
+    center: jax.Array,
+) -> jax.Array:
+    """Forward-scatter expansion: place each reduced texel at its full-res
+    anchor position, leaving gaps black — the reference's debugging
+    visualization of where samples land (reference:
+    src/sat_decoder.cc:555-616 ExpandSampledFrameRectCPU).
+
+    (Hr, Wr, 3) uint8 -> (out_height, out_width, 3) uint8.
+    """
+    import numpy as np
+
+    from foveax.core.logrect import delta_table
+
+    hr, wr, _ = reduced.shape
+    # Raw (non-averaged) deltas with lambda from the OUTPUT dims, exactly
+    # as the reference helper computes them.
+    lut_x = np.asarray(delta_table(-(wr // 2) - 2, wr // 2 + 2, wr, out_width))
+    lut_y = np.asarray(
+        delta_table(-(hr // 2) - 2, hr // 2 + 2, hr, out_height)
+    )
+    u = np.arange(wr) - wr // 2
+    v = np.arange(hr) - hr // 2
+    dx = jnp.asarray(lut_x[u + wr // 2 + 2])
+    dy = jnp.asarray(lut_y[v + hr // 2 + 2])
+
+    cx = (center[0] * jnp.float32(out_width)).astype(jnp.int32)
+    cy = (center[1] * jnp.float32(out_height)).astype(jnp.int32)
+    x = cx + dx  # (Wr,)
+    y = cy + dy  # (Hr,)
+    valid = ((x >= 0) & (x < out_width))[None, :] & (
+        (y >= 0) & (y < out_height)
+    )[:, None]
+    flat = y[:, None] * out_width + x[None, :]
+    flat = jnp.where(valid, flat, -1)  # dropped by scatter mode="drop"
+
+    out = jnp.zeros((out_height * out_width, 3), jnp.uint8)
+    out = out.at[flat.reshape(-1)].set(
+        reduced.reshape(-1, 3), mode="drop"
+    )
+    return out.reshape(out_height, out_width, 3)
+
+
 def sample_rect_point(
     frame: jax.Array,
     grid: LogRectGrid,

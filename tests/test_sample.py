@@ -113,3 +113,37 @@ def test_point_sample_matches_direct_indexing(small_frame):
                 np.testing.assert_array_equal(out[j, i], small_frame[y, x])
             else:
                 np.testing.assert_array_equal(out[j, i], 0)
+
+
+def test_expand_sampled_scatter(small_frame):
+    """Forward-scatter expansion places each reduced texel at its anchor
+    (scalar-checked), leaves gaps black."""
+    from foveax.core.golden import delta64
+    from foveax.core.sample import expand_sampled_rect
+
+    src_h, src_w, _ = small_frame.shape
+    wr, hr = 24, 16
+    reduced = small_frame[:hr, :wr]  # arbitrary content
+    center = (0.5, 0.5)
+    out = np.asarray(
+        expand_sampled_rect(
+            jnp.asarray(reduced), src_w, src_h, jnp.asarray(center, jnp.float32)
+        )
+    )
+    assert out.shape == (src_h, src_w, 3)
+    cx = int(np.float32(center[0]) * src_w)
+    cy = int(np.float32(center[1]) * src_h)
+    hits = 0
+    # Probe near the fovea where anchors are in range and distinct (raw
+    # deltas equal u there); corner texels scatter off-frame by design.
+    for j in [hr // 2 - 1, hr // 2, hr // 2 + 1]:
+        for i in [wr // 2 - 2, wr // 2, wr // 2 + 2]:
+            dx = int(delta64(np.asarray([i - wr // 2]), wr, src_w)[0])
+            dy = int(delta64(np.asarray([j - hr // 2]), hr, src_h)[0])
+            x, y = cx + dx, cy + dy
+            if 0 <= x < src_w and 0 <= y < src_h:
+                np.testing.assert_array_equal(out[y, x], reduced[j, i])
+                hits += 1
+    assert hits >= 4
+    # Sparse: most of the canvas stays black.
+    assert (out == 0).mean() > 0.9
