@@ -40,9 +40,18 @@ def _matrix_identity() -> bytes:
 
 
 def init_segment(
-    width: int, height: int, sample_format: bytes = b"jpeg"
+    width: int,
+    height: int,
+    sample_format: bytes = b"jpeg",
+    codec_config: tuple[bytes, bytes] | None = None,
 ) -> bytes:
-    """ftyp + moov(mvhd, trak, mvex) — the stream header sent first."""
+    """ftyp + moov(mvhd, trak, mvex) — the stream header sent first.
+
+    ``codec_config``: optional (fourcc, payload) appended inside the visual
+    sample entry — e.g. (b"avcC", <AVCDecoderConfigurationRecord>) for
+    avc1 samples once an H.264 encoder is available.  JPEG samples need
+    no configuration box.
+    """
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200), b"isomiso5dash")
 
     mvhd = _full(
@@ -85,8 +94,7 @@ def init_segment(
         b"foveax\x00",
     )
 
-    sample_entry = _box(
-        sample_format,
+    entry_parts = [
         b"\x00" * 6,                          # reserved
         struct.pack(">H", 1),                 # data reference index
         b"\x00" * 16,                         # predefined/reserved
@@ -97,7 +105,10 @@ def init_segment(
         b"\x00" * 32,                         # compressor name
         struct.pack(">H", 24),                # depth
         struct.pack(">h", -1),                # predefined
-    )
+    ]
+    if codec_config is not None:
+        entry_parts.append(_box(codec_config[0], codec_config[1]))
+    sample_entry = _box(sample_format, *entry_parts)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1), sample_entry)
     stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
     stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))

@@ -143,3 +143,17 @@ def test_looping_reader():
     np.testing.assert_array_equal(frames[0], frames[3])
     np.testing.assert_array_equal(frames[1], frames[4])
     r.close()
+
+
+def test_init_segment_codec_config_box():
+    import struct
+
+    cfg = (b"avcC", b"\x01\x64\x00\x1f\xff")
+    seg = init_segment(64, 48, b"avc1", codec_config=cfg)
+    assert b"avcC" in seg
+    # Box structure: avcC directly follows the fixed visual entry fields.
+    i = seg.index(b"avcC")
+    size = struct.unpack(">I", seg[i - 4 : i])[0]
+    assert size == 8 + len(cfg[1])
+    # Without config the box is absent (JPEG default).
+    assert b"avcC" not in init_segment(64, 48)
