@@ -268,12 +268,44 @@ def cmd_quality(args) -> int:
             if args.max_frames and len(frames) >= args.max_frames:
                 break
 
+    # Optional codec-in-the-loop mode: foveate the whole clip, push the
+    # reduced stream through the real file codec, then unwarp what a
+    # client would actually decode (the paper's end-to-end experiment;
+    # reference offline chain: encode_bitrate then decode,
+    # src/run_satlogrectilinear.cc:660-855).
+    def codec_roundtrip_reduced(reduced_frames):
+        import tempfile
+
+        from foveax.io.video import VideoReader, VideoWriter
+
+        path = tempfile.mktemp(suffix=".mp4")
+        with VideoWriter(
+            path,
+            cfg.reduced_width,
+            cfg.reduced_height,
+            fps=30.0,
+            quality=args.codec_quality,
+        ) as w:
+            for rf in reduced_frames:
+                w.write(rf)
+        with VideoReader(path) as rr:
+            return [f for f in rr]
+
     for tech in techniques:
         full, fov, ecc = [], [], []
+        decoded = None
+        if args.through_codec and tech == "logrect":
+            reduced_all = [
+                np.asarray(p.foveate(jnp.asarray(f), p.center(*gaze(i))))
+                for i, f in enumerate(frames)
+            ]
+            decoded = codec_roundtrip_reduced(reduced_all)
         for i, frame in enumerate(frames):
             c = p.center(*gaze(i))
             fj = jnp.asarray(frame)
-            if tech == "logrect":
+            if tech == "logrect" and decoded is not None:
+                restored = p.unwarp(jnp.asarray(decoded[i]), c)
+            elif tech == "logrect":
                 _, restored = p.roundtrip(fj, c)
             elif tech == "logpolar":
                 from foveax.core.logpolar import (
@@ -295,8 +327,9 @@ def cmd_quality(args) -> int:
             fov.append(float(foveal_psnr(restored, fj, c)))
             ecc.append(float(eccentricity_weighted_psnr(restored, fj, c)))
         n = len(full)
+        mode = " (through codec)" if decoded is not None else ""
         print(
-            f"{tech}: frames={n} psnr={sum(full) / n:.2f}dB "
+            f"{tech}{mode}: frames={n} psnr={sum(full) / n:.2f}dB "
             f"foveal={sum(fov) / n:.2f}dB ecc-weighted={sum(ecc) / n:.2f}dB"
         )
     return 0
@@ -604,6 +637,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--techniques", nargs="*", choices=["logrect", "logpolar"], default=None
     )
+    p.add_argument(
+        "--through-codec", action="store_true",
+        help="push the reduced stream through the real file codec before "
+        "unwarping (the paper's end-to-end chain)",
+    )
+    p.add_argument("--codec-quality", type=float, default=None)
     _add_io_args(p)
     p.set_defaults(fn=cmd_quality)
 

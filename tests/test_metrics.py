@@ -58,3 +58,22 @@ def test_quality_cli(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "logrect:" in out and "logpolar:" in out and "foveal=" in out
+
+
+def test_quality_cli_through_codec(capsys):
+    from foveax.cli.main import main
+
+    rc = main(
+        [
+            "quality",
+            "synthetic://96x64@30/4",
+            "--max-frames",
+            "3",
+            "--techniques",
+            "logrect",
+            "--through-codec",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "through codec" in out and "foveal=" in out
