@@ -205,6 +205,68 @@ def cmd_viewport(args) -> int:
     return 0
 
 
+def cmd_montage(args) -> int:
+    """Four-panel comparison image: source (gaze marked) | transmitted |
+    log-rectilinear restoration | log-polar baseline restoration."""
+    import cv2
+    import jax.numpy as jnp
+
+    from foveax.config import FoveaxConfig
+    from foveax.core.logpolar import (
+        logpolar_gaussian_blur,
+        make_logpolar_grid,
+        sample_logpolar,
+        unwarp_logpolar,
+    )
+    from foveax.pipeline.frames import FoveationPipeline
+
+    with _open_reader(args.video) as r:
+        frame = _skip_to(r, args.frame)
+        if frame is None:
+            print("no such frame", file=sys.stderr)
+            return 1
+        cfg = FoveaxConfig().with_source(r.width, r.height)
+
+    p = FoveationPipeline(cfg)
+    c = p.center(*args.gaze)
+    fj = jnp.asarray(frame)
+    reduced, restored = p.roundtrip(fj, c)
+    g = make_logpolar_grid(cfg.reduced_width, cfg.reduced_height, r.width, r.height)
+    lp = logpolar_gaussian_blur(sample_logpolar(fj, g, c))
+    lp_restored = unwarp_logpolar(lp, r.width, r.height, c)
+
+    pw, ph = r.width // 2, r.height // 2
+
+    def panel(img, text, interp=cv2.INTER_AREA):
+        im = cv2.resize(np.asarray(img), (pw, ph), interpolation=interp)
+        im = np.ascontiguousarray(im[:, :, ::-1])
+        cv2.putText(im, text, (12, 34), cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 0, 0), 5)
+        cv2.putText(im, text, (12, 34), cv2.FONT_HERSHEY_SIMPLEX, 1.0, (255, 255, 255), 2)
+        return im
+
+    src = np.ascontiguousarray(np.asarray(frame)[:, :, ::-1])
+    gx, gy = int(args.gaze[0] * r.width), int(args.gaze[1] * r.height)
+    cv2.circle(src, (gx, gy), max(12, r.height // 45), (0, 255, 0), 3)
+    top = np.concatenate(
+        [
+            panel(src[:, :, ::-1], "source (gaze circled)"),
+            panel(reduced, "transmitted (log-rect)", cv2.INTER_NEAREST),
+        ],
+        axis=1,
+    )
+    bottom = np.concatenate(
+        [
+            panel(restored, "restored (log-rect)"),
+            panel(lp_restored, "restored (log-polar baseline)"),
+        ],
+        axis=1,
+    )
+    out = np.concatenate([top, bottom], axis=0)
+    cv2.imwrite(args.output, out, [cv2.IMWRITE_JPEG_QUALITY, 88])
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_svd_bench(args) -> int:
     """SVD-compressed SAT benchmark: factorize, reconstruct, time it
     (reference: src/eigen_sat_generate.cc — the Eigen CPU benchmark)."""
@@ -661,6 +723,13 @@ def build_parser() -> argparse.ArgumentParser:
         "4K, loses below/above where one-hot build dominates)",
     )
     p.set_defaults(fn=cmd_perf)
+
+    p = sub.add_parser("montage", help="4-panel comparison image")
+    p.add_argument("video")
+    p.add_argument("frame", type=int)
+    p.add_argument("output")
+    _add_io_args(p)
+    p.set_defaults(fn=cmd_montage)
 
     p = sub.add_parser("svd_bench", help="SVD-compressed SAT benchmark")
     p.add_argument("video")

@@ -113,3 +113,13 @@ def test_svd_bench(capsys):
     rc = main(["svd_bench", "synthetic://96x64@30/2", "--rank", "8", "--iters", "1"])
     assert rc == 0
     assert "rel_err" in capsys.readouterr().out
+
+
+def test_montage(tmp_path):
+    out = str(tmp_path / "m.jpg")
+    rc = main(
+        ["montage", "synthetic://192x128@30/3", "1", out, "--gaze", "0.6,0.4"]
+    )
+    assert rc == 0
+    img = load_png(out)  # cv2 reads jpg too
+    assert img.shape == (128, 192, 3)
