@@ -55,6 +55,7 @@ def cmd_serve(args) -> int:
         broadcast=args.broadcast,
         loop_videos=args.loop,
         predict_gaze=args.predict_gaze,
+        allow_paths=args.allow_paths,
     )
     try:
         asyncio.run(server.run(args.port))
@@ -340,18 +341,19 @@ def cmd_quality(args) -> int:
 
         from foveax.io.video import VideoReader, VideoWriter
 
-        path = tempfile.mktemp(suffix=".mp4")
-        with VideoWriter(
-            path,
-            cfg.reduced_width,
-            cfg.reduced_height,
-            fps=30.0,
-            quality=args.codec_quality,
-        ) as w:
-            for rf in reduced_frames:
-                w.write(rf)
-        with VideoReader(path) as rr:
-            return [f for f in rr]
+        with tempfile.TemporaryDirectory() as td:
+            path = f"{td}/reduced.mp4"
+            with VideoWriter(
+                path,
+                cfg.reduced_width,
+                cfg.reduced_height,
+                fps=30.0,
+                quality=args.codec_quality,
+            ) as w:
+                for rf in reduced_frames:
+                    w.write(rf)
+            with VideoReader(path) as rr:
+                return [f for f in rr]
 
     for tech in techniques:
         full, fov, ecc = [], [], []
@@ -638,6 +640,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality", type=int, default=90)
     p.add_argument(
         "--loop", action="store_true", help="loop videos when they end"
+    )
+    p.add_argument(
+        "--allow-paths", action="store_true",
+        help="allow videoRequest names to be filesystem paths (trusted "
+        "deployments only; default confines requests to --video-dir)",
     )
     p.add_argument(
         "--predict-gaze", action="store_true",

@@ -263,7 +263,13 @@ class FragmentReader:
             if len(self._buf) < 8:
                 break
             size = struct.unpack_from(">I", self._buf, 0)[0]
-            if size < 8 or len(self._buf) < size:
+            if size < 8:
+                # Corrupt box header: waiting for more bytes would stall
+                # this stream forever while the buffer grows unboundedly.
+                # The transport (websocket/TCP) is reliable, so this means
+                # a framing bug — fail loudly.
+                raise ValueError(f"corrupt fMP4 box header (size={size})")
+            if len(self._buf) < size:
                 break
             fourcc = bytes(self._buf[4:8])
             payload = bytes(self._buf[8:size])

@@ -107,7 +107,9 @@ def _make_kernel(block_rows: int, h: int, w: int, n_out: int):
 
         def emit(idx_ref, cursor_ref, out_ref):
             def cond(j):
-                return (j < n_out) & (idx_ref[j] < r1)
+                # Clamp the read: `&` has no short-circuit, so j == n_out
+                # would read past the scalar-prefetch buffer.
+                return (j < n_out) & (idx_ref[jnp.minimum(j, n_out - 1)] < r1)
 
             def body(j):
                 src = idx_ref[j] - r0

@@ -141,6 +141,8 @@ class NativeDemuxer:
 
     def feed(self, chunk: bytes) -> list[bytes]:
         n = self._lib.fvx_demux_feed(self._h, bytes(chunk), len(chunk))
+        if n < 0:
+            raise ValueError("corrupt fMP4 box header")
         out = []
         for _ in range(n):
             r = self._lib.fvx_demux_next(self._h, self._buf, self._cap)

@@ -332,7 +332,8 @@ void* fvx_demux_new() { return new Demuxer(); }
 
 void fvx_demux_free(void* h) { delete static_cast<Demuxer*>(h); }
 
-// Feed a chunk; returns the number of samples now queued.
+// Feed a chunk; returns the number of samples now queued, or -1 on a
+// corrupt box header (stream unrecoverable over a reliable transport).
 int fvx_demux_feed(void* h, const uint8_t* chunk, int len) {
   Demuxer* d = static_cast<Demuxer*>(h);
   d->buf.insert(d->buf.end(), chunk, chunk + len);
@@ -340,7 +341,8 @@ int fvx_demux_feed(void* h, const uint8_t* chunk, int len) {
   while (d->buf.size() - pos >= 8) {
     const uint8_t* p = d->buf.data() + pos;
     uint32_t size = rd32(p);
-    if (size < 8 || d->buf.size() - pos < size) break;
+    if (size < 8) return -1;
+    if (d->buf.size() - pos < size) break;
     const uint8_t* fourcc = p + 4;
     const uint8_t* payload = p + 8;
     size_t plen = size - 8;

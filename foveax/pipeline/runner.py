@@ -28,12 +28,13 @@ class PrefetchReader:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: BaseException | None = None
+        self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self) -> None:
         try:
-            while True:
+            while not self._stop:
                 frame = self._reader.read()
                 if frame is None:
                     break
@@ -50,6 +51,26 @@ class PrefetchReader:
                 raise self._err
             return None
         return item
+
+    def close(self) -> None:
+        """Stop the decode thread before the caller closes the underlying
+        reader (a concurrent native read during release can crash)."""
+        self._stop = True
+        # Unblock a worker waiting on a full queue and drain to the
+        # sentinel so the thread exits.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    break
+                try:
+                    item = self._q.get(timeout=5.0)
+                except queue.Empty:
+                    break
+            if item is self._done:
+                break
+        self._thread.join(timeout=10.0)
 
     def __iter__(self):
         while (f := self.read()) is not None:
@@ -89,6 +110,8 @@ def run_transcode(
             item = rq.get()
             if item is None:
                 return
+            if sink_err:
+                continue  # keep consuming so the producer never blocks
             dev_out, idx = item
             try:
                 with timer.stage("d2h"):
@@ -97,25 +120,27 @@ def run_transcode(
                     sink(host, idx)
             except BaseException as e:  # surfaced after the loop
                 sink_err.append(e)
-                return
 
     worker = threading.Thread(target=drain, daemon=True)
     worker.start()
 
-    n = 0
-    for frame in pf:
-        with timer.stage("h2d+dispatch"):
-            fj = jnp.asarray(frame)
-            c = jnp.asarray(gaze(n), dtype=jnp.float32)
-            out = process(fj, c)
-        rq.put((out, n))
-        if sink_err:
-            break
-        n += 1
-        if max_frames is not None and n >= max_frames:
-            break
-    rq.put(None)
-    worker.join()
+    try:
+        n = 0
+        for frame in pf:
+            with timer.stage("h2d+dispatch"):
+                fj = jnp.asarray(frame)
+                c = jnp.asarray(gaze(n), dtype=jnp.float32)
+                out = process(fj, c)
+            rq.put((out, n))
+            if sink_err:
+                break
+            n += 1
+            if max_frames is not None and n >= max_frames:
+                break
+    finally:
+        rq.put(None)
+        worker.join()
+        pf.close()
     if sink_err:
         raise sink_err[0]
     return timer

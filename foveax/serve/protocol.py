@@ -74,10 +74,32 @@ def dumps(msg: Any) -> str:
     return json.dumps(dataclasses.asdict(msg))
 
 
+_NUMERIC_FIELDS = {"centerX": float, "centerY": float, "packetNumber": int, "frameNum": int}
+
+
 def loads(payload: str):
-    obj = json.loads(payload)
-    cls = _BY_TYPE.get(obj.get("type"))
-    if cls is None:
-        raise ValueError(f"unknown message type: {obj.get('type')!r}")
-    fields = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in obj.items() if k in fields})
+    """Parse and validate a protocol message.
+
+    Raises ValueError for ANYTHING malformed — wrong JSON, non-object
+    payloads, unknown types, missing fields, or non-numeric coordinates —
+    so callers have a single exception to treat as "bad client input".
+    """
+    try:
+        obj = json.loads(payload)
+        if not isinstance(obj, dict):
+            raise ValueError(f"message is not an object: {type(obj).__name__}")
+        cls = _BY_TYPE.get(obj.get("type"))
+        if cls is None:
+            raise ValueError(f"unknown message type: {obj.get('type')!r}")
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in obj.items():
+            if k not in fields:
+                continue
+            conv = _NUMERIC_FIELDS.get(k)
+            kwargs[k] = conv(v) if conv is not None else v
+        return cls(**kwargs)
+    except ValueError:
+        raise
+    except Exception as e:  # json errors, TypeError from cls(**), bad casts
+        raise ValueError(f"malformed message: {e}") from e

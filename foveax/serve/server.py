@@ -144,16 +144,28 @@ class BroadcastChannel:
         )
         if self.task is None:
             self.task = asyncio.create_task(self._loop())
+            self.task.add_done_callback(_log_task_failure)
+            self.task.add_done_callback(lambda _t: self._teardown())
+
+    def _teardown(self) -> None:
+        """Remove the channel once its loop ends (video over, crash, or
+        cancellation) so later joins get a fresh channel instead of
+        attaching to a dead one."""
+        if self.server.channels.get(self.video) is self:
+            self.server.channels.pop(self.video, None)
+        if self.reader is not None:
+            self.reader.close()
+            self.reader = None
+        for member in self.members:
+            if member.channel is self:
+                member.channel = None
+        self.members.clear()
 
     def leave(self, session: Session) -> None:
         self.members.pop(session, None)
         if not self.members and self.task is not None:
-            self.task.cancel()
-            self.task = None
-            if self.reader is not None:
-                self.reader.close()
-                self.reader = None
-            self.server.channels.pop(self.video, None)
+            task, self.task = self.task, None
+            task.cancel()  # done-callback runs _teardown
 
     @staticmethod
     def _slot(n: int) -> int:
@@ -208,11 +220,21 @@ class BroadcastChannel:
                     if session not in sent_header:
                         await session.ws.send(mux.header())
                         sent_header.add(session)
+                    # One slow member must not stall the shared clock:
+                    # drop its frame on backlog (same rule as the
+                    # per-connection loop) and let its AIMD quality adapt.
+                    if (
+                        self.server._backlog(session.ws)
+                        > self.server.max_send_backlog
+                    ):
+                        session.frames_dropped += 1
+                        session.on_frame_outcome(True)
+                        continue
                     sample = await loop.run_in_executor(
                         None,
                         encode_jpeg,
                         batch_np[i],
-                        self.server.jpeg_quality,
+                        int(session.quality),
                     )
                     cx, cy = centers[i]
                     meta = FrameMeta(
@@ -221,6 +243,7 @@ class BroadcastChannel:
                     await session.ws.send(protocol.dumps(meta))
                     await session.ws.send(mux.frame(sample))
                     session.frames_sent += 1
+                    session.on_frame_outcome(False)
                 except Exception:
                     self.leave(session)
             frame_num += 1
@@ -237,6 +260,7 @@ class FoveaxServer:
         broadcast: bool = False,
         loop_videos: bool = False,
         predict_gaze: bool = False,
+        allow_paths: bool = False,
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
@@ -245,6 +269,7 @@ class FoveaxServer:
         self.broadcast = broadcast
         self.loop_videos = loop_videos
         self.predict_gaze = predict_gaze
+        self.allow_paths = allow_paths
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024
@@ -256,16 +281,23 @@ class FoveaxServer:
     # -- video resolution --------------------------------------------------
 
     def _resolve(self, name: str):
-        """Map a videoRequest name to a source (the reference hardcodes
-        `1080p_videos/<name>.mp4`, src/video_server.cc:53)."""
+        """Map a videoRequest name to a source (the reference confines
+        requests to `1080p_videos/<name>.mp4`, src/video_server.cc:53).
+
+        Remote input is untrusted: names must stay inside video_dir — no
+        separators, no traversal.  Synthetic sources are always allowed.
+        """
         if name.startswith("synthetic://"):
             return open_video(name, loop=self.loop_videos)
-        p = Path(name)
-        if p.exists():
-            return open_video(p, loop=self.loop_videos)
-        return open_video(
-            self.video_dir / f"{name}.mp4", loop=self.loop_videos
-        )
+        if self.allow_paths and Path(name).exists():
+            # Trusted/local deployments only (--allow-paths).
+            return open_video(Path(name), loop=self.loop_videos)
+        if "/" in name or "\\" in name or name.startswith("."):
+            raise ValueError(f"invalid video name: {name!r}")
+        p = (self.video_dir / f"{name}.mp4").resolve()
+        if self.video_dir.resolve() not in p.parents:
+            raise ValueError(f"video escapes video_dir: {name!r}")
+        return open_video(p, loop=self.loop_videos)
 
     def _pipeline_for(self, width: int, height: int) -> FoveationPipeline:
         key = (width, height)
@@ -323,13 +355,29 @@ class FoveaxServer:
                 await self._start_stream(session, msg.video)
 
     async def _start_stream(self, session: Session, video: str) -> None:
+        try:
+            await self._start_stream_inner(session, video)
+        except (ValueError, IOError) as e:
+            # Bad/unopenable video names are client errors, not session
+            # killers: report and keep the connection alive.
+            log.warning("videoRequest %r rejected: %s", video, e)
+            await session.ws.send(
+                protocol.dumps(TextMessage(f"videoRequest failed: {e}"))
+            )
+
+    async def _start_stream_inner(self, session: Session, video: str) -> None:
         if self.broadcast:
             if session.channel is None:
                 channel = self.channels.get(video)
                 if channel is None:
                     channel = BroadcastChannel(self, video)
                     self.channels[video] = channel
-                channel.join(session)
+                try:
+                    channel.join(session)
+                except Exception:
+                    if not channel.members:
+                        self.channels.pop(video, None)
+                    raise
                 session.channel = channel
             return
         if session.send_task is not None:

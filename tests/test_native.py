@@ -86,3 +86,13 @@ def test_factory_prefers_native():
 
     r = make_fragment_reader()
     assert type(r).__name__ == "NativeDemuxer"
+
+
+def test_corrupt_header_raises_both_backends():
+    bad = b"\x00\x00\x00\x04XXXX"  # size=4 < 8
+    py = mux.FragmentReader()
+    with pytest.raises(ValueError):
+        py.feed(bad)
+    nd = native.NativeDemuxer()
+    with pytest.raises(ValueError):
+        nd.feed(bad)

@@ -77,3 +77,31 @@ def test_stage_timer_max_and_avg():
     s = t.stats["x"]
     assert s.count == 2
     assert s.max_ms >= s.avg_ms > 0
+
+
+def test_run_transcode_sink_failure_raises_not_hangs():
+    """A failing sink must surface its error instead of deadlocking the
+    producer on the bounded readback queue."""
+    cfg = FoveaxConfig(
+        source_width=96, source_height=64, reduced_width=48, reduced_height=32
+    )
+    p = FoveationPipeline(cfg)
+
+    def bad_sink(frame, i):
+        raise IOError("disk full")
+
+    import pytest
+
+    with pytest.raises(IOError):
+        run_transcode(
+            SyntheticReader(96, 64, n_frames=30),
+            p.foveate,
+            lambda i: (0.5, 0.5),
+            bad_sink,
+        )
+
+
+def test_prefetch_close_mid_stream():
+    r = PrefetchReader(SyntheticReader(32, 16, n_frames=500), depth=2)
+    assert r.read() is not None
+    r.close()  # must not hang or crash with frames still queued

@@ -194,3 +194,58 @@ def test_gaze_prediction_and_adaptive_quality():
     for _ in range(30):
         s.on_frame_outcome(dropped=False)
     assert s.quality > q0 * 0.8
+
+
+def test_path_traversal_rejected_but_session_survives(tmp_path):
+    """A videoRequest naming an arbitrary path must be refused without
+    killing the connection (the reference confines requests to
+    1080p_videos/<name>.mp4)."""
+    port = _free_port()
+    secret = tmp_path / "secret.mp4"
+    secret.write_bytes(b"not really a video")
+    server = FoveaxServer(CFG, video_dir=tmp_path / "videos")
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(server.handle, "127.0.0.1", port):
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                for name in [str(secret), "../secret", "a/b", ".hidden"]:
+                    await ws.send(protocol.dumps(VideoRequest(name)))
+                    reply = protocol.loads(
+                        await asyncio.wait_for(ws.recv(), 10)
+                    )
+                    assert "videoRequest failed" in reply.message, name
+                # Connection still alive and responsive.
+                await ws.send(protocol.dumps(protocol.TextMessage("ping")))
+                reply = protocol.loads(await asyncio.wait_for(ws.recv(), 10))
+                assert "ping" in reply.message
+
+
+    asyncio.run(main())
+
+
+def test_structurally_bad_messages_do_not_kill_session():
+    port = _free_port()
+    server = FoveaxServer(CFG)
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(server.handle, "127.0.0.1", port):
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                await ws.send('[1, 2, 3]')  # valid JSON, not an object
+                await ws.send('{"type": "frameRequest", "centerX": 0.5}')
+                await ws.send(
+                    '{"type": "frameRequest", "centerX": "zzz", '
+                    '"centerY": 0.5, "packetNumber": 1}'
+                )
+                # String numerics are coerced, not fatal.
+                await ws.send(
+                    '{"type": "frameRequest", "centerX": "0.25", '
+                    '"centerY": 0.75, "packetNumber": 7}'
+                )
+                reply = protocol.loads(await asyncio.wait_for(ws.recv(), 10))
+                assert reply == protocol.Ack(7)
+
+    asyncio.run(main())
