@@ -182,20 +182,27 @@ def stage5_batched_clients(n_clients: int = 8) -> bool:
         b = batch
         for _ in range(n):
             b = p.foveate_batch(frame, cs)
-            cs = jnp.remainder(cs + b[0, 0, 0, 0].astype(jnp.float32) * 1e-9 + 0.003, 1.0)
+            cs = jnp.remainder(
+                cs + b[0, 0, 0, 0].astype(jnp.float32) * 1e-9 + 0.003, 1.0
+            )
         float(jnp.sum(cs))
         return time.perf_counter() - t0
 
-    chain(2)
-    base = chain(2)
-    total = chain(12)
-    per = (total - base) / 10 * 1000
-    return _result(
-        "stage5 8-gaze batched launch",
-        ok,
-        f"{n_clients} streams in one fused launch, {per:.1f} ms/frame "
-        f"({1000 / per * n_clients:.0f} client-fps), bitwise == per-client",
-    )
+    chain(4)
+    base = min(chain(4) for _ in range(2))
+    total = min(chain(24) for _ in range(2))
+    per = (total - base) / 20 * 1000
+    if per > 0.05:
+        detail = (
+            f"{n_clients} streams in one fused launch, {per:.1f} ms/frame "
+            f"({1000 / per * n_clients:.0f} client-fps), bitwise == per-client"
+        )
+    else:
+        detail = (
+            f"{n_clients} streams in one fused launch, bitwise == per-client "
+            "(timing unstable through this transport; see `perf --clients`)"
+        )
+    return _result("stage5 8-gaze batched launch", ok, detail)
 
 
 def run_all() -> int:
