@@ -169,7 +169,13 @@ class FoveaxClient:
                         jnp.asarray(reduced),
                         jnp.asarray(center, jnp.float32),
                     )
-                    full_np = np.asarray(full)
+                    if self.frame_sink is not None:
+                        full_np = np.asarray(full)
+                    else:
+                        # Stats-only client: wait for device completion
+                        # without paying the full-frame readback.
+                        full.block_until_ready()
+                        full_np = None
                     unw_ms = (time.perf_counter() - t0) * 1e3
 
                     self.stats.record(
