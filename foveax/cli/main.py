@@ -206,6 +206,60 @@ def cmd_viewport(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment diagnostic: JAX platform/devices, Pallas availability,
+    native library, codec support."""
+    import jax
+
+    print(f"jax {jax.__version__}")
+    try:
+        devs = jax.devices()
+        print(f"devices: {devs} (backend: {jax.default_backend()})")
+    except Exception as e:
+        print(f"devices: UNAVAILABLE ({e})")
+        return 1
+
+    import jax.numpy as jnp
+
+    x = jnp.arange(8, dtype=jnp.float32)
+    print(f"compute: sum(arange(8)) = {float(x.sum()):.0f} (expect 28)")
+
+    try:
+        from foveax.kernels.scan2d import build_sat_pallas
+
+        f = jnp.zeros((16, 128, 3), jnp.uint8)
+        interpret = jax.default_backend() == "cpu"
+        build_sat_pallas(f, block_rows=8, interpret=interpret).block_until_ready()
+        print(f"pallas: OK ({'interpret' if interpret else 'compiled'})")
+    except Exception as e:
+        print(f"pallas: FAILED ({str(e)[:120]})")
+
+    try:
+        from foveax import native
+
+        print(f"native muxer: {'OK' if native.available() else 'unavailable'}")
+    except Exception as e:
+        print(f"native muxer: FAILED ({e})")
+
+    try:
+        import cv2
+
+        print(f"opencv {cv2.__version__}: decode/encode available")
+        from foveax.io.video import encode_jpeg
+
+        import numpy as _np
+
+        encode_jpeg(_np.zeros((8, 8, 3), _np.uint8))
+        print("jpeg codec: OK")
+    except Exception as e:
+        print(f"opencv: FAILED ({e})")
+
+    import websockets
+
+    print(f"websockets {websockets.__version__}")
+    return 0
+
+
 def cmd_montage(args) -> int:
     """Four-panel comparison image: source (gaze marked) | transmitted |
     log-rectilinear restoration | log-polar baseline restoration."""
@@ -730,6 +784,9 @@ def build_parser() -> argparse.ArgumentParser:
         "4K, loses below/above where one-hot build dominates)",
     )
     p.set_defaults(fn=cmd_perf)
+
+    p = sub.add_parser("doctor", help="environment diagnostic")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("montage", help="4-panel comparison image")
     p.add_argument("video")

@@ -123,3 +123,10 @@ def test_montage(tmp_path):
     assert rc == 0
     img = load_png(out)  # cv2 reads jpg too
     assert img.shape == (128, 192, 3)
+
+
+def test_doctor(capsys):
+    rc = main(["doctor"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pallas:" in out and "native muxer:" in out
