@@ -219,10 +219,13 @@ def cmd_doctor(args) -> int:
         print(f"devices: UNAVAILABLE ({e})")
         return 1
 
-    import jax.numpy as jnp
+    try:
+        import jax.numpy as jnp
 
-    x = jnp.arange(8, dtype=jnp.float32)
-    print(f"compute: sum(arange(8)) = {float(x.sum()):.0f} (expect 28)")
+        x = jnp.arange(8, dtype=jnp.float32)
+        print(f"compute: sum(arange(8)) = {float(x.sum()):.0f} (expect 28)")
+    except Exception as e:
+        print(f"compute: FAILED ({str(e)[:120]})")
 
     try:
         from foveax.kernels.scan2d import build_sat_pallas
@@ -254,9 +257,12 @@ def cmd_doctor(args) -> int:
     except Exception as e:
         print(f"opencv: FAILED ({e})")
 
-    import websockets
+    try:
+        import websockets
 
-    print(f"websockets {websockets.__version__}")
+        print(f"websockets {websockets.__version__}")
+    except Exception as e:
+        print(f"websockets: FAILED ({e})")
     return 0
 
 
@@ -418,6 +424,14 @@ def cmd_quality(args) -> int:
                 for i, f in enumerate(frames)
             ]
             decoded = codec_roundtrip_reduced(reduced_all)
+            if len(decoded) < len(frames):
+                # Some codec backends drop trailing frames on flush.
+                print(
+                    f"note: codec returned {len(decoded)}/{len(frames)} "
+                    "frames; truncating",
+                    file=sys.stderr,
+                )
+                frames = frames[: len(decoded)]
         for i, frame in enumerate(frames):
             c = p.center(*gaze(i))
             fj = jnp.asarray(frame)

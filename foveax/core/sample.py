@@ -154,7 +154,10 @@ def expand_sampled_rect(
         (y >= 0) & (y < out_height)
     )[:, None]
     flat = y[:, None] * out_width + x[None, :]
-    flat = jnp.where(valid, flat, -1)  # dropped by scatter mode="drop"
+    # Invalid sentinel must be a POSITIVE out-of-bounds index: JAX wraps
+    # negative indices even under mode="drop" (only idx >= size is
+    # dropped), so -1 would scatter onto the last pixel.
+    flat = jnp.where(valid, flat, out_height * out_width)
 
     out = jnp.zeros((out_height * out_width, 3), jnp.uint8)
     out = out.at[flat.reshape(-1)].set(

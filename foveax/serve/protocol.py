@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 from typing import Any
 
 
@@ -97,7 +98,14 @@ def loads(payload: str):
             if k not in fields:
                 continue
             conv = _NUMERIC_FIELDS.get(k)
-            kwargs[k] = conv(v) if conv is not None else v
+            if conv is not None:
+                v = conv(v)
+                # json.loads accepts NaN/Infinity literals; non-finite
+                # gaze would poison the pipeline and serialize back as
+                # invalid JSON.
+                if conv is float and not math.isfinite(v):
+                    raise ValueError(f"non-finite value for {k}: {v}")
+            kwargs[k] = v
         return cls(**kwargs)
     except ValueError:
         raise

@@ -130,8 +130,12 @@ class BroadcastChannel:
         self.task: asyncio.Task | None = None
         self.reader = None
         self.pipeline: FoveationPipeline | None = None
+        self.dead = False
+        self._read_future = None  # in-flight executor read, if any
 
     def join(self, session: Session) -> None:
+        if self.dead:
+            raise ValueError("channel is shutting down; retry")
         cfg = None
         if self.reader is None:
             self.reader = self.server._resolve(self.video)
@@ -150,20 +154,44 @@ class BroadcastChannel:
     def _teardown(self) -> None:
         """Remove the channel once its loop ends (video over, crash, or
         cancellation) so later joins get a fresh channel instead of
-        attaching to a dead one."""
+        attaching to a dead one.  The dead flag + synchronous channel
+        removal in leave() close the join-during-teardown window."""
+        self.dead = True
         if self.server.channels.get(self.video) is self:
             self.server.channels.pop(self.video, None)
-        if self.reader is not None:
-            self.reader.close()
-            self.reader = None
         for member in self.members:
             if member.channel is self:
                 member.channel = None
         self.members.clear()
+        # A cancelled loop may still have reader.read() running in the
+        # executor; closing the reader concurrently with a native read can
+        # crash.  Defer the close until the in-flight read resolves.
+        reader, self.reader = self.reader, None
+        if reader is None:
+            return
+        fut = self._read_future
+
+        async def _close_after_read():
+            if fut is not None:
+                try:
+                    await asyncio.wait([fut], timeout=10.0)
+                except Exception:
+                    pass
+            reader.close()
+
+        try:
+            asyncio.get_running_loop().create_task(_close_after_read())
+        except RuntimeError:  # no running loop (interpreter teardown)
+            reader.close()
 
     def leave(self, session: Session) -> None:
         self.members.pop(session, None)
         if not self.members and self.task is not None:
+            # Remove the channel from the registry synchronously so a
+            # concurrent join creates a fresh channel.
+            self.dead = True
+            if self.server.channels.get(self.video) is self:
+                self.server.channels.pop(self.video, None)
             task, self.task = self.task, None
             task.cancel()  # done-callback runs _teardown
 
@@ -189,7 +217,9 @@ class BroadcastChannel:
                 and frame_num >= self.server.max_frames
             ):
                 break
-            frame = await loop.run_in_executor(None, self.reader.read)
+            self._read_future = loop.run_in_executor(None, self.reader.read)
+            frame = await self._read_future
+            self._read_future = None
             if frame is None:
                 break
             sat = await loop.run_in_executor(
@@ -228,6 +258,7 @@ class BroadcastChannel:
                         > self.server.max_send_backlog
                     ):
                         session.frames_dropped += 1
+                        self.server.total_dropped += 1
                         session.on_frame_outcome(True)
                         continue
                     sample = await loop.run_in_executor(
@@ -243,6 +274,7 @@ class BroadcastChannel:
                     await session.ws.send(protocol.dumps(meta))
                     await session.ws.send(mux.frame(sample))
                     session.frames_sent += 1
+                    self.server.total_sent += 1
                     session.on_frame_outcome(False)
                 except Exception:
                     self.leave(session)
@@ -276,6 +308,8 @@ class FoveaxServer:
         self.pipeline: FoveationPipeline | None = None
         self.sessions: set[Session] = set()
         self.channels: dict[str, BroadcastChannel] = {}
+        self.total_sent = 0
+        self.total_dropped = 0
         self._pipelines: dict[tuple[int, int], FoveationPipeline] = {}
 
     # -- video resolution --------------------------------------------------
@@ -369,7 +403,7 @@ class FoveaxServer:
         if self.broadcast:
             if session.channel is None:
                 channel = self.channels.get(video)
-                if channel is None:
+                if channel is None or channel.dead:
                     channel = BroadcastChannel(self, video)
                     self.channels[video] = channel
                 try:
@@ -446,10 +480,12 @@ class FoveaxServer:
             dropped = self._backlog(ws) > self.max_send_backlog
             if dropped:
                 session.frames_dropped += 1
+                self.total_dropped += 1
             else:
                 await ws.send(protocol.dumps(meta))
                 await ws.send(mux.frame(sample))
                 session.frames_sent += 1
+                self.total_sent += 1
             session.on_frame_outcome(dropped)
             frame_num += 1
 
@@ -462,8 +498,8 @@ class FoveaxServer:
         prev_sent = prev_dropped = 0
         while True:
             await asyncio.sleep(period_s)
-            sent = sum(s.frames_sent for s in self.sessions)
-            dropped = sum(s.frames_dropped for s in self.sessions)
+            sent = self.total_sent
+            dropped = self.total_dropped
             if self.sessions or sent != prev_sent:
                 log.info(
                     "sessions=%d channels=%d fps=%.1f dropped=%d q_avg=%.0f",
