@@ -249,3 +249,35 @@ def test_structurally_bad_messages_do_not_kill_session():
                 assert reply == protocol.Ack(7)
 
     asyncio.run(main())
+
+
+def test_broadcast_rejoin_after_teardown_gets_fresh_channel():
+    """Leave-then-rejoin of the same video must create a fresh channel
+    (a dead channel would silently stream nothing)."""
+    port = _free_port()
+    server = FoveaxServer(CFG, max_frames=50, broadcast=True)
+
+    async def run_one():
+        c = FoveaxClient(
+            f"ws://127.0.0.1:{port}",
+            video="synthetic://96x64@30/60",
+            config=CFG,
+            max_frames=3,
+        )
+        return await asyncio.wait_for(c.run(), timeout=60)
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            s1 = await run_one()
+            # Give the teardown callback a tick to run.
+            await asyncio.sleep(0.2)
+            s2 = await run_one()
+            return s1, s2
+
+    s1, s2 = asyncio.run(main())
+    assert s1.frames == 3 and s2.frames == 3
+    assert len(server.channels) == 0
