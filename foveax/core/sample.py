@@ -8,10 +8,10 @@ src/sat_decoder.cc:301-398).
 TPU-native design: because the grid is separable (see foveax.core.logrect),
 all tap coordinates are 1-D vectors — ``px(i)``/``pxm(i)`` over output
 columns and ``py(j)``/``pym(j)`` over output rows.  The 4 SAT taps then
-become two *row* gathers (at ``py`` and ``pym``) followed by per-axis column
-indexing, which XLA lowers to dense dynamic-slice-free gathers instead of a
-scattered 2-D gather.  The gaze center enters as two traced scalars added to
-the constant grid, so a moving gaze never recompiles.
+become two *row* gathers (at ``py`` and ``pym``), a vertical difference,
+and two *column* gathers on the difference — per-axis dense gathers
+instead of a scattered 2-D gather.  The gaze center enters as two traced
+scalars added to the constant grid, so a moving gaze never recompiles.
 """
 
 from __future__ import annotations
