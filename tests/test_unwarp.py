@@ -101,3 +101,25 @@ def test_fast_precision_within_one_lsb(rng):
         )
         d = np.abs(exact.astype(np.int32) - fast.astype(np.int32))
         assert d.max() <= 1, d.max()
+
+
+@pytest.mark.parametrize("center", [(0.5, 0.5), (0.15, 0.3)])
+def test_fast_precision_vs_float64_golden(rng, center):
+    """The fast path must also stay within the project's 1-LSB envelope of
+    the float64 golden (not just of the exact JAX path)."""
+    hr, wr = 16, 24
+    out_w, out_h = 96, 64
+    reduced = rng.integers(0, 256, size=(hr, wr, 3), dtype=np.uint8)
+    fast = np.asarray(
+        unwarp_rect(
+            jnp.asarray(reduced),
+            out_w,
+            out_h,
+            jnp.asarray(center, dtype=jnp.float32),
+            precision="fast",
+        )
+    )
+    ref = golden.unwarp_rect(reduced, out_w, out_h, center)
+    d = np.abs(fast.astype(np.int32) - ref.astype(np.int32))
+    assert (d <= 2).all()  # 1 LSB quantization + 1 LSB golden tolerance
+    assert (d <= 1).mean() > 0.99
