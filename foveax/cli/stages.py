@@ -3,8 +3,9 @@
   1. single 1080p frame log-rectilinear warp at a fixed gaze
   2. SAT encode -> decode round-trip (exact)
   3. 30 fps 1080p streaming with a dynamic gaze trace, recompile-free
-  4. 4K full path: SAT -> sample -> unwarp (>= 60 fps target)
-  5. 8 concurrent gaze streams batched in one fused launch
+  4. 4K full path: SAT -> sample -> unwarp -> gnomonic viewport
+     (>= 60 fps target)
+  5. 8 concurrent gaze streams batched in one fused launch on 4K frames
 
 Run: ``python -m foveax.cli.main stages``.  Prints one PASS/FAIL line per
 stage plus the measured numbers.
@@ -116,15 +117,20 @@ def stage4_4k_full_path() -> bool:
     else:
         from foveax.core.sat import build_sat as build
 
+    from foveax.core.gnomonic import gnomonic_project
+
     @jax.jit
     def step(f, c):
         sat = build(f, in_layout="chw") if use_pallas else build(
             f.transpose(1, 2, 0)
         )
         red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
-        return unwarp_rect(
+        restored = unwarp_rect(
             red, w, h, c, in_layout="chw", out_layout="chw", precision="fast"
         )
+        # BASELINE config 4 includes the viewport projection stage.
+        view = gnomonic_project(restored.transpose(1, 2, 0), 1920, 1080, c)
+        return restored, view
 
     rng = np.random.default_rng(4)
     frame = jax.device_put(rng.integers(0, 256, (3, h, w), np.uint8))
@@ -135,10 +141,11 @@ def stage4_4k_full_path() -> bool:
 
     def chain(n):
         y = frame
+        view = None
         t0 = time.perf_counter()
         for i in range(n):
-            y = step(y, centers[i])
-        float(jnp.sum(y.astype(jnp.uint32)))
+            y, view = step(y, centers[i])
+        float(jnp.sum(view.astype(jnp.uint32)))
         return time.perf_counter() - t0
 
     chain(2)
@@ -148,7 +155,9 @@ def stage4_4k_full_path() -> bool:
     # The >=60 fps target applies on TPU; CPU runs just check execution.
     ok = fps >= 60.0 if jax.default_backend() != "cpu" else fps > 0
     return _result(
-        "stage4 4K full path", ok, f"{fps:.1f} fps (target >= 60 on TPU)"
+        "stage4 4K full path (incl. viewport projection)",
+        ok,
+        f"{fps:.1f} fps (target >= 60 on TPU)",
     )
 
 
@@ -159,16 +168,17 @@ def stage5_batched_clients(n_clients: int = 8) -> bool:
     from foveax.config import FoveaxConfig
     from foveax.pipeline.frames import FoveationPipeline
 
-    cfg = FoveaxConfig()
+    # BASELINE config 5 batches gaze streams over 4K frames.
+    cfg = FoveaxConfig().with_source(3840, 2160)
     p = FoveationPipeline(cfg)
     rng = np.random.default_rng(5)
-    frame = jnp.asarray(rng.integers(0, 256, (1080, 1920, 3), np.uint8))
+    frame = jnp.asarray(rng.integers(0, 256, (2160, 3840, 3), np.uint8))
     centers = jnp.asarray(
         rng.uniform(0.1, 0.9, (n_clients, 2)).astype(np.float32)
     )
     batch = p.foveate_batch(frame, centers)
     batch_np = np.asarray(batch)
-    ok = batch_np.shape == (n_clients, 608, 1072, 3)
+    ok = batch_np.shape == (n_clients, 1200, 2144, 3)
     # Parity with per-client launches.
     for i in range(n_clients):
         single = np.asarray(p.foveate(frame, centers[i]))
