@@ -692,6 +692,11 @@ def cmd_perf(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="foveax")
+    from foveax import __version__
+
+    ap.add_argument(
+        "--version", action="version", version=f"foveax {__version__}"
+    )
     ap.add_argument(
         "--platform",
         choices=["cpu", "axon", "tpu"],
