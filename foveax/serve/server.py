@@ -60,6 +60,7 @@ class Session:
         self.channel = None  # BroadcastChannel membership
         self.frames_sent = 0
         self.frames_dropped = 0
+        self._read_future = None  # in-flight executor decode, if any
         # Adaptive quality (AIMD): backlog-dropped frames cut the JPEG
         # quality multiplicatively; sustained clean delivery restores it.
         self.quality = float(server.jpeg_quality)
@@ -110,6 +111,13 @@ class Session:
             except (asyncio.CancelledError, Exception):
                 pass
         if self.reader is not None:
+            # A cancelled loop may still have reader.read() running in the
+            # executor; wait it out before releasing the native decoder.
+            if self._read_future is not None:
+                try:
+                    await asyncio.wait([self._read_future], timeout=10.0)
+                except Exception:
+                    pass
             self.reader.close()
 
 
@@ -447,7 +455,9 @@ class FoveaxServer:
         while True:
             if self.max_frames is not None and frame_num >= self.max_frames:
                 break
-            frame = await loop.run_in_executor(None, reader.read)
+            session._read_future = loop.run_in_executor(None, reader.read)
+            frame = await session._read_future
+            session._read_future = None
             if frame is None:
                 break
             # SAT is built eagerly; the gaze is read as late as possible
