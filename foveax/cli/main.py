@@ -56,7 +56,11 @@ def cmd_serve(args) -> int:
         loop_videos=args.loop,
         predict_gaze=args.predict_gaze,
         allow_paths=args.allow_paths,
+        wire_codec=args.wire_codec,
+        wire_bitrate=args.wire_bitrate,
+        wire_crf=args.wire_crf,
     )
+    logging.getLogger("foveax.serve").info("wire codec: %s", server.wire_codec)
     try:
         asyncio.run(server.run(args.port))
     except KeyboardInterrupt:
@@ -728,6 +732,22 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="viewers of one video share a frame clock; gazes sample as "
         "one batched launch",
+    )
+    p.add_argument(
+        "--wire-codec",
+        default="auto",
+        choices=["auto", "jpeg", "h264", "vp9", "mpeg4"],
+        help="streaming sample codec (auto = h264 when the native shim is "
+        "built, else jpeg)",
+    )
+    p.add_argument(
+        "--wire-bitrate", type=int, default=0,
+        help="rate-targeted encode, bits/s (0 = quality-targeted via --wire-crf)",
+    )
+    p.add_argument(
+        "--wire-crf", type=int, default=25,
+        help="quality target for the wire codec (reference runs cq 25, "
+        "src/video_encoder.cc:43)",
     )
     p.set_defaults(fn=cmd_serve)
 

@@ -183,10 +183,12 @@ class FragmentWriter:
         fps: float,
         sample_format: bytes = b"jpeg",
         *,
+        codec_config: tuple[bytes, bytes] | None = None,
         backend: str = "auto",
     ):
         self.width, self.height, self.fps = width, height, fps
         self.sample_format = sample_format
+        self.codec_config = codec_config
         self.duration = int(round(TIMESCALE / fps))
         self.seq = 0
         self._native = None
@@ -209,18 +211,28 @@ class FragmentWriter:
     def header(self) -> bytes:
         if self._native is not None:
             return self._native.init_segment(
-                self.width, self.height, self.sample_format
+                self.width, self.height, self.sample_format, self.codec_config
             )
-        return init_segment(self.width, self.height, self.sample_format)
+        return init_segment(
+            self.width, self.height, self.sample_format, self.codec_config
+        )
 
-    def frame(self, sample: bytes) -> bytes:
+    def frame(self, sample: bytes, *, is_sync: bool = True) -> bytes:
         if self._native is not None:
             out = self._native.fragment(
-                self.seq + 1, self.seq * self.duration, sample, self.duration
+                self.seq + 1,
+                self.seq * self.duration,
+                sample,
+                self.duration,
+                is_sync=is_sync,
             )
         else:
             out = fragment(
-                self.seq + 1, self.seq * self.duration, sample, self.duration
+                self.seq + 1,
+                self.seq * self.duration,
+                sample,
+                self.duration,
+                is_sync=is_sync,
             )
         self.seq += 1
         return out
@@ -255,6 +267,8 @@ class FragmentReader:
         self.width = self.height = None
         self.header_seen = False
         self.last_seq = 0
+        self.sample_format: bytes | None = None
+        self.codec_config: tuple[bytes, bytes] | None = None
 
     def feed(self, chunk: bytes) -> list[bytes]:
         self._buf.extend(chunk)
@@ -285,13 +299,45 @@ class FragmentReader:
             del self._buf[:size]
         return samples
 
+    # Visual sample entry: 78 fixed bytes after the entry header, then
+    # optional codec configuration child boxes (ISO 14496-12 s12.1.3).
+    _VISUAL_ENTRY_FIXED = 78
+
+    def _parse_stsd(self, buf: bytes, start: int, end: int) -> None:
+        if end - start < 16:  # version/flags + count + one entry header
+            return
+        entry_at = start + 8
+        esize = struct.unpack_from(">I", buf, entry_at)[0]
+        if esize < 8 or entry_at + esize > end:
+            return
+        self.sample_format = buf[entry_at + 4 : entry_at + 8]
+        pos = entry_at + 8 + self._VISUAL_ENTRY_FIXED
+        if pos + 8 <= entry_at + esize:
+            csize = struct.unpack_from(">I", buf, pos)[0]
+            if csize >= 8 and pos + csize <= entry_at + esize:
+                self.codec_config = (
+                    buf[pos + 4 : pos + 8],
+                    buf[pos + 8 : pos + csize],
+                )
+
     def _parse_dims(self, moov_payload: bytes) -> None:
         for fc, s, e in iter_boxes(moov_payload):
-            if fc == b"trak":
-                for fc2, s2, e2 in iter_boxes(moov_payload, s, e):
-                    if fc2 == b"tkhd":
-                        w, h = struct.unpack_from(">II", moov_payload, e2 - 8)
-                        self.width, self.height = w >> 16, h >> 16
+            if fc != b"trak":
+                continue
+            for fc2, s2, e2 in iter_boxes(moov_payload, s, e):
+                if fc2 == b"tkhd":
+                    w, h = struct.unpack_from(">II", moov_payload, e2 - 8)
+                    self.width, self.height = w >> 16, h >> 16
+                elif fc2 == b"mdia":
+                    for fc3, s3, e3 in iter_boxes(moov_payload, s2, e2):
+                        if fc3 != b"minf":
+                            continue
+                        for fc4, s4, e4 in iter_boxes(moov_payload, s3, e3):
+                            if fc4 != b"stbl":
+                                continue
+                            for fc5, s5, e5 in iter_boxes(moov_payload, s4, e4):
+                                if fc5 == b"stsd":
+                                    self._parse_stsd(moov_payload, s5, e5)
 
 
 def make_fragment_reader(backend: str = "auto"):

@@ -62,6 +62,20 @@ class VideoReader:
 _SYNTH_RE = re.compile(r"synthetic://(\d+)x(\d+)(?:@(\d+))?(?:/(\d+))?")
 
 
+def parse_synthetic_spec(spec: str) -> tuple[int, int, float, int]:
+    """(width, height, fps, n_frames) from a synthetic:// spec — lets
+    callers validate dimensions before any allocation happens."""
+    m = _SYNTH_RE.match(spec)
+    if not m:
+        raise ValueError(f"bad synthetic spec: {spec}")
+    return (
+        int(m.group(1)),
+        int(m.group(2)),
+        float(m.group(3)) if m.group(3) else 30.0,
+        int(m.group(4)) if m.group(4) else 300,
+    )
+
+
 class SyntheticReader:
     """Procedural equirect-like source: a panning scene with high-frequency
     detail so foveation artifacts are visible.  Spec string:
@@ -84,13 +98,7 @@ class SyntheticReader:
 
     @classmethod
     def from_spec(cls, spec: str) -> "SyntheticReader":
-        m = _SYNTH_RE.match(spec)
-        if not m:
-            raise ValueError(f"bad synthetic spec: {spec}")
-        w, h = int(m.group(1)), int(m.group(2))
-        fps = float(m.group(3)) if m.group(3) else 30.0
-        n = int(m.group(4)) if m.group(4) else 300
-        return cls(w, h, fps, n)
+        return cls(*parse_synthetic_spec(spec))
 
     def read(self) -> np.ndarray | None:
         if self._i >= self.n_frames:

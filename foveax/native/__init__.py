@@ -16,8 +16,11 @@ log = logging.getLogger("foveax.native")
 
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "build" / "libfoveax_native.so"
+_CODEC_SO = _DIR / "build" / "libfoveax_codec.so"
 _lib: ctypes.CDLL | None = None
 _tried = False
+_codec_lib: ctypes.CDLL | None = None
+_codec_tried = False
 
 
 def build() -> bool:
@@ -50,6 +53,17 @@ def load() -> ctypes.CDLL | None:
         ctypes.c_char_p,
         ctypes.c_int,
     ]
+    lib.fvx_init_segment_cfg.restype = ctypes.c_int
+    lib.fvx_init_segment_cfg.argtypes = [
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
     lib.fvx_fragment.restype = ctypes.c_int
     lib.fvx_fragment.argtypes = [
         ctypes.c_uint32,
@@ -65,13 +79,30 @@ def load() -> ctypes.CDLL | None:
     return _lib
 
 
-def init_segment(width: int, height: int, sample_format: bytes = b"jpeg") -> bytes:
+def init_segment(
+    width: int,
+    height: int,
+    sample_format: bytes = b"jpeg",
+    codec_config: tuple[bytes, bytes] | None = None,
+) -> bytes:
     lib = load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    cap = 4096
+    cap = 4096 + (len(codec_config[1]) if codec_config else 0)
     buf = ctypes.create_string_buffer(cap)
-    n = lib.fvx_init_segment(width, height, sample_format, buf, cap)
+    if codec_config is None:
+        n = lib.fvx_init_segment(width, height, sample_format, buf, cap)
+    else:
+        n = lib.fvx_init_segment_cfg(
+            width,
+            height,
+            sample_format,
+            codec_config[0],
+            codec_config[1],
+            len(codec_config[1]),
+            buf,
+            cap,
+        )
     if n < 0:
         raise RuntimeError("fvx_init_segment: buffer too small")
     return buf.raw[:n]
@@ -95,6 +126,82 @@ def fragment(
 
 def available() -> bool:
     return load() is not None
+
+
+def load_codec() -> ctypes.CDLL | None:
+    """The FFmpeg-backed wire-codec shim (libfoveax_codec.so) — optional;
+    None when the system lacks FFmpeg dev libraries."""
+    global _codec_lib, _codec_tried
+    if _codec_lib is not None or _codec_tried:
+        return _codec_lib
+    _codec_tried = True
+    if not _CODEC_SO.exists():
+        build()
+        if not _CODEC_SO.exists():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_CODEC_SO))
+    except OSError as e:  # pragma: no cover - runtime libs missing
+        log.warning("codec shim load failed: %s", e)
+        return None
+    lib.fx_codec_probe.restype = ctypes.c_int
+    lib.fx_codec_probe.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.fx_enc_open.restype = ctypes.c_void_p
+    lib.fx_enc_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.fx_enc_extradata.restype = ctypes.c_int
+    lib.fx_enc_extradata.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.fx_enc_encode.restype = ctypes.c_int
+    lib.fx_enc_encode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fx_enc_close.argtypes = [ctypes.c_void_p]
+    lib.fx_dec_open.restype = ctypes.c_void_p
+    lib.fx_dec_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.fx_dec_decode.restype = ctypes.c_int
+    lib.fx_dec_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fx_dec_flush.restype = ctypes.c_int
+    lib.fx_dec_flush.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fx_dec_close.argtypes = [ctypes.c_void_p]
+    _codec_lib = lib
+    return _codec_lib
+
+
+def codec_available() -> bool:
+    return load_codec() is not None
 
 
 class NativeDemuxer:
@@ -127,6 +234,14 @@ class NativeDemuxer:
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.fvx_demux_codec.restype = ctypes.c_int
+            lib.fvx_demux_codec.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_int,
             ]
             lib._demux_configured = True
         self._h = lib.fvx_demux_new()
@@ -186,3 +301,30 @@ class NativeDemuxer:
     @property
     def header_seen(self):
         return self._info()[3]
+
+    def _codec(self):
+        fourcc = ctypes.create_string_buffer(4)
+        cfg_fourcc = ctypes.create_string_buffer(4)
+        cap = 4096
+        cfg = ctypes.create_string_buffer(cap)
+        n = self._lib.fvx_demux_codec(self._h, fourcc, cfg_fourcc, cfg, cap)
+        if n < 0:  # pragma: no cover - configs are far below 4 KB
+            cap = -n
+            cfg = ctypes.create_string_buffer(cap)
+            n = self._lib.fvx_demux_codec(self._h, fourcc, cfg_fourcc, cfg, cap)
+        sf = fourcc.raw[:4]
+        cf = cfg_fourcc.raw[:4]
+        return (
+            sf if sf != b"\x00" * 4 else None,
+            (cf, cfg.raw[:n]) if n > 0 and cf != b"\x00" * 4 else None,
+        )
+
+    @property
+    def sample_format(self):
+        """stsd sample entry fourcc (e.g. b'avc1', b'jpeg'); None pre-header."""
+        return self._codec()[0]
+
+    @property
+    def codec_config(self):
+        """(config box fourcc, payload) — e.g. (b'avcC', record) — or None."""
+        return self._codec()[1]

@@ -1,0 +1,397 @@
+// Streaming video codec shim — native inter-frame wire codec.
+//
+// The reference does hardware H.264 on the wire: NVENC encode with
+// low-latency tuning on the server (reference: src/video_encoder.cc:3-78,
+// async_depth hack :66-77) and a streaming FFmpeg decode on the client
+// (reference: src/video_decoder.cc:58-95).  Both are CUDA/desktop-GPU
+// choices.  On a TPU host the idiomatic equivalent is a thin native shim
+// over the system FFmpeg libraries: libx264 with zerolatency tuning for
+// encode, the software h264 decoder with LOW_DELAY for decode, packets
+// exchanged frame-by-frame so the asyncio server keeps its one-fragment-
+// per-frame cadence (reference: src/video_server.cc:386-405).
+//
+// Design notes:
+//   * One encoder/decoder instance per streaming session — inter-frame
+//     state is per-client (each client sees different gaze-dependent
+//     frames), matching the reference's per-connection VideoEncoder
+//     (reference: src/video_server.h:41).
+//   * H.264 packets are converted from Annex-B start codes to 4-byte
+//     length-prefixed NALUs here, so the samples drop straight into the
+//     fMP4 muxer's mdat as valid avc1 samples (the reference leaves this
+//     to movenc; foveax owns its muxer, so it owns the framing too).
+//   * Zero-latency contract: with tune=zerolatency and max_b_frames=0,
+//     every send_frame produces exactly one packet — the 33 ms tick never
+//     waits on encoder queueing (the property the reference patches a
+//     private NVENC field to get, src/video_encoder.cc:66-77).
+//
+// Build: `make -C foveax/native` -> libfoveax_codec.so (ctypes-loaded).
+// The build is optional: when FFmpeg dev headers are absent the muxer
+// library still builds and the Python layer falls back to JPEG samples.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+void set_err(char* errbuf, int errcap, const std::string& msg) {
+  if (errbuf == nullptr || errcap <= 0) return;
+  std::snprintf(errbuf, size_t(errcap), "%s", msg.c_str());
+}
+
+bool is_h26x(const char* name) {
+  return std::strcmp(name, "libx264") == 0 || std::strcmp(name, "h264") == 0 ||
+         std::strcmp(name, "libx265") == 0 || std::strcmp(name, "hevc") == 0;
+}
+
+// Annex-B (00 00 [00] 01 start codes) -> 4-byte big-endian length prefixes.
+// Returns false if no start code is found (input passed through verbatim).
+bool annexb_to_avcc(const uint8_t* in, int len, std::vector<uint8_t>* out) {
+  int pos = 0;
+  auto find_start = [&](int from, int* sc_len) -> int {
+    for (int i = from; i + 3 <= len; ++i) {
+      if (in[i] == 0 && in[i + 1] == 0) {
+        if (in[i + 2] == 1) {
+          *sc_len = 3;
+          return i;
+        }
+        if (i + 4 <= len && in[i + 2] == 0 && in[i + 3] == 1) {
+          *sc_len = 4;
+          return i;
+        }
+      }
+    }
+    return -1;
+  };
+  int sc = 0;
+  int first = find_start(0, &sc);
+  if (first < 0) return false;
+  pos = first + sc;
+  while (pos < len) {
+    int next_sc = 0;
+    int next = find_start(pos, &next_sc);
+    int nal_end = next < 0 ? len : next;
+    uint32_t nal_len = uint32_t(nal_end - pos);
+    out->push_back(uint8_t(nal_len >> 24));
+    out->push_back(uint8_t(nal_len >> 16));
+    out->push_back(uint8_t(nal_len >> 8));
+    out->push_back(uint8_t(nal_len));
+    out->insert(out->end(), in + pos, in + nal_end);
+    if (next < 0) break;
+    pos = next + next_sc;
+  }
+  return true;
+}
+
+struct Encoder {
+  AVCodecContext* ctx = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  SwsContext* sws = nullptr;
+  int width = 0;
+  int height = 0;
+  int64_t next_pts = 0;
+  bool length_prefix = false;  // h26x: convert Annex-B -> AVCC framing
+
+  ~Encoder() {
+    if (sws != nullptr) sws_freeContext(sws);
+    if (pkt != nullptr) av_packet_free(&pkt);
+    if (frame != nullptr) av_frame_free(&frame);
+    if (ctx != nullptr) avcodec_free_context(&ctx);
+  }
+};
+
+struct Decoder {
+  AVCodecContext* ctx = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  SwsContext* sws = nullptr;
+  int sws_w = 0, sws_h = 0;
+  AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
+
+  ~Decoder() {
+    if (sws != nullptr) sws_freeContext(sws);
+    if (pkt != nullptr) av_packet_free(&pkt);
+    if (frame != nullptr) av_frame_free(&frame);
+    if (ctx != nullptr) avcodec_free_context(&ctx);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Keep libav quiet on the serving hot path (x264 prints multi-line info
+// banners per encoder open; the asyncio server opens one per session).
+__attribute__((constructor)) static void fx_quiet_logs() {
+  av_log_set_level(AV_LOG_ERROR);
+}
+
+// 1 if the named encoder (encoder=1) / decoder (encoder=0) exists.
+int fx_codec_probe(const char* codec_name, int encoder) {
+  if (encoder) return avcodec_find_encoder_by_name(codec_name) != nullptr;
+  return avcodec_find_decoder_by_name(codec_name) != nullptr;
+}
+
+// Open a streaming encoder.  bitrate<=0 means quality-targeted (crf) mode;
+// crf<0 means bitrate mode; gop_size<=0 uses the codec default.  The
+// reference's operating point is bitrate 1e8 + cq 25 + no B-frames + zero
+// encoder delay (src/video_encoder.cc:28-58).
+void* fx_enc_open(const char* codec_name, int width, int height, double fps,
+                  int64_t bitrate, int crf, int gop_size, char* errbuf,
+                  int errcap) {
+  const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
+  if (codec == nullptr) {
+    set_err(errbuf, errcap, std::string("no encoder: ") + codec_name);
+    return nullptr;
+  }
+  auto* e = new Encoder();
+  e->width = width;
+  e->height = height;
+  e->length_prefix = is_h26x(codec_name);
+  e->ctx = avcodec_alloc_context3(codec);
+  AVCodecContext* c = e->ctx;
+  c->width = width;
+  c->height = height;
+  c->time_base = av_d2q(1.0 / fps, 1 << 24);
+  c->framerate = av_d2q(fps, 1 << 24);
+  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  c->max_b_frames = 0;  // reference: src/video_encoder.cc:49
+  if (gop_size > 0) c->gop_size = gop_size;
+  if (bitrate > 0) c->bit_rate = bitrate;
+  // Global header: SPS/PPS land in extradata (the avcC source), not in
+  // every packet — required for ISO-BMFF avc1 samples.  (LOW_DELAY is a
+  // decode-side flag; mpeg4 rejects it on encoders.)
+  c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+
+  if (std::strcmp(codec_name, "libx264") == 0 ||
+      std::strcmp(codec_name, "libx265") == 0) {
+    av_opt_set(c->priv_data, "preset", "veryfast", 0);
+    av_opt_set(c->priv_data, "tune", "zerolatency", 0);
+    if (crf >= 0) av_opt_set_int(c->priv_data, "crf", crf, 0);
+  } else if (std::strncmp(codec_name, "libvpx", 6) == 0) {
+    av_opt_set(c->priv_data, "deadline", "realtime", 0);
+    av_opt_set_int(c->priv_data, "cpu-used", 8, 0);
+    av_opt_set_int(c->priv_data, "lag-in-frames", 0, 0);
+    if (crf >= 0) av_opt_set_int(c->priv_data, "crf", crf, 0);
+    if (bitrate <= 0) c->bit_rate = 2'000'000;  // vpx needs a rate target
+  } else if (std::strcmp(codec_name, "mpeg4") == 0) {
+    if (crf >= 0) {  // map crf onto the 1..31 qscale range
+      c->flags |= AV_CODEC_FLAG_QSCALE;
+      int q = crf < 1 ? 1 : (crf > 31 ? 31 : crf);
+      c->global_quality = FF_QP2LAMBDA * q;
+    }
+  }
+
+  int rc = avcodec_open2(c, codec, nullptr);
+  if (rc < 0) {
+    char buf[128];
+    av_strerror(rc, buf, sizeof buf);
+    set_err(errbuf, errcap, std::string("avcodec_open2: ") + buf);
+    delete e;
+    return nullptr;
+  }
+  e->frame = av_frame_alloc();
+  e->frame->format = c->pix_fmt;
+  e->frame->width = width;
+  e->frame->height = height;
+  if (av_frame_get_buffer(e->frame, 0) < 0) {
+    set_err(errbuf, errcap, "av_frame_get_buffer failed");
+    delete e;
+    return nullptr;
+  }
+  e->pkt = av_packet_alloc();
+  e->sws = sws_getContext(width, height, AV_PIX_FMT_RGB24, width, height,
+                          AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
+                          nullptr);
+  if (e->sws == nullptr) {
+    set_err(errbuf, errcap, "sws_getContext failed");
+    delete e;
+    return nullptr;
+  }
+  return e;
+}
+
+// Codec configuration bytes (for h26x: Annex-B SPS/PPS; the Python layer
+// assembles the avcC record).  Returns length, or -(length) if cap is too
+// small, 0 if none.
+int fx_enc_extradata(void* enc, uint8_t* out, int cap) {
+  auto* e = static_cast<Encoder*>(enc);
+  int n = e->ctx->extradata_size;
+  if (n <= 0) return 0;
+  if (n > cap) return -n;
+  std::memcpy(out, e->ctx->extradata, size_t(n));
+  return n;
+}
+
+// Encode one packed RGB24 frame (height*width*3 bytes).  Writes the
+// encoded sample into out; *is_key set to 1 on keyframes.  Returns sample
+// size, 0 if the encoder buffered the frame (does not happen with the
+// zerolatency settings), -(needed) if cap is too small, or -1000000-errno
+// style codes on hard errors.
+int fx_enc_encode(void* enc, const uint8_t* rgb, uint8_t* out, int cap,
+                  int* is_key) {
+  auto* e = static_cast<Encoder*>(enc);
+  if (av_frame_make_writable(e->frame) < 0) return -1000001;
+  const uint8_t* src[1] = {rgb};
+  const int src_stride[1] = {e->width * 3};
+  sws_scale(e->sws, src, src_stride, 0, e->height, e->frame->data,
+            e->frame->linesize);
+  e->frame->pts = e->next_pts++;
+  int rc = avcodec_send_frame(e->ctx, e->frame);
+  if (rc < 0) return -1000002;
+
+  std::vector<uint8_t> sample;
+  int key = 0;
+  while (true) {
+    rc = avcodec_receive_packet(e->ctx, e->pkt);
+    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
+    if (rc < 0) return -1000003;
+    if ((e->pkt->flags & AV_PKT_FLAG_KEY) != 0) key = 1;
+    if (e->length_prefix) {
+      if (!annexb_to_avcc(e->pkt->data, e->pkt->size, &sample)) {
+        // Already length-prefixed (shouldn't happen) — pass through.
+        sample.insert(sample.end(), e->pkt->data, e->pkt->data + e->pkt->size);
+      }
+    } else {
+      sample.insert(sample.end(), e->pkt->data, e->pkt->data + e->pkt->size);
+    }
+    av_packet_unref(e->pkt);
+  }
+  if (is_key != nullptr) *is_key = key;
+  if (sample.empty()) return 0;
+  if (int(sample.size()) > cap) return -int(sample.size());
+  std::memcpy(out, sample.data(), sample.size());
+  return int(sample.size());
+}
+
+void fx_enc_close(void* enc) { delete static_cast<Encoder*>(enc); }
+
+// Open a streaming decoder.  extradata (may be null) is the codec config
+// exactly as carried in the container (for h264: the avcC record — its
+// presence switches the decoder to length-prefixed NALU input, matching
+// the samples fx_enc_encode emits).
+void* fx_dec_open(const char* codec_name, const uint8_t* extradata, int len,
+                  char* errbuf, int errcap) {
+  const AVCodec* codec = avcodec_find_decoder_by_name(codec_name);
+  if (codec == nullptr) {
+    set_err(errbuf, errcap, std::string("no decoder: ") + codec_name);
+    return nullptr;
+  }
+  auto* d = new Decoder();
+  d->ctx = avcodec_alloc_context3(codec);
+  d->ctx->flags |= AV_CODEC_FLAG_LOW_DELAY;
+  if (extradata != nullptr && len > 0) {
+    d->ctx->extradata = static_cast<uint8_t*>(
+        av_mallocz(size_t(len) + AV_INPUT_BUFFER_PADDING_SIZE));
+    std::memcpy(d->ctx->extradata, extradata, size_t(len));
+    d->ctx->extradata_size = len;
+  }
+  int rc = avcodec_open2(d->ctx, codec, nullptr);
+  if (rc < 0) {
+    char buf[128];
+    av_strerror(rc, buf, sizeof buf);
+    set_err(errbuf, errcap, std::string("avcodec_open2: ") + buf);
+    delete d;
+    return nullptr;
+  }
+  d->frame = av_frame_alloc();
+  d->pkt = av_packet_alloc();
+  return d;
+}
+
+// Feed one sample; if a frame comes out, convert to packed RGB24 into out.
+// Returns 1 (frame written, *out_w/*out_h set), 0 (no frame yet), -(needed)
+// if cap is too small for the decoded frame, or <=-1000000 on errors.
+int fx_dec_decode(void* dec, const uint8_t* data, int len, uint8_t* out,
+                  int cap, int* out_w, int* out_h) {
+  auto* d = static_cast<Decoder*>(dec);
+  // AV_INPUT_BUFFER_PADDING_SIZE guarantee: copy into a padded buffer.
+  uint8_t* padded = static_cast<uint8_t*>(
+      av_mallocz(size_t(len) + AV_INPUT_BUFFER_PADDING_SIZE));
+  if (padded == nullptr) return -1000001;
+  std::memcpy(padded, data, size_t(len));
+  av_packet_unref(d->pkt);
+  if (av_packet_from_data(d->pkt, padded, len) < 0) {
+    av_free(padded);
+    return -1000002;
+  }
+  int rc = avcodec_send_packet(d->ctx, d->pkt);
+  av_packet_unref(d->pkt);
+  if (rc < 0 && rc != AVERROR(EAGAIN)) return -1000003;
+
+  rc = avcodec_receive_frame(d->ctx, d->frame);
+  if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+  if (rc < 0) return -1000004;
+
+  int w = d->frame->width, h = d->frame->height;
+  if (w * h * 3 > cap) {
+    av_frame_unref(d->frame);
+    return -(w * h * 3);
+  }
+  auto fmt = static_cast<AVPixelFormat>(d->frame->format);
+  if (d->sws == nullptr || d->sws_w != w || d->sws_h != h ||
+      d->sws_fmt != fmt) {
+    if (d->sws != nullptr) sws_freeContext(d->sws);
+    d->sws = sws_getContext(w, h, fmt, w, h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                            nullptr, nullptr, nullptr);
+    d->sws_w = w;
+    d->sws_h = h;
+    d->sws_fmt = fmt;
+    if (d->sws == nullptr) {
+      av_frame_unref(d->frame);
+      return -1000005;
+    }
+  }
+  uint8_t* dst[1] = {out};
+  const int dst_stride[1] = {w * 3};
+  sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst, dst_stride);
+  av_frame_unref(d->frame);
+  if (out_w != nullptr) *out_w = w;
+  if (out_h != nullptr) *out_h = h;
+  return 1;
+}
+
+// Drain any frames still buffered in the decoder (end of stream).
+// Same return convention as fx_dec_decode.
+int fx_dec_flush(void* dec, uint8_t* out, int cap, int* out_w, int* out_h) {
+  auto* d = static_cast<Decoder*>(dec);
+  avcodec_send_packet(d->ctx, nullptr);
+  int rc = avcodec_receive_frame(d->ctx, d->frame);
+  if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+  if (rc < 0) return -1000004;
+  int w = d->frame->width, h = d->frame->height;
+  if (w * h * 3 > cap) {
+    av_frame_unref(d->frame);
+    return -(w * h * 3);
+  }
+  auto fmt = static_cast<AVPixelFormat>(d->frame->format);
+  if (d->sws == nullptr || d->sws_w != w || d->sws_h != h ||
+      d->sws_fmt != fmt) {
+    if (d->sws != nullptr) sws_freeContext(d->sws);
+    d->sws = sws_getContext(w, h, fmt, w, h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                            nullptr, nullptr, nullptr);
+    d->sws_w = w;
+    d->sws_h = h;
+    d->sws_fmt = fmt;
+  }
+  uint8_t* dst[1] = {out};
+  const int dst_stride[1] = {w * 3};
+  sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst, dst_stride);
+  av_frame_unref(d->frame);
+  if (out_w != nullptr) *out_w = w;
+  if (out_h != nullptr) *out_h = h;
+  return 1;
+}
+
+void fx_dec_close(void* dec) { delete static_cast<Decoder*>(dec); }
+
+}  // extern "C"

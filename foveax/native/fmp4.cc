@@ -93,9 +93,13 @@ class BoxWriter {
 extern "C" {
 
 // ftyp + moov(mvhd, trak, mvex).  Returns bytes written, or -1 on
-// insufficient capacity.
-int fvx_init_segment(uint32_t width, uint32_t height, const char sample_format[4],
-                     uint8_t* out, int cap) {
+// insufficient capacity.  cfg_fourcc/cfg/cfg_len (nullable) append a codec
+// configuration box inside the visual sample entry — e.g. avcC for avc1
+// samples from the H.264 wire codec (foveax/native/codec.cc).
+int fvx_init_segment_cfg(uint32_t width, uint32_t height,
+                         const char sample_format[4], const char* cfg_fourcc,
+                         const uint8_t* cfg, int cfg_len, uint8_t* out,
+                         int cap) {
   BoxWriter w(out, cap);
 
   int ftyp = w.open("ftyp");
@@ -181,6 +185,11 @@ int fvx_init_segment(uint32_t width, uint32_t height, const char sample_format[4
   w.zeros(32);                 // compressor name
   w.u16(24);                   // depth
   w.u16(0xFFFF);               // predefined -1
+  if (cfg_fourcc != nullptr && cfg != nullptr && cfg_len > 0) {
+    int cfgbox = w.open(cfg_fourcc);
+    w.raw(cfg, cfg_len);
+    w.close(cfgbox);
+  }
   w.close(entry);
   w.close(stsd);
 
@@ -206,6 +215,13 @@ int fvx_init_segment(uint32_t width, uint32_t height, const char sample_format[4
 
   w.close(moov);
   return w.pos();
+}
+
+// Back-compat entry point: no codec configuration box.
+int fvx_init_segment(uint32_t width, uint32_t height,
+                     const char sample_format[4], uint8_t* out, int cap) {
+  return fvx_init_segment_cfg(width, height, sample_format, nullptr, nullptr,
+                              0, out, cap);
 }
 
 // moof + mdat for one sample.  Returns bytes written, or -1.
@@ -279,6 +295,9 @@ struct Demuxer {
   uint32_t height = 0;
   uint32_t last_seq = 0;
   bool header_seen = false;
+  char sample_format[4] = {0, 0, 0, 0};   // stsd entry fourcc (e.g. avc1)
+  char config_fourcc[4] = {0, 0, 0, 0};   // e.g. avcC — zeroes if none
+  std::vector<uint8_t> codec_config;      // config box payload
 };
 
 uint32_t rd32(const uint8_t* p) {
@@ -300,6 +319,26 @@ void for_boxes(const uint8_t* p, size_t len, Fn fn) {
   }
 }
 
+// Visual sample entry: 78 fixed bytes after the entry header, then
+// optional codec configuration child boxes (ISO 14496-12 section 12.1.3).
+constexpr size_t kVisualSampleEntryFixed = 78;
+
+void parse_stsd(Demuxer* d, const uint8_t* body, size_t blen) {
+  if (blen < 16) return;  // version/flags(4) + count(4) + one entry header
+  const uint8_t* entry = body + 8;
+  size_t elen = rd32(entry);
+  if (elen < 8 || elen > blen - 8) return;
+  std::memcpy(d->sample_format, entry + 4, 4);
+  size_t pos = 8 + kVisualSampleEntryFixed;
+  while (pos + 8 <= elen) {
+    uint32_t csize = rd32(entry + pos);
+    if (csize < 8 || pos + csize > elen) break;
+    std::memcpy(d->config_fourcc, entry + pos + 4, 4);
+    d->codec_config.assign(entry + pos + 8, entry + pos + csize);
+    break;  // first config box only (mirrors the Python demuxer)
+  }
+}
+
 void parse_moov(Demuxer* d, const uint8_t* payload, size_t len) {
   d->header_seen = true;
   for_boxes(payload, len, [&](const uint8_t* fourcc, const uint8_t* body,
@@ -307,10 +346,24 @@ void parse_moov(Demuxer* d, const uint8_t* payload, size_t len) {
     if (!is4(fourcc, "trak")) return;
     for_boxes(body, blen, [&](const uint8_t* f2, const uint8_t* b2,
                               size_t l2) {
-      if (!is4(f2, "tkhd") || l2 < 8) return;
-      // width/height are the last two u32 (16.16 fixed) of tkhd.
-      d->width = rd32(b2 + l2 - 8) >> 16;
-      d->height = rd32(b2 + l2 - 4) >> 16;
+      if (is4(f2, "tkhd") && l2 >= 8) {
+        // width/height are the last two u32 (16.16 fixed) of tkhd.
+        d->width = rd32(b2 + l2 - 8) >> 16;
+        d->height = rd32(b2 + l2 - 4) >> 16;
+      } else if (is4(f2, "mdia")) {
+        for_boxes(b2, l2, [&](const uint8_t* f3, const uint8_t* b3,
+                              size_t l3) {
+          if (!is4(f3, "minf")) return;
+          for_boxes(b3, l3, [&](const uint8_t* f4, const uint8_t* b4,
+                                size_t l4) {
+            if (!is4(f4, "stbl")) return;
+            for_boxes(b4, l4, [&](const uint8_t* f5, const uint8_t* b5,
+                                  size_t l5) {
+              if (is4(f5, "stsd")) parse_stsd(d, b5, l5);
+            });
+          });
+        });
+      }
     });
   });
 }
@@ -380,6 +433,21 @@ int fvx_demux_info(void* h, uint32_t* width, uint32_t* height,
   *last_seq = d->last_seq;
   *header_seen = d->header_seen ? 1 : 0;
   return 0;
+}
+
+// Sample-entry codec info parsed from moov/stsd.  fourcc_out/cfg_fourcc_out
+// get 4 bytes each (zeroes when absent).  Returns the config payload length
+// (copied into cfg up to cap; -(length) if cap is too small).
+int fvx_demux_codec(void* h, char* fourcc_out, char* cfg_fourcc_out,
+                    uint8_t* cfg, int cap) {
+  Demuxer* d = static_cast<Demuxer*>(h);
+  std::memcpy(fourcc_out, d->sample_format, 4);
+  std::memcpy(cfg_fourcc_out, d->config_fourcc, 4);
+  int n = int(d->codec_config.size());
+  if (n == 0) return 0;
+  if (n > cap) return -n;
+  std::memcpy(cfg, d->codec_config.data(), size_t(n));
+  return n;
 }
 
 }  // extern "C"

@@ -3,7 +3,9 @@
 The reference client (src/video_client.cc) couples websocket receive, FFmpeg
 streaming decode, the OpenCL unwarp, and an SDL/OpenGL renderer via CL-GL
 interop.  The TPU has no display interop; foveax's client demuxes fragments,
-JPEG-decodes the reduced frame, unwarps on device, and hands full frames to
+decodes the reduced frame (H.264/VP9/JPEG — the codec is read from the
+stream's sample entry, like the reference's streaming-probed decode,
+src/video_client.cc:167-181), unwarps on device, and hands full frames to
 a pluggable sink (PNG dump, callback, or nothing — for latency measurement).
 
 Per-phase latency accounting mirrors the reference's receive/decode/unwarp
@@ -22,7 +24,7 @@ import numpy as np
 
 from foveax.config import FoveaxConfig
 from foveax.io.mux import make_fragment_reader
-from foveax.io.video import decode_jpeg
+from foveax.io.wirecodec import make_wire_decoder
 from foveax.serve import protocol
 from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, VideoRequest
 
@@ -122,8 +124,14 @@ class FoveaxClient:
         cfg = self.config
         pipeline = FoveationPipeline(cfg)
         demux = make_fragment_reader()
+        decoder = None  # built after the header announces the codec
         pending_meta: FrameMeta | None = None
         last_recv = time.perf_counter()
+        # Pacing floor on outgoing gaze requests (the reference enforces
+        # >=5 ms per client loop iteration, src/video_client.h:60,
+        # src/video_client.cc:352-355).
+        floor_s = cfg.client_loop_floor_ms / 1e3
+        last_request_at = -float("inf")
 
         async with websockets.connect(
             self.uri, max_size=64 * 1024 * 1024
@@ -153,11 +161,38 @@ class FoveaxClient:
                 # Binary: header or fragment.
                 recv_ms = (time.perf_counter() - last_recv) * 1e3
                 samples = demux.feed(bytes(raw))
+                if decoder is None and demux.header_seen:
+                    # Reconcile the stream's dimensions with the local
+                    # pipeline before decoding anything: a server/client
+                    # resolution mismatch must fail loudly, not produce
+                    # geometrically wrong restored frames.
+                    if (demux.width, demux.height) != (
+                        cfg.reduced_width,
+                        cfg.reduced_height,
+                    ):
+                        raise ValueError(
+                            f"stream is {demux.width}x{demux.height} but the "
+                            f"client pipeline expects "
+                            f"{cfg.reduced_width}x{cfg.reduced_height}; "
+                            f"pass a config matching the server's source"
+                        )
+                    decoder = make_wire_decoder(
+                        getattr(demux, "sample_format", None),
+                        getattr(demux, "codec_config", None),
+                    )
                 for sample in samples:
                     meta = pending_meta
                     t0 = time.perf_counter()
-                    reduced = decode_jpeg(sample)
+                    reduced = decoder.decode(sample)
                     dec_ms = (time.perf_counter() - t0) * 1e3
+                    if reduced is None:
+                        continue  # decoder delay (not foveax streams)
+                    if reduced.shape[:2] != (cfg.reduced_height, cfg.reduced_width):
+                        raise ValueError(
+                            f"decoded sample is {reduced.shape[1]}x"
+                            f"{reduced.shape[0]}, expected "
+                            f"{cfg.reduced_width}x{cfg.reduced_height}"
+                        )
 
                     center = (
                         self._gaze_by_frame.get(meta.frameNum, (0.5, 0.5))
@@ -189,6 +224,8 @@ class FoveaxClient:
                     if self.gaze_source is not None:
                         gaze = self.gaze_source(self.stats.frames)
                         if (
+                            time.perf_counter() - last_request_at >= floor_s
+                        ) and (
                             self._last_sent_gaze is None
                             or abs(gaze[0] - self._last_sent_gaze[0]) > 1e-5
                             or abs(gaze[1] - self._last_sent_gaze[1]) > 1e-5
@@ -204,6 +241,7 @@ class FoveaxClient:
                                 )
                             )
                             self._last_sent_gaze = gaze
+                            last_request_at = time.perf_counter()
                             self._gaze_sent_at.setdefault(
                                 (round(gaze[0], 5), round(gaze[1], 5)),
                                 time.perf_counter(),

@@ -21,13 +21,15 @@ from __future__ import annotations
 import asyncio
 import logging
 import time
+from collections import OrderedDict
 from pathlib import Path
 
 import numpy as np
 
 from foveax.config import FoveaxConfig
 from foveax.io.mux import FragmentWriter
-from foveax.io.video import encode_jpeg, open_video
+from foveax.io.video import open_video
+from foveax.io.wirecodec import available_wire_codecs, make_wire_encoder
 from foveax.pipeline.frames import FoveationPipeline
 from foveax.serve import protocol
 from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, VideoRequest
@@ -41,8 +43,17 @@ def _log_task_failure(task: asyncio.Task) -> None:
     if task.cancelled():
         return
     exc = task.exception()
-    if exc is not None:
-        log.error("session task failed: %r", exc)
+    if exc is None:
+        return
+    try:
+        import websockets
+
+        if isinstance(exc, websockets.ConnectionClosed):
+            log.info("session ended: peer closed the connection")
+            return
+    except ImportError:  # pragma: no cover
+        pass
+    log.error("session task failed: %r", exc)
 
 
 class Session:
@@ -56,6 +67,7 @@ class Session:
         self.prev_center = (0.5, 0.5)
         self.reader = None
         self.mux: FragmentWriter | None = None
+        self.wire = None  # per-session wire encoder (inter-frame state)
         self.send_task: asyncio.Task | None = None
         self.channel = None  # BroadcastChannel membership
         self.frames_sent = 0
@@ -63,6 +75,9 @@ class Session:
         self._read_future = None  # in-flight executor decode, if any
         # Adaptive quality (AIMD): backlog-dropped frames cut the JPEG
         # quality multiplicatively; sustained clean delivery restores it.
+        # (Inter-frame codecs hold their rate target; their adaptation is
+        # drop-before-encode, which keeps encoder state consistent with
+        # the bytes actually sent.)
         self.quality = float(server.jpeg_quality)
         self._clean_streak = 0
 
@@ -119,6 +134,9 @@ class Session:
                 except Exception:
                     pass
             self.reader.close()
+        if self.wire is not None:
+            self.wire.close()
+            self.wire = None
 
 
 class BroadcastChannel:
@@ -151,8 +169,13 @@ class BroadcastChannel:
                 self.reader.width, self.reader.height
             )
         cfg = self.pipeline.config
+        session.wire = self.server._make_encoder(cfg)
         self.members[session] = FragmentWriter(
-            cfg.reduced_width, cfg.reduced_height, self.server.config.fps
+            cfg.reduced_width,
+            cfg.reduced_height,
+            self.server.config.fps,
+            session.wire.sample_format,
+            codec_config=session.wire.codec_config,
         )
         if self.task is None:
             self.task = asyncio.create_task(self._loop())
@@ -194,6 +217,11 @@ class BroadcastChannel:
 
     def leave(self, session: Session) -> None:
         self.members.pop(session, None)
+        # Clear the membership pointer here (not only in _teardown) so an
+        # error-evicted but still-connected session can re-request a
+        # stream instead of being silently ignored by _start_stream_inner.
+        if session.channel is self:
+            session.channel = None
         if not self.members and self.task is not None:
             # Remove the channel from the registry synchronously so a
             # concurrent join creates a fresh channel.
@@ -253,34 +281,51 @@ class BroadcastChannel:
                 )[: len(centers)],
             )
 
+            # Per-member encodes run concurrently (cv2/libx264 release the
+            # GIL): the device gives N gazes nearly for free via the
+            # batched vmap, and serial host encodes must not hand that
+            # back at high member counts.  Backlog drops happen *before*
+            # the encode so an inter-frame encoder's state never advances
+            # past the bytes its client actually received.
+            encode_jobs = []  # (session, mux, center, future)
             for i, (session, mux) in enumerate(members):
+                if (
+                    self.server._backlog(session.ws)
+                    > self.server.max_send_backlog
+                ):
+                    session.frames_dropped += 1
+                    self.server.total_dropped += 1
+                    session.on_frame_outcome(True)
+                    continue
+                wire = session.wire
+                if hasattr(wire, "quality"):
+                    wire.quality = session.quality
+                encode_jobs.append(
+                    (
+                        session,
+                        mux,
+                        centers[i],
+                        loop.run_in_executor(None, wire.encode, batch_np[i]),
+                    )
+                )
+            results = await asyncio.gather(
+                *(job[3] for job in encode_jobs), return_exceptions=True
+            )
+            for (session, mux, center, _), result in zip(encode_jobs, results):
                 try:
+                    if isinstance(result, BaseException):
+                        raise result
+                    sample, is_key = result
                     if session not in sent_header:
                         await session.ws.send(mux.header())
                         sent_header.add(session)
-                    # One slow member must not stall the shared clock:
-                    # drop its frame on backlog (same rule as the
-                    # per-connection loop) and let its AIMD quality adapt.
-                    if (
-                        self.server._backlog(session.ws)
-                        > self.server.max_send_backlog
-                    ):
-                        session.frames_dropped += 1
-                        self.server.total_dropped += 1
-                        session.on_frame_outcome(True)
-                        continue
-                    sample = await loop.run_in_executor(
-                        None,
-                        encode_jpeg,
-                        batch_np[i],
-                        int(session.quality),
-                    )
-                    cx, cy = centers[i]
                     meta = FrameMeta(
-                        centerX=cx, centerY=cy, frameNum=frame_num % 256
+                        centerX=center[0],
+                        centerY=center[1],
+                        frameNum=frame_num % 256,
                     )
                     await session.ws.send(protocol.dumps(meta))
-                    await session.ws.send(mux.frame(sample))
+                    await session.ws.send(mux.frame(sample, is_sync=is_key))
                     session.frames_sent += 1
                     self.server.total_sent += 1
                     session.on_frame_outcome(False)
@@ -301,6 +346,9 @@ class FoveaxServer:
         loop_videos: bool = False,
         predict_gaze: bool = False,
         allow_paths: bool = False,
+        wire_codec: str = "auto",
+        wire_bitrate: int = 0,
+        wire_crf: int = 25,
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
@@ -310,6 +358,16 @@ class FoveaxServer:
         self.loop_videos = loop_videos
         self.predict_gaze = predict_gaze
         self.allow_paths = allow_paths
+        # Wire codec: "auto" prefers inter-frame H.264 (the reference's
+        # wire format, src/video_encoder.cc:3-78) and falls back to
+        # intra-only JPEG when the native codec shim is unavailable.
+        if wire_codec == "auto":
+            wire_codec = "h264" if "h264" in available_wire_codecs() else "jpeg"
+        elif wire_codec != "jpeg" and wire_codec not in available_wire_codecs():
+            raise ValueError(f"wire codec {wire_codec!r} unavailable on this host")
+        self.wire_codec = wire_codec
+        self.wire_bitrate = wire_bitrate
+        self.wire_crf = wire_crf
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024
@@ -318,7 +376,13 @@ class FoveaxServer:
         self.channels: dict[str, BroadcastChannel] = {}
         self.total_sent = 0
         self.total_dropped = 0
-        self._pipelines: dict[tuple[int, int], FoveationPipeline] = {}
+        # LRU-bounded: each entry holds compiled XLA executables, and the
+        # key space is remote-influenced (per-resolution) — unbounded
+        # growth would let a client exhaust memory via novel dimensions.
+        self._pipelines: "OrderedDict[tuple[int, int], FoveationPipeline]" = (
+            OrderedDict()
+        )
+        self.max_pipelines = 4
 
     # -- video resolution --------------------------------------------------
 
@@ -330,6 +394,18 @@ class FoveaxServer:
         separators, no traversal.  Synthetic sources are always allowed.
         """
         if name.startswith("synthetic://"):
+            # Clamp remote-controlled synthetic dimensions BEFORE the
+            # reader constructor allocates full-resolution host arrays
+            # (and before each novel (w, h) compiles a pipeline) —
+            # unbounded specs are a memory/CPU exhaustion vector.  8K
+            # area is the largest supported config.
+            from foveax.io.video import parse_synthetic_spec
+
+            w, h, _, _ = parse_synthetic_spec(name)
+            if w * h > 7680 * 4320:
+                raise ValueError(f"synthetic source too large: {name!r}")
+            if w < 8 or h < 8:
+                raise ValueError(f"synthetic source too small: {name!r}")
             return open_video(name, loop=self.loop_videos)
         if self.allow_paths and Path(name).exists():
             # Trusted/local deployments only (--allow-paths).
@@ -348,7 +424,24 @@ class FoveaxServer:
             if (width, height) != (cfg.source_width, cfg.source_height):
                 cfg = cfg.with_source(width, height)
             self._pipelines[key] = FoveationPipeline(cfg)
+            while len(self._pipelines) > self.max_pipelines:
+                self._pipelines.popitem(last=False)
+        self._pipelines.move_to_end(key)
         return self._pipelines[key]
+
+    def _make_encoder(self, cfg: FoveaxConfig):
+        """Per-session wire encoder (inter-frame state is per-client, like
+        the reference's per-connection VideoEncoder, src/video_server.h:41)."""
+        return make_wire_encoder(
+            self.wire_codec,
+            cfg.reduced_width,
+            cfg.reduced_height,
+            self.config.fps,
+            bitrate=self.wire_bitrate,
+            crf=self.wire_crf,
+            gop_size=self.config.gop_size,
+            jpeg_quality=self.jpeg_quality,
+        )
 
     @staticmethod
     def _backlog(ws) -> int:
@@ -427,8 +520,13 @@ class FoveaxServer:
         session.reader = self._resolve(video)
         pipeline = self._pipeline_for(session.reader.width, session.reader.height)
         cfg = pipeline.config
+        session.wire = self._make_encoder(cfg)
         session.mux = FragmentWriter(
-            cfg.reduced_width, cfg.reduced_height, self.config.fps
+            cfg.reduced_width,
+            cfg.reduced_height,
+            self.config.fps,
+            session.wire.sample_format,
+            codec_config=session.wire.codec_config,
         )
         session.send_task = asyncio.create_task(
             self._send_frame_loop(session, pipeline)
@@ -474,26 +572,33 @@ class FoveaxServer:
             next_deadline = max(next_deadline + tick, time.perf_counter())
 
             cx, cy = session.effective_center()
-            quality = int(session.quality)
 
-            def _sample_encode():
-                reduced = pipeline.sample(sat, pipeline.center(cx, cy))
-                return encode_jpeg(np.asarray(reduced), quality)
-
-            sample = await loop.run_in_executor(None, _sample_encode)
-            meta = FrameMeta(centerX=cx, centerY=cy, frameNum=frame_num % 256)
             # Drop-on-backlog: a slow consumer must not stall the frame
             # clock (the reference's analog is its bounded 20x1 ms encoder
             # packet wait before the frame-drop path,
-            # src/video_server.cc:365-374).  The frame is skipped *before*
-            # any bytes go out so the meta/fragment pairing stays intact.
+            # src/video_server.cc:365-374).  The check runs *before* the
+            # encode: an inter-frame encoder's state must never advance
+            # past the bytes the client actually received, and skipping
+            # the device sample + encode entirely is also cheaper.
             dropped = self._backlog(ws) > self.max_send_backlog
             if dropped:
                 session.frames_dropped += 1
                 self.total_dropped += 1
             else:
+                wire = session.wire
+                if hasattr(wire, "quality"):
+                    wire.quality = session.quality
+
+                def _sample_encode():
+                    reduced = pipeline.sample(sat, pipeline.center(cx, cy))
+                    return wire.encode(np.asarray(reduced))
+
+                sample, is_key = await loop.run_in_executor(None, _sample_encode)
+                meta = FrameMeta(
+                    centerX=cx, centerY=cy, frameNum=frame_num % 256
+                )
                 await ws.send(protocol.dumps(meta))
-                await ws.send(mux.frame(sample))
+                await ws.send(mux.frame(sample, is_sync=is_key))
                 session.frames_sent += 1
                 self.total_sent += 1
             session.on_frame_outcome(dropped)
