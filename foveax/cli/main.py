@@ -471,6 +471,43 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_ladder(args) -> int:
+    """Bitrate ladder: bandwidth-vs-quality per technique through a real
+    rate-controlled encode (the paper's headline comparison; reference
+    chain: src/run_satlogrectilinear.cc:660-763 + src/video_encoder.cc:
+    210-342).  Prints a markdown table."""
+    from foveax.cli.ladder import format_table, run_ladder
+    from foveax.config import FoveaxConfig
+    from foveax.io.wirecodec import available_wire_codecs
+
+    if args.codec not in available_wire_codecs():
+        print(
+            f"codec {args.codec!r} unavailable (native shim not built)",
+            file=sys.stderr,
+        )
+        return 1
+    gaze = _gaze_fn(args)
+    with _open_reader(args.video) as r:
+        cfg = FoveaxConfig().with_source(r.width, r.height)
+        fps = r.fps
+        frames = []
+        for frame in r:
+            frames.append(frame)
+            if args.max_frames and len(frames) >= args.max_frames:
+                break
+    rungs = run_ladder(
+        frames,
+        gaze,
+        cfg,
+        bitrates_kbps=args.bitrates,
+        techniques=args.techniques,
+        fps=fps,
+        codec=args.codec,
+    )
+    print(format_table(rungs))
+    return 0
+
+
 def cmd_interpolate_sampled(args) -> int:
     """Foveate + unwarp one frame, save all three stages (reference:
     src/run_satlogrectilinear.cc:330-417)."""
@@ -503,7 +540,7 @@ def _transcode(args, mode: str) -> int:
     import jax.numpy as jnp
 
     from foveax.config import FoveaxConfig
-    from foveax.io.video import VideoWriter
+    from foveax.io.video import open_video_writer
     from foveax.pipeline.frames import FoveationPipeline
 
     gaze = _gaze_fn(args)
@@ -539,8 +576,18 @@ def _transcode(args, mode: str) -> int:
         from foveax.pipeline.profiling import StageTimer
         from foveax.pipeline.runner import run_transcode
 
-        with VideoWriter(
-            args.output, out_size[0], out_size[1], fps=r.fps, quality=args.quality
+        # --bitrate selects the native rate-controlled encoder (the
+        # reference's encode_bitrate takes an explicit bits/s argument,
+        # src/run_satlogrectilinear.cc:669-676); --quality keeps the
+        # OpenCV writer.
+        with open_video_writer(
+            args.output,
+            out_size[0],
+            out_size[1],
+            fps=r.fps,
+            bitrate=getattr(args, "bitrate", None),
+            quality=args.quality,
+            codec=getattr(args, "codec", None),
         ) as w:
             timer = run_transcode(
                 r,
@@ -553,6 +600,9 @@ def _transcode(args, mode: str) -> int:
             n = w.n_written
     dt = time.perf_counter() - t0
     print(f"{mode}: {n} frames -> {args.output} in {dt:.1f}s ({n / dt:.1f} fps)")
+    if getattr(w, "bytes_written", 0) and n:
+        kbps = w.bytes_written * 8 * r.fps / n / 1e3
+        print(f"achieved rate: {kbps:.0f} kbit/s at {r.fps:.0f} fps")
     if getattr(args, "profile", False):
         print(timer.report(), file=sys.stderr)
     return 0
@@ -808,6 +858,26 @@ def build_parser() -> argparse.ArgumentParser:
     _add_io_args(p)
     p.set_defaults(fn=cmd_quality)
 
+    p = sub.add_parser(
+        "ladder", help="bitrate-vs-PSNR ladder through a real encoder"
+    )
+    p.add_argument("video")
+    p.add_argument("--max-frames", type=int, default=30)
+    p.add_argument(
+        "--bitrates", nargs="*", type=float,
+        default=[500, 1000, 2000, 4000, 8000], help="ladder rungs, kbit/s",
+    )
+    p.add_argument(
+        "--techniques", nargs="*",
+        choices=["logrect", "logpolar", "downsample"],
+        default=["logrect", "logpolar", "downsample"],
+    )
+    p.add_argument(
+        "--codec", default="h264", choices=["h264", "vp9", "mpeg4"]
+    )
+    _add_io_args(p)
+    p.set_defaults(fn=cmd_ladder)
+
     p = sub.add_parser("perf", help="device-path fps across resolutions")
     p.add_argument(
         "--resolutions", nargs="*", choices=["1080p", "4k", "8k"], default=None
@@ -863,6 +933,16 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("video")
         p.add_argument("output")
         p.add_argument("--quality", type=float, default=None)
+        p.add_argument(
+            "--bitrate", type=int, default=None,
+            help="explicit bits/s via the native rate-controlled encoder "
+            "(reference: src/run_satlogrectilinear.cc:669-676)",
+        )
+        p.add_argument(
+            "--codec", default=None,
+            choices=["mp4v", "h264", "vp9", "mpeg4"],
+            help="output codec (non-mp4v selects the native writer)",
+        )
         p.add_argument("--max-frames", type=int)
         p.add_argument("--width", type=int)
         p.add_argument("--height", type=int)

@@ -224,6 +224,98 @@ class VideoWriter:
         self.close()
 
 
+class NativeVideoWriter:
+    """File writer through foveax's own stack: native wire encoder
+    (H.264/VP9/MPEG-4 with real rate control) + in-house fMP4 muxer.
+
+    This is the analog of the reference's file-mux-with-explicit-bitrate
+    encoder (reference: src/video_encoder.cc:210-342) — the OpenCV
+    ``VideoWriter`` above cannot target a bitrate (its quality property is
+    silently ignored by many codecs)."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        width: int,
+        height: int,
+        fps: float = 30.0,
+        *,
+        codec: str = "h264",
+        bitrate: int = 0,
+        crf: int = 25,
+        gop_size: int = 30,
+    ):
+        from foveax.io.mux import FragmentWriter
+        from foveax.io.wirecodec import make_wire_encoder
+
+        self._enc = make_wire_encoder(
+            codec, width, height, fps, bitrate=bitrate, crf=crf, gop_size=gop_size
+        )
+        self._mux = FragmentWriter(
+            width,
+            height,
+            fps,
+            self._enc.sample_format,
+            codec_config=self._enc.codec_config,
+        )
+        self._f = open(path, "wb")
+        self._f.write(self._mux.header())
+        self.width, self.height = width, height
+        self.n_written = 0
+        self.bytes_written = 0  # sample payload bytes (rate-control signal)
+
+    def write(self, frame_rgb: np.ndarray) -> None:
+        frame_rgb = np.asarray(frame_rgb)
+        if frame_rgb.shape[:2] != (self.height, self.width):
+            raise ValueError(
+                f"frame {frame_rgb.shape[:2]} != writer {(self.height, self.width)}"
+            )
+        sample, is_key = self._enc.encode(frame_rgb)
+        self._f.write(self._mux.frame(sample, is_sync=is_key))
+        self.n_written += 1
+        self.bytes_written += len(sample)
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self._f.close()
+        self._enc.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_video_writer(
+    path: str | Path,
+    width: int,
+    height: int,
+    fps: float = 30.0,
+    *,
+    bitrate: int | None = None,
+    quality: float | None = None,
+    codec: str | None = None,
+):
+    """Pick the writer: explicit bitrate (or an inter-frame codec request)
+    needs the native stack; otherwise the OpenCV writer."""
+    from foveax.io.wirecodec import available_wire_codecs
+
+    want_native = bitrate is not None or (codec not in (None, "mp4v"))
+    if want_native:
+        chosen = codec or "h264"
+        if chosen not in available_wire_codecs():
+            raise RuntimeError(
+                f"codec {chosen!r} needs the native shim (unavailable); "
+                "omit --bitrate to use the OpenCV writer"
+            )
+        return NativeVideoWriter(
+            path, width, height, fps, codec=chosen, bitrate=bitrate or 0,
+            crf=-1 if bitrate else 25,
+        )
+    return VideoWriter(path, width, height, fps, quality=quality)
+
+
 # --- in-memory intra-frame codec for the low-latency streaming path -------
 
 

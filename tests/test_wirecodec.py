@@ -272,3 +272,65 @@ def test_wire_bandwidth_beats_jpeg_at_matched_psnr():
 
     assert np.mean(h264_psnr) > np.mean(jpeg_psnr) - 0.5
     assert h264_bytes < jpeg_bytes / 1.3
+
+
+@needs_codec
+def test_native_video_writer_file_roundtrip(tmp_path):
+    """NativeVideoWriter (encode_bitrate --bitrate backend) writes MP4
+    files standard decoders read back frame-for-frame."""
+    cv2 = pytest.importorskip("cv2")
+    from foveax.io.video import NativeVideoWriter
+
+    frames = _smooth_frames(10)
+    path = tmp_path / "out.mp4"
+    with NativeVideoWriter(path, W, H, 30.0, bitrate=500_000, crf=-1) as w:
+        for f in frames:
+            w.write(f)
+    assert w.n_written == 10 and w.bytes_written > 0
+    cap = cv2.VideoCapture(str(path))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 10
+
+
+@needs_codec
+def test_open_video_writer_selects_backend(tmp_path):
+    from foveax.io.video import NativeVideoWriter, VideoWriter, open_video_writer
+
+    w1 = open_video_writer(tmp_path / "a.mp4", W, H, 30.0, bitrate=300_000)
+    assert isinstance(w1, NativeVideoWriter)
+    w1.close()
+    w2 = open_video_writer(tmp_path / "b.mp4", W, H, 30.0, quality=80)
+    assert isinstance(w2, VideoWriter)
+    w2.close()
+
+
+@needs_codec
+def test_ladder_smoke():
+    """Ladder rungs: real rate control moves actual kbps with the target,
+    and the foveated technique beats uniform downsampling where the user
+    looks (the paper's core claim)."""
+    from foveax.cli.ladder import run_ladder
+    from foveax.config import FoveaxConfig
+
+    # High-frequency content: uniform downsampling destroys the fovea,
+    # log-rect preserves it exactly — smooth content would make the
+    # baseline trivially lossless at this small reduction ratio.
+    frames = _frames(8, 192, 112)
+    cfg = FoveaxConfig(
+        source_width=192, source_height=112, reduced_width=112, reduced_height=64
+    )
+    rungs = run_ladder(
+        frames,
+        lambda i: (0.5, 0.5),
+        cfg,
+        bitrates_kbps=(200, 1500),
+        techniques=("logrect", "downsample"),
+    )
+    by = {(r.technique, r.target_kbps): r for r in rungs}
+    assert by[("logrect", 1500.0)].actual_kbps > by[("logrect", 200.0)].actual_kbps
+    hi_lr = by[("logrect", 1500.0)]
+    hi_ds = by[("downsample", 1500.0)]
+    assert hi_lr.foveal > hi_ds.foveal  # sharper at the gaze
