@@ -105,6 +105,75 @@ def sample_rect(
     return out
 
 
+def sample_rect_360(
+    sat: np.ndarray,
+    grid: np.ndarray,
+    center: tuple[float, float],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense golden of ``sample_rect_360_kernel`` (reference:
+    src/sat_decoder_sample_rect_kernel.cl:298-382) — the second sampling
+    kernel, whose indexing is genuinely distinct from ``sample_rect_kernel``:
+    the grid is read as FLAT short2 *pairs* at ``(j+2)*gw + (i+2)`` (high
+    edge) and ``(j+2)*gw + (i-1)`` (low edge), both deltas of each edge
+    coming from the same pair cell.
+
+    Consequences transcribed faithfully:
+      * the box is 3 grid cells wide in x and 1 source row tall in y
+        (both edges read y-deltas from grid row j+2);
+      * at i=0 / i=Wo-1 the flat index rolls into the neighboring grid
+        row (deterministic — reproduced here);
+      * for output rows where ``(j+2)*gw + (i+2)`` reaches past the grid
+        buffer the reference reads out-of-bounds GPU memory (undefined).
+        Those texels are excluded via the returned ``defined`` mask.
+
+    Returns ``(out_u8, defined)`` where comparisons are meaningful only at
+    ``defined`` texels (the kernel's own validity rule is folded in).
+    """
+    _, hs, ws = sat.shape
+    gh, gw, _ = grid.shape
+    ho, wo = gh - 1, gw - 1
+    cx = int(np.float32(center[0]) * np.float32(ws))
+    cy = int(np.float32(center[1]) * np.float32(hs))
+
+    pairs = grid.reshape(-1, 2).astype(np.int64)  # flat short2 buffer
+    jj, ii = np.mgrid[0:ho, 0:wo]
+    flat_hi = (jj + 2) * gw + (ii + 2)
+    flat_lo = (jj + 2) * gw + (ii - 1)
+    defined = flat_hi < gh * gw  # flat_lo >= 2*gw-1 >= 0 always
+    fh = np.clip(flat_hi, 0, gh * gw - 1)
+    fl = np.clip(flat_lo, 0, gh * gw - 1)
+    px = cx + pairs[fh, 0]
+    py = cy + pairs[fh, 1]
+    pxm = cx + pairs[fl, 0]
+    pym = cy + pairs[fl, 1]
+
+    # From here the kernel body is identical to sample_rect_kernel
+    # (same wrap / validity / clamp / 4-tap, :327-381).
+    hi = (px >= ws) & (pxm >= ws)
+    lo = (px < 0) & (pxm < 0)
+    px = px - ws * hi + ws * lo
+    pxm = pxm - ws * hi + ws * lo
+
+    valid = (((px >= 0) & (px < ws)) | ((pxm >= 0) & (pxm < ws))) & (
+        ((py >= 0) & (py < hs)) | ((pym >= 0) & (pym < hs))
+    )
+    px = np.clip(px, 1, ws - 1)
+    py = np.clip(py, 1, hs - 1)
+    pxm = np.clip(pxm, 0, px - 1)
+    pym = np.clip(pym, 0, py - 1)
+
+    keep = valid & defined
+    out = np.zeros((ho, wo, 3), dtype=np.uint8)
+    rect = ((px - pxm) * (py - pym)).astype(np.uint32)
+    for c in range(3):
+        plane = sat[c]
+        box = (
+            plane[py, px] - plane[pym, px] + plane[pym, pxm] - plane[py, pxm]
+        ).astype(np.uint32)
+        out[..., c] = np.where(keep, (box // rect).astype(np.uint8), 0)
+    return out, defined
+
+
 def sample_box_bruteforce(
     frame: np.ndarray,
     grid: np.ndarray,

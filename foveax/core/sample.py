@@ -117,6 +117,86 @@ def sample_rect_from_sat(
     return out.transpose(1, 2, 0)
 
 
+def sample_rect_360_from_sat(
+    sat: jax.Array,
+    grid: LogRectGrid,
+    center: jax.Array,
+    *,
+    out_layout: str = "hwc",
+) -> jax.Array:
+    """Faithful port of the reference's *second* sampling kernel,
+    ``sample_rect_360_kernel`` (reference:
+    src/sat_decoder_sample_rect_kernel.cl:298-382).
+
+    Its grid indexing is genuinely distinct from ``sample_rect_kernel``:
+    deltas are read as flat short2 pairs at ``(j+2)*gw + (i+2)`` and
+    ``(j+2)*gw + (i-1)``, so (a) the x-box spans 3 grid cells, (b) both
+    edges take their y-delta from grid row j+2 (making the y-box one
+    source row tall after the clamp), and (c) at the first/last output
+    column the flat index rolls into the adjacent grid row.  The reference
+    reads out of the grid buffer entirely for the rows where
+    ``(j+2)*gw + (i+2) >= gh*gw``; those texels are zeroed here (the
+    returned image is only defined where the golden's ``defined`` mask
+    holds — see foveax.core.golden.sample_rect_360).
+
+    Not a hot path (no reference driver calls its host wrapper either,
+    src/sat_decoder.cc:350-398); implemented with dense 2-D index maps
+    rather than the separable fast path of ``sample_rect_from_sat``.
+    """
+    import numpy as np
+
+    _, hs, ws = sat.shape
+    wo, ho = grid.out_width, grid.out_height
+    gw, gh = wo + 1, ho + 1
+    cx = (center[0] * jnp.float32(ws)).astype(jnp.int32)
+    cy = (center[1] * jnp.float32(hs)).astype(jnp.int32)
+
+    # Flat pair index maps are compile-time constants (NumPy); the grid
+    # vectors stay traced (separable: flat pair cell k holds
+    # (gx[k % gw], gy[k // gw])), the gaze stays traced.
+    jj, ii = np.mgrid[0:ho, 0:wo]
+    flat_hi = (jj + 2) * gw + (ii + 2)
+    flat_lo = (jj + 2) * gw + (ii - 1)
+    defined = flat_hi < gh * gw
+    fh = np.clip(flat_hi, 0, gh * gw - 1)
+    fl = np.clip(flat_lo, 0, gh * gw - 1)
+
+    gx = grid.gx.astype(jnp.int32)
+    gy = grid.gy.astype(jnp.int32)
+    px = cx + gx[jnp.asarray(fh % gw)]
+    py = cy + gy[jnp.asarray(fh // gw)]
+    pxm = cx + gx[jnp.asarray(fl % gw)]
+    pym = cy + gy[jnp.asarray(fl // gw)]
+
+    # Shared tail of both kernels: wrap, validity, clamp, 4-tap box.
+    wrap_hi = (px >= ws) & (pxm >= ws)
+    wrap_lo = (px < 0) & (pxm < 0)
+    shift = jnp.where(wrap_hi, -ws, jnp.where(wrap_lo, ws, 0))
+    px = px + shift
+    pxm = pxm + shift
+
+    valid = (((px >= 0) & (px < ws)) | ((pxm >= 0) & (pxm < ws))) & (
+        ((py >= 0) & (py < hs)) | ((pym >= 0) & (pym < hs))
+    )
+    pxc = jnp.clip(px, 1, ws - 1)
+    pyc = jnp.clip(py, 1, hs - 1)
+    pxmc = jnp.clip(pxm, 0, pxc - 1)
+    pymc = jnp.clip(pym, 0, pyc - 1)
+
+    br = sat[:, pyc, pxc]
+    tr = sat[:, pymc, pxc]
+    tl = sat[:, pymc, pxmc]
+    bl = sat[:, pyc, pxmc]
+    rect = ((pyc - pymc) * (pxc - pxmc)).astype(jnp.uint32)
+    vals = _exact_box_div(br - tr + tl - bl, rect[None]).astype(jnp.uint8)
+
+    keep = (valid & jnp.asarray(defined))[None]
+    out = jnp.where(keep, vals, jnp.uint8(0))
+    if out_layout == "chw":
+        return out
+    return out.transpose(1, 2, 0)
+
+
 def expand_sampled_rect(
     reduced: jax.Array,
     out_width: int,

@@ -177,6 +177,11 @@ void* fx_enc_open(const char* codec_name, int width, int height, double fps,
     av_opt_set(c->priv_data, "preset", "veryfast", 0);
     av_opt_set(c->priv_data, "tune", "zerolatency", 0);
     if (crf >= 0) av_opt_set_int(c->priv_data, "crf", crf, 0);
+    // Sliced threading: parallel encode within one frame, zero added
+    // latency (frame threading would queue frames — the delay the
+    // reference kills via its NVENC async_depth hack).
+    c->thread_count = 4;
+    c->thread_type = FF_THREAD_SLICE;
   } else if (std::strncmp(codec_name, "libvpx", 6) == 0) {
     av_opt_set(c->priv_data, "deadline", "realtime", 0);
     av_opt_set_int(c->priv_data, "cpu-used", 8, 0);

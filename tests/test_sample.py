@@ -147,3 +147,66 @@ def test_expand_sampled_scatter(small_frame):
     assert hits >= 4
     # Sparse: most of the canvas stays black.
     assert (out == 0).mean() > 0.9
+
+
+# --- sample_rect_360_kernel differential golden (round 2) -------------------
+
+
+class TestSample360:
+    """The reference's second sampling kernel has genuinely distinct
+    indexing (flat short2 pairs, reference:
+    src/sat_decoder_sample_rect_kernel.cl:298-382).  These tests prove the
+    device port reproduces the transcribed semantics exactly — replacing
+    round-1 PARITY.md's untested 'wrap_x covers both kernels' claim."""
+
+    def setup_method(self):
+        self.src_w, self.src_h = 64, 40
+        self.out_w, self.out_h = 32, 20
+        rng = np.random.default_rng(7)
+        self.frame = rng.integers(0, 256, (self.src_h, self.src_w, 3), np.uint8)
+        self.gj, self.dense = _grids(
+            self.out_w, self.out_h, self.src_w, self.src_h
+        )
+        self.sat_np = golden.build_sat(self.frame)
+        self.sat = build_sat(jnp.asarray(self.frame))
+
+    @pytest.mark.parametrize("center", CENTERS)
+    def test_device_matches_golden_exactly(self, center):
+        from foveax.core.sample import sample_rect_360_from_sat
+
+        want, defined = golden.sample_rect_360(self.sat_np, self.dense, center)
+        got = np.asarray(
+            jax.jit(sample_rect_360_from_sat, static_argnames="out_layout")(
+                self.sat, self.gj, jnp.asarray(center, jnp.float32)
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        # The undefined band (reference reads past its grid buffer there)
+        # is zeroed on both sides.
+        assert not defined[-1].any()
+        assert (got[~defined[..., None].repeat(3, -1)] == 0).all()
+
+    def test_seam_wrap_actually_triggers(self):
+        """The x-wraparound block must be live at seam gazes — guards the
+        test from silently comparing only the interior."""
+        g = self.dense.astype(np.int64)
+        pairs = g.reshape(-1, 2)
+        gw = self.out_w + 1
+        jj, ii = np.mgrid[0 : self.out_h, 0 : self.out_w]
+        fh = np.clip((jj + 2) * gw + (ii + 2), 0, pairs.shape[0] - 1)
+        fl = np.clip((jj + 2) * gw + (ii - 1), 0, pairs.shape[0] - 1)
+        for cx, expect_hi, expect_lo in [(0.98, True, False), (0.02, False, True)]:
+            cxi = int(np.float32(cx) * np.float32(self.src_w))
+            px = cxi + pairs[fh, 0]
+            pxm = cxi + pairs[fl, 0]
+            assert ((px >= self.src_w) & (pxm >= self.src_w)).any() == expect_hi
+            assert ((px < 0) & (pxm < 0)).any() == expect_lo
+
+    def test_360_box_differs_from_rect_kernel(self):
+        """Documents that the two reference kernels are NOT pixel-equivalent
+        (the 360 variant has a 3-cell x-box and 1-row y-box): if this ever
+        starts passing, the port regressed into the rect kernel."""
+        center = (0.5, 0.5)
+        want360, defined = golden.sample_rect_360(self.sat_np, self.dense, center)
+        rect = golden.sample_rect(self.sat_np, self.dense, center)
+        assert (want360[defined] != rect[defined]).any()
