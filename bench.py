@@ -55,8 +55,9 @@ def main() -> None:
         # dispatch (see foveax.pipeline.runner).
         sat = build_sat(frame_chw, in_layout="chw")
         reduced = sample_rect_from_sat(sat, grid, center, out_layout="chw")
-        # precision="fast" routes the column selection through one-hot MXU
-        # matmuls; bounded at 1 LSB deviation — within the project target.
+        # precision="fast" quantizes the vertical blend to uint8 first,
+        # halving the column gathers (two uint8 gathers instead of four);
+        # bounded at 1 LSB deviation — within the project target.
         restored = unwarp_rect(
             reduced,
             src_w,

@@ -35,6 +35,8 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <unistd.h>
+
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -179,9 +181,19 @@ void* fx_enc_open(const char* codec_name, int width, int height, double fps,
     if (crf >= 0) av_opt_set_int(c->priv_data, "crf", crf, 0);
     // Sliced threading: parallel encode within one frame, zero added
     // latency (frame threading would queue frames — the delay the
-    // reference kills via its NVENC async_depth hack).
-    c->thread_count = 4;
-    c->thread_type = FF_THREAD_SLICE;
+    // reference kills via its NVENC async_depth hack).  Capped at the
+    // cores actually available: surplus slice threads are pure wake-up
+    // overhead, and with many per-session encoders on a small host the
+    // idle pools thrash the scheduler (measured 40x round-robin slowdown
+    // at 32 encoders x 4 threads on one core).
+    long cores = sysconf(_SC_NPROCESSORS_ONLN);
+    int threads = cores < 1 ? 1 : (cores > 4 ? 4 : int(cores));
+    if (threads > 1) {
+      c->thread_count = threads;
+      c->thread_type = FF_THREAD_SLICE;
+    } else {
+      c->thread_count = 1;
+    }
   } else if (std::strncmp(codec_name, "libvpx", 6) == 0) {
     av_opt_set(c->priv_data, "deadline", "realtime", 0);
     av_opt_set_int(c->priv_data, "cpu-used", 8, 0);
