@@ -5,16 +5,24 @@ paths CI would.
 Note: env vars (JAX_PLATFORMS / XLA_FLAGS) are NOT sufficient in this
 sandbox — the TPU-tunnel site hook calls jax.config.update("jax_platforms",
 ...) at interpreter start, so we must override via jax.config too.
+
+TPU-parity lane: ``FOVEAX_TPU_TESTS=1 pytest -m tpu tests/`` keeps the
+real backend (the tunnel admits ONE process — run it alone, not alongside
+a server/bench) and runs only the ``@pytest.mark.tpu`` hardware-parity
+tests; the default run forces CPU and skips them.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_LANE = os.environ.get("FOVEAX_TPU_TESTS") == "1"
+
+if not TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # Persistent compilation cache: compiles are slow in this sandbox; caching
 # makes repeat test runs fast.
@@ -24,11 +32,32 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    on_accel = TPU_LANE and jax.default_backend() != "cpu"
+    skip_tpu = pytest.mark.skip(
+        reason="TPU-parity lane: run FOVEAX_TPU_TESTS=1 pytest -m tpu "
+        "with the real backend (alone — the tunnel admits one process)"
+    )
+    skip_cpu_only = pytest.mark.skip(
+        reason="CPU-lane test skipped in the TPU-parity lane"
+    )
+    for item in items:
+        if item.get_closest_marker("tpu"):
+            if not on_accel:
+                item.add_marker(skip_tpu)
+        elif TPU_LANE:
+            # The TPU lane runs ONLY the hardware-parity tests: the rest
+            # assume 8 virtual CPU devices and must not monopolize the
+            # single-process tunnel for minutes.
+            item.add_marker(skip_cpu_only)
 
 
 @pytest.fixture

@@ -1,0 +1,144 @@
+"""Hardware-parity lane (VERDICT round-1 item #4): golden comparisons that
+must hold ON THE REAL BACKEND, not just the CPU lowering the default test
+run uses.  A Mosaic/XLA-TPU regression surfaces here as a red test rather
+than a silently wrong benchmark.
+
+Run: ``FOVEAX_TPU_TESTS=1 python -m pytest -m tpu tests/`` with the real
+backend available (alone — the tunnel admits one process).  In the default
+CPU run every test here is skipped.
+
+Sizes are kept to one compiled shape per function (remote compiles cost
+15-40 s each through the tunnel).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foveax.core import golden
+from foveax.core.logrect import make_grid
+from foveax.core.sample import sample_rect_from_sat
+from foveax.core.sat import build_sat
+from foveax.core.unwarp import unwarp_rect
+
+pytestmark = pytest.mark.tpu
+
+W, H = 1024, 512  # multiple of 128 so the Pallas paths are eligible
+RW, RH = 576, 288
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(99)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = np.stack(
+        [(xx * 255 // W), (yy * 255 // H), ((xx // 6 % 2) * 255)], axis=-1
+    ).astype(np.uint8)
+    noise = rng.integers(0, 40, base.shape, np.uint8)
+    return np.clip(base.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def grids():
+    g = make_grid(RW, RH, W, H)
+    dense = golden.grid_dense(RW, RH, W, H)
+    gj = dataclasses.replace(
+        g, gx=jnp.asarray(dense[0, :, 0]), gy=jnp.asarray(dense[:, 0, 1])
+    )
+    return gj, dense
+
+
+def test_backend_is_accelerator():
+    assert jax.default_backend() != "cpu"
+
+
+def test_xla_sat_matches_golden_on_device(frame):
+    want = golden.build_sat(frame)
+    got = np.asarray(jax.jit(build_sat)(jnp.asarray(frame)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_sat_matches_golden_on_device(frame):
+    from foveax.kernels.scan2d import build_sat_pallas
+
+    want = golden.build_sat(frame)
+    got = np.asarray(jax.jit(build_sat_pallas)(jnp.asarray(frame)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_select_matches_build_plus_gather_on_device(frame):
+    from foveax.kernels.fused_select import sat_select_rows
+
+    sat = golden.build_sat(frame)  # (3, H, W)
+    pymc = np.sort(np.unique(np.linspace(0, H - 2, 40, dtype=np.int32)))
+    pyc = pymc + 1
+    frame_rcw = jnp.asarray(frame.transpose(0, 2, 1).reshape(H, 3, W))
+
+    def run(f):
+        return sat_select_rows(f, jnp.asarray(pyc), jnp.asarray(pymc))
+
+    hi, lo = jax.jit(run)(frame_rcw)
+    np.testing.assert_array_equal(np.asarray(hi)[:, :3], sat[:, pyc].transpose(1, 0, 2))
+    np.testing.assert_array_equal(np.asarray(lo)[:, :3], sat[:, pymc].transpose(1, 0, 2))
+
+
+def test_sample_matches_golden_on_device(frame, grids):
+    gj, dense = grids
+    sat_np = golden.build_sat(frame)
+    sat = jax.jit(build_sat)(jnp.asarray(frame))
+    for center in [(0.5, 0.5), (0.03, 0.4), (0.97, 0.6)]:
+        want = golden.sample_rect(sat_np, dense, center)
+        got = np.asarray(
+            jax.jit(sample_rect_from_sat)(
+                sat, gj, jnp.asarray(center, jnp.float32)
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fast_unwarp_within_one_lsb_on_device(frame, grids):
+    gj, dense = grids
+    sat_np = golden.build_sat(frame)
+    reduced = golden.sample_rect(sat_np, dense, (0.5, 0.5))
+    rj = jnp.asarray(reduced)
+    c = jnp.asarray((0.5, 0.5), jnp.float32)
+    exact = np.asarray(
+        jax.jit(unwarp_rect, static_argnums=(1, 2))(rj, W, H, c)
+    ).astype(np.int16)
+    fast = np.asarray(
+        jax.jit(
+            lambda r, cc: unwarp_rect(r, W, H, cc, precision="fast")
+        )(rj, c)
+    ).astype(np.int16)
+    assert np.abs(exact - fast).max() <= 1
+
+
+def test_full_path_device_matches_cpu_backend(frame, grids):
+    """One full frame (SAT -> sample -> unwarp) computed on the
+    accelerator vs the same jitted program on the CPU backend.  The SAT +
+    sample stages are integer-exact across backends (asserted above); the
+    unwarp's inverse log map uses exp/pow, whose 1-ulp backend differences
+    move an occasional blend weight one quantum — the project-wide ≤1 LSB
+    envelope applies (measured: 0.04% of pixels, all off by exactly 1)."""
+    gj, _ = grids
+    c = jnp.asarray((0.37, 0.62), jnp.float32)
+
+    def full(f, cc):
+        sat = build_sat(f)
+        red = sample_rect_from_sat(sat, gj, cc)
+        return unwarp_rect(red, W, H, cc)
+
+    dev = np.asarray(jax.jit(full)(jnp.asarray(frame), c)).astype(np.int16)
+    cpu_dev = jax.devices("cpu")[0]
+    with jax.default_device(cpu_dev):
+        cpu = np.asarray(
+            jax.jit(full)(
+                jax.device_put(frame, cpu_dev), jax.device_put(c, cpu_dev)
+            )
+        ).astype(np.int16)
+    diff = np.abs(dev - cpu)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.005  # disagreements stay rare
