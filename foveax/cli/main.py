@@ -59,6 +59,7 @@ def cmd_serve(args) -> int:
         wire_codec=args.wire_codec,
         wire_bitrate=args.wire_bitrate,
         wire_crf=args.wire_crf,
+        sat_compression=args.sat_compression,
     )
     logging.getLogger("foveax.serve").info("wire codec: %s", server.wire_codec)
     try:
@@ -798,6 +799,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--wire-crf", type=int, default=25,
         help="quality target for the wire codec (reference runs cq 25, "
         "src/video_encoder.cc:43)",
+    )
+    p.add_argument(
+        "--sat-compression", default="none", choices=["none", "svd"],
+        help="svd: stream rank-r SAT factors + residual; clients foveate "
+        "locally with their own gaze (zero gaze latency, one stream "
+        "serves all gazes)",
     )
     p.set_defaults(fn=cmd_serve)
 

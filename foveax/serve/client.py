@@ -114,6 +114,42 @@ class FoveaxClient:
         self._last_sent_gaze: tuple[float, float] | None = None
         self._gaze_sent_at: dict[tuple[float, float], float] = {}
 
+    def _make_svd_decoder(self, cfg: FoveaxConfig):
+        """Decoder for ``fxsv`` streams: unpack rank-r SAT factors and
+        box-filter a reduced frame at OUR gaze, on device (client-side
+        foveation; reference kernels src/sat_decoder_sample_rect_kernel.cl:
+        25-136, never wired upstream)."""
+        import jax
+        import jax.numpy as jnp
+
+        from foveax.core.logrect import make_grid
+        from foveax.core.svd_sat import (
+            create_reduced_sat,
+            sample_from_reduced_sat,
+        )
+        from foveax.io.svdwire import unpack_svd
+
+        grid = make_grid(
+            cfg.reduced_width,
+            cfg.reduced_height,
+            cfg.source_width,
+            cfg.source_height,
+        )
+
+        @jax.jit
+        def _reduce(svd, center):
+            return sample_from_reduced_sat(
+                create_reduced_sat(svd, grid, center)
+            )
+
+        def decode(sample: bytes, gaze) -> np.ndarray:
+            svd = unpack_svd(sample)
+            return np.asarray(
+                _reduce(svd, jnp.asarray(gaze, jnp.float32))
+            )
+
+        return decode
+
     async def run(self) -> ClientStats:
         import websockets
 
@@ -125,6 +161,7 @@ class FoveaxClient:
         pipeline = FoveationPipeline(cfg)
         demux = make_fragment_reader()
         decoder = None  # built after the header announces the codec
+        svd_mode = False
         pending_meta: FrameMeta | None = None
         last_recv = time.perf_counter()
         # Pacing floor on outgoing gaze requests (the reference enforces
@@ -162,28 +199,47 @@ class FoveaxClient:
                 recv_ms = (time.perf_counter() - last_recv) * 1e3
                 samples = demux.feed(bytes(raw))
                 if decoder is None and demux.header_seen:
+                    sample_format = getattr(demux, "sample_format", None)
+                    svd_mode = sample_format == b"fxsv"
                     # Reconcile the stream's dimensions with the local
                     # pipeline before decoding anything: a server/client
                     # resolution mismatch must fail loudly, not produce
-                    # geometrically wrong restored frames.
-                    if (demux.width, demux.height) != (
-                        cfg.reduced_width,
-                        cfg.reduced_height,
-                    ):
+                    # geometrically wrong restored frames.  SVD streams
+                    # carry a full-frame object, so their track advertises
+                    # the SOURCE dimensions.
+                    expect = (
+                        (cfg.source_width, cfg.source_height)
+                        if svd_mode
+                        else (cfg.reduced_width, cfg.reduced_height)
+                    )
+                    if (demux.width, demux.height) != expect:
                         raise ValueError(
                             f"stream is {demux.width}x{demux.height} but the "
-                            f"client pipeline expects "
-                            f"{cfg.reduced_width}x{cfg.reduced_height}; "
+                            f"client pipeline expects {expect[0]}x{expect[1]}; "
                             f"pass a config matching the server's source"
                         )
-                    decoder = make_wire_decoder(
-                        getattr(demux, "sample_format", None),
-                        getattr(demux, "codec_config", None),
-                    )
+                    if svd_mode:
+                        decoder = self._make_svd_decoder(cfg)
+                    else:
+                        decoder = make_wire_decoder(
+                            sample_format,
+                            getattr(demux, "codec_config", None),
+                        )
                 for sample in samples:
                     meta = pending_meta
                     t0 = time.perf_counter()
-                    reduced = decoder.decode(sample)
+                    if svd_mode:
+                        # Client-side foveation: the blob is gaze-
+                        # independent; apply OUR current gaze locally
+                        # (zero gaze-to-photon network latency).
+                        local_gaze = (
+                            self.gaze_source(self.stats.frames)
+                            if self.gaze_source is not None
+                            else (0.5, 0.5)
+                        )
+                        reduced = decoder(sample, local_gaze)
+                    else:
+                        reduced = decoder.decode(sample)
                     dec_ms = (time.perf_counter() - t0) * 1e3
                     if reduced is None:
                         continue  # decoder delay (not foveax streams)
@@ -194,11 +250,16 @@ class FoveaxClient:
                             f"{cfg.reduced_width}x{cfg.reduced_height}"
                         )
 
-                    center = (
-                        self._gaze_by_frame.get(meta.frameNum, (0.5, 0.5))
-                        if meta
-                        else (0.5, 0.5)
-                    )
+                    if svd_mode:
+                        # Unwarp with the SAME gaze the local foveation
+                        # used, not the server echo.
+                        center = local_gaze
+                    else:
+                        center = (
+                            self._gaze_by_frame.get(meta.frameNum, (0.5, 0.5))
+                            if meta
+                            else (0.5, 0.5)
+                        )
                     t0 = time.perf_counter()
                     full = pipeline.unwarp(
                         jnp.asarray(reduced),

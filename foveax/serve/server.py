@@ -169,14 +169,24 @@ class BroadcastChannel:
                 self.reader.width, self.reader.height
             )
         cfg = self.pipeline.config
-        session.wire = self.server._make_encoder(cfg)
-        self.members[session] = FragmentWriter(
-            cfg.reduced_width,
-            cfg.reduced_height,
-            self.server.config.fps,
-            session.wire.sample_format,
-            codec_config=session.wire.codec_config,
-        )
+        if self.server.sat_compression == "svd":
+            from foveax.io import svdwire
+
+            self.members[session] = FragmentWriter(
+                cfg.source_width,
+                cfg.source_height,
+                self.server.config.fps,
+                svdwire.SAMPLE_FORMAT,
+            )
+        else:
+            session.wire = self.server._make_encoder(cfg)
+            self.members[session] = FragmentWriter(
+                cfg.reduced_width,
+                cfg.reduced_height,
+                self.server.config.fps,
+                session.wire.sample_format,
+                codec_config=session.wire.codec_config,
+            )
         if self.task is None:
             self.task = asyncio.create_task(self._loop())
             self.task.add_done_callback(_log_task_failure)
@@ -271,6 +281,50 @@ class BroadcastChannel:
             if not members:
                 frame_num += 1
                 continue
+
+            if self.server.sat_compression == "svd":
+                # One gaze-independent blob per tick serves every member —
+                # the SVD mode's whole point: no per-gaze sampling, no
+                # per-member encode.
+                from foveax.core.svd_sat import compress_sat
+                from foveax.io.svdwire import pack_svd
+
+                blob = await loop.run_in_executor(
+                    None,
+                    lambda: pack_svd(
+                        compress_sat(sat, self.server.config.svd_rank)
+                    ),
+                )
+                for session, mux in members:
+                    try:
+                        if session not in sent_header:
+                            await session.ws.send(mux.header())
+                            sent_header.add(session)
+                        if (
+                            self.server._backlog(session.ws)
+                            > self.server.max_send_backlog
+                        ):
+                            session.frames_dropped += 1
+                            self.server.total_dropped += 1
+                            continue
+                        cx, cy = session.effective_center()
+                        await session.ws.send(
+                            protocol.dumps(
+                                FrameMeta(
+                                    centerX=cx,
+                                    centerY=cy,
+                                    frameNum=frame_num % 256,
+                                )
+                            )
+                        )
+                        await session.ws.send(mux.frame(blob))
+                        session.frames_sent += 1
+                        self.server.total_sent += 1
+                    except Exception:
+                        self.leave(session)
+                frame_num += 1
+                continue
+
             centers = [s.effective_center() for s, _ in members]
             slot = self._slot(len(centers))
             padded = centers + [centers[-1]] * (slot - len(centers))
@@ -349,6 +403,7 @@ class FoveaxServer:
         wire_codec: str = "auto",
         wire_bitrate: int = 0,
         wire_crf: int = 25,
+        sat_compression: str = "none",
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
@@ -368,6 +423,14 @@ class FoveaxServer:
         self.wire_codec = wire_codec
         self.wire_bitrate = wire_bitrate
         self.wire_crf = wire_crf
+        # "svd": stream rank-r SAT factors + residual instead of foveated
+        # frames — foveation moves client-side (zero gaze latency, one
+        # stream serves any number of gazes).  Goes beyond the reference,
+        # which built the kernels but never wired them into a driver
+        # (src/sat_decoder.cc:774-885).
+        if sat_compression not in ("none", "svd"):
+            raise ValueError(f"unknown sat_compression {sat_compression!r}")
+        self.sat_compression = sat_compression
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024
@@ -520,14 +583,26 @@ class FoveaxServer:
         session.reader = self._resolve(video)
         pipeline = self._pipeline_for(session.reader.width, session.reader.height)
         cfg = pipeline.config
-        session.wire = self._make_encoder(cfg)
-        session.mux = FragmentWriter(
-            cfg.reduced_width,
-            cfg.reduced_height,
-            self.config.fps,
-            session.wire.sample_format,
-            codec_config=session.wire.codec_config,
-        )
+        if self.sat_compression == "svd":
+            from foveax.io import svdwire
+
+            # The payload is a full-frame object (gaze-independent), so
+            # the track advertises the SOURCE dimensions.
+            session.mux = FragmentWriter(
+                cfg.source_width,
+                cfg.source_height,
+                self.config.fps,
+                svdwire.SAMPLE_FORMAT,
+            )
+        else:
+            session.wire = self._make_encoder(cfg)
+            session.mux = FragmentWriter(
+                cfg.reduced_width,
+                cfg.reduced_height,
+                self.config.fps,
+                session.wire.sample_format,
+                codec_config=session.wire.codec_config,
+            )
         session.send_task = asyncio.create_task(
             self._send_frame_loop(session, pipeline)
         )
@@ -585,15 +660,31 @@ class FoveaxServer:
                 session.frames_dropped += 1
                 self.total_dropped += 1
             else:
-                wire = session.wire
-                if hasattr(wire, "quality"):
-                    wire.quality = session.quality
+                if self.sat_compression == "svd":
+                    from foveax.core.svd_sat import compress_sat
+                    from foveax.io.svdwire import pack_svd
 
-                def _sample_encode():
-                    reduced = pipeline.sample(sat, pipeline.center(cx, cy))
-                    return wire.encode(np.asarray(reduced))
+                    sample, is_key = (
+                        await loop.run_in_executor(
+                            None,
+                            lambda: pack_svd(
+                                compress_sat(sat, self.config.svd_rank)
+                            ),
+                        ),
+                        True,
+                    )
+                else:
+                    wire = session.wire
+                    if hasattr(wire, "quality"):
+                        wire.quality = session.quality
 
-                sample, is_key = await loop.run_in_executor(None, _sample_encode)
+                    def _sample_encode():
+                        reduced = pipeline.sample(sat, pipeline.center(cx, cy))
+                        return wire.encode(np.asarray(reduced))
+
+                    sample, is_key = await loop.run_in_executor(
+                        None, _sample_encode
+                    )
                 meta = FrameMeta(
                     centerX=cx, centerY=cy, frameNum=frame_num % 256
                 )
