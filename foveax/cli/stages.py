@@ -20,8 +20,12 @@ import time
 import numpy as np
 
 
-def _result(name: str, ok: bool, detail: str) -> bool:
-    print(f"[{'PASS' if ok else 'FAIL'}] {name}: {detail}")
+def _result(name: str, ok: bool, detail: str, *, partial: bool = False) -> bool:
+    """``partial`` marks a pass whose perf claim could not be measured in
+    this environment (parity still verified) — rendered distinctly so a
+    PASS line never overstates what was checked."""
+    status = "FAIL" if not ok else ("PASS*" if partial else "PASS")
+    print(f"[{status}] {name}: {detail}")
     return ok
 
 
@@ -207,12 +211,15 @@ def stage5_batched_clients(n_clients: int = 8) -> bool:
             f"{n_clients} streams in one fused launch, {per:.1f} ms/frame "
             f"({1000 / per * n_clients:.0f} client-fps), bitwise == per-client"
         )
-    else:
-        detail = (
-            f"{n_clients} streams in one fused launch, bitwise == per-client "
-            "(timing unstable through this transport; see `perf --clients`)"
-        )
-    return _result("stage5 8-gaze batched launch", ok, detail)
+        return _result("stage5 8-gaze batched launch", ok, detail)
+    # Timing was unmeasurable through this transport: parity alone was
+    # verified — a PASS* (partial), never a silent full PASS.
+    detail = (
+        f"{n_clients} streams in one fused launch, bitwise == per-client; "
+        "perf claim NOT validated here (timing unstable through this "
+        "transport — see `perf --clients` on the bench chip)"
+    )
+    return _result("stage5 8-gaze batched launch", ok, detail, partial=True)
 
 
 def run_all() -> int:
