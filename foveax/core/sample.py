@@ -12,14 +12,31 @@ become two *row* gathers (at ``py`` and ``pym``), a vertical difference,
 and two *column* gathers on the difference — per-axis dense gathers
 instead of a scattered 2-D gather.  The gaze center enters as two traced
 scalars added to the constant grid, so a moving gaze never recompiles.
+
+Shared-tap gathers (``taps="shared"``, the default): the tap vectors are
+shifted copies of each other — ``pxm[i] = px[i-1]`` and ``pym[j] =
+py[j-1]`` both read the same position vector ``p[k] = c + grid[k]`` — so
+one (N+1)-wide gather serves both the hi and lo taps of every element,
+halving gather traffic (the dominant cost: the TPU gather engine runs
+~13x below streaming bandwidth).  The shared positions disagree with the
+reference's elementwise wrap+clamp rules only where an element's two taps
+would clamp/wrap differently: measured over ALL integer gaze positions at
+1080p/4K/8K, at most TWO elements per axis mismatch (the p==0 / p==dim-1
+edge strips and the 360-wrap seam).  Those elements are repaired exactly
+with a bounded-size (``_FIX_K``) top_k fixup: gather the true taps for
+the mismatched rows/columns and scatter them over the shared result —
+bit-identical output, ~2x less gather traffic.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from foveax.core.logrect import LogRectGrid
+from foveax.core.logrect import LogRectGrid, _grid_axis
 
 
 def _exact_box_div(box: jax.Array, rect: jax.Array) -> jax.Array:
@@ -39,12 +56,87 @@ def _exact_box_div(box: jax.Array, rect: jax.Array) -> jax.Array:
     return q0 + over.astype(jnp.uint32) - wrapped.astype(jnp.uint32)
 
 
-def _axis_positions(g: jax.Array, center_scaled: jax.Array):
-    """pos / pos_minus vectors for one axis from the (dim+1,) grid vector."""
-    gi = g.astype(jnp.int32)
-    pos = center_scaled + gi[1:]
-    pos_minus = center_scaled + gi[:-1]
-    return pos, pos_minus
+# Fixup capacity for the shared-tap path.  Measured worst case is 2
+# mismatched elements per axis over all integer gaze positions at every
+# supported resolution (see tests/test_sample.py); 8 is 4x headroom.
+_FIX_K = 8
+
+
+@functools.lru_cache(maxsize=64)
+def _u16_row_bands(
+    out_width: int, out_height: int, source_width: int, source_height: int
+) -> tuple[int, int]:
+    """Static output-row band [top, bot) whose column taps fit uint16.
+
+    A box sum is at most 255 * dx_i * dy_j where dx/dy are the STATIC grid
+    step vectors (clamped taps only shrink a box, and the wrap/edge fixups
+    produce genuine boxes too, so the bound covers every valid element).
+    Output row j is "u16-safe" when 255 * dy_j * max(dx) < 2^16: for safe
+    rows the horizontal tap difference can be taken mod 2^16, halving the
+    bytes through the gather engine.  The big steps live in the exponential
+    periphery, so unsafe rows form two edge bands (~5-11% of rows); this
+    returns the longest contiguous safe run.  (out_height, out_height)
+    means "no safe middle" — callers fall back to all-uint32.
+    """
+    dx = np.diff(_grid_axis(out_width, source_width).astype(np.int64))
+    dy = np.diff(_grid_axis(out_height, source_height).astype(np.int64))
+    unsafe = 255 * dy * int(dx.max()) >= 65536
+    best = (out_height, out_height)
+    run_start = None
+    for j in range(out_height + 1):
+        if j < out_height and not unsafe[j]:
+            if run_start is None:
+                run_start = j
+        else:
+            if run_start is not None and j - run_start > best[1] - best[0]:
+                best = (run_start, j)
+            run_start = None
+    return best
+
+
+def _axis_taps(g: jax.Array, c: jax.Array, dim: int, *, wrap: bool):
+    """Per-axis tap vectors for one axis of the 4-tap box filter.
+
+    Returns (pc, pmc, valid, q, fix): the elementwise-clamped hi/lo tap
+    indices (each (N,)), the validity mask, the shared (N+1,) gather
+    positions, and the (_FIX_K,) indices of elements whose shared taps
+    disagree with (pc, pmc) — padded with -1.
+    """
+    p = c + g.astype(jnp.int32)  # (N+1,)
+    px, pxm = p[1:], p[:-1]
+
+    if wrap:
+        # Elementwise 360 wrap: only when BOTH edges fall off the same side
+        # (reference: src/sat_decoder_sample_rect_kernel.cl:181-187).
+        wrap_hi = (px >= dim) & (pxm >= dim)
+        wrap_lo = (px < 0) & (pxm < 0)
+        shift = jnp.where(wrap_hi, -dim, jnp.where(wrap_lo, dim, 0))
+        px = px + shift
+        pxm = pxm + shift
+
+    valid = ((px >= 0) & (px < dim)) | ((pxm >= 0) & (pxm < dim))
+
+    # Clamp rule: pos into [1, dim-1], pos_minus into [0, pos-1] (reference:
+    # src/sat_decoder_sample_rect_kernel.cl:201-204).  After this, pos > 0
+    # always holds, so only the full 4-tap branch of the kernel is live.
+    pc = jnp.clip(px, 1, dim - 1)
+    pmc = jnp.clip(pxm, 0, pc - 1)
+
+    # Shared positions: per-POSITION wrap (vs the reference's per-element
+    # wrap), then the loose clamp.  Grid vectors are strictly increasing,
+    # so q[k] serves element k-1's hi tap and element k's lo tap at once
+    # except at the edge strips / wrap seam — those land in `fix`.
+    if wrap:
+        psh = jnp.where(p >= dim, p - dim, jnp.where(p < 0, p + dim, p))
+    else:
+        psh = p
+    q = jnp.clip(psh, 0, dim - 1)
+
+    mism = valid & ((q[1:] != pc) | (q[:-1] != pmc))
+    n = pc.shape[0]
+    scores = jnp.where(mism, jnp.arange(n, dtype=jnp.int32), jnp.int32(-1))
+    fix = jax.lax.top_k(scores, _FIX_K)[0]  # mismatched indices, -1 padded
+    return pc, pmc, valid, q, fix
 
 
 def sample_rect_from_sat(
@@ -54,6 +146,7 @@ def sample_rect_from_sat(
     *,
     wrap_x: bool = True,
     out_layout: str = "hwc",
+    taps: str = "shared",
 ) -> jax.Array:
     """Foveate: (3, Hs, Ws) uint32 SAT -> reduced uint8 frame.
 
@@ -69,46 +162,92 @@ def sample_rect_from_sat(
     channel-planar (3, Ho, Wo) — the TPU-preferred layout (the size-3
     channel axis on lanes wastes 125/128 of the vector width, and the
     planar form skips a minor-dim transpose worth ~1.4 ms at 4K).
+
+    ``taps``: "shared" (default) gathers each axis once at the shared
+    (N+1,) position vector plus an exact bounded fixup (module docstring);
+    "paired" performs the straightforward two-gathers-per-axis version.
+    Both are bit-identical to the float64 golden.
     """
     _, hs, ws = sat.shape
     cx = (center[0] * jnp.float32(ws)).astype(jnp.int32)
     cy = (center[1] * jnp.float32(hs)).astype(jnp.int32)
 
-    px, pxm = _axis_positions(grid.gx, cx)  # (Wo,)
-    py, pym = _axis_positions(grid.gy, cy)  # (Ho,)
-
-    if wrap_x:
-        wrap_hi = (px >= ws) & (pxm >= ws)
-        wrap_lo = (px < 0) & (pxm < 0)
-        shift = jnp.where(wrap_hi, -ws, jnp.where(wrap_lo, ws, 0))
-        px = px + shift
-        pxm = pxm + shift
-
-    valid_x = ((px >= 0) & (px < ws)) | ((pxm >= 0) & (pxm < ws))
-    valid_y = ((py >= 0) & (py < hs)) | ((pym >= 0) & (pym < hs))
-
-    # Clamp rule: pos into [1, dim-1], pos_minus into [0, pos-1] (reference:
-    # src/sat_decoder_sample_rect_kernel.cl:201-204).  After this, pos > 0
-    # always holds, so only the full 4-tap branch of the kernel is live.
-    pxc = jnp.clip(px, 1, ws - 1)
-    pyc = jnp.clip(py, 1, hs - 1)
-    pxmc = jnp.clip(pxm, 0, pxc - 1)
-    pymc = jnp.clip(pym, 0, pyc - 1)
-
-    # Two row gathers, then the VERTICAL difference is taken before the
-    # column taps: box = (BR-TR) - (BL-TL) = D[px] - D[pxm] with
-    # D = rows_hi - rows_lo, so only two column gathers are needed
-    # instead of four.  Exact under mod-2^32 arithmetic (subtraction
-    # reassociation is wrap-safe).
-    rows_hi = jnp.take(sat, pyc, axis=1)  # (3, Ho, Ws)
-    rows_lo = jnp.take(sat, pymc, axis=1)
-    d = rows_hi - rows_lo
-    right = jnp.take(d, pxc, axis=2)  # (3, Ho, Wo)
-    left = jnp.take(d, pxmc, axis=2)
+    pxc, pxmc, valid_x, qx, fix_x = _axis_taps(grid.gx, cx, ws, wrap=wrap_x)
+    pyc, pymc, valid_y, qy, fix_y = _axis_taps(grid.gy, cy, hs, wrap=False)
 
     rect = ((pyc - pymc)[:, None] * (pxc - pxmc)[None, :]).astype(jnp.uint32)
-    box = right - left  # uint32, mod-2^32 wrap is intentional
-    vals = _exact_box_div(box, rect[None]).astype(jnp.uint8)
+
+    if taps == "shared":
+        # One (Ho+1)-row gather; hi/lo rows are adjacent slices of it.  The
+        # vertical difference is taken before the column taps: box =
+        # (BR-TR) - (BL-TL) = D[px] - D[pxm] with D = rows_hi - rows_lo, so
+        # the column stage needs one (Wo+1)-wide gather per band.  Exact
+        # under modular arithmetic (subtraction reassociation is wrap-safe;
+        # the middle band runs mod 2^16, see _u16_row_bands).  The
+        # optimization_barriers stop XLA's slice-of-gather simplification
+        # from rewriting G[1:] - G[:-1] back into two full gathers.
+        ho, wo = pyc.shape[0], pxc.shape[0]
+        grid_dims = (grid.out_width, grid.out_height, ws, hs)
+        top, bot = _u16_row_bands(*grid_dims) if ho == grid.out_height else (
+            ho,
+            ho,
+        )
+
+        rows = jax.lax.optimization_barrier(
+            jnp.take(sat, qy, axis=1)
+        )  # (3, Ho+1, Ws)
+
+        # Correct row taps for the <= _FIX_K mismatched output rows (edge
+        # strips): tiny gathers, scattered into each band below.
+        safe_j = jnp.maximum(fix_y, 0)
+        d_fix = jnp.take(sat, pyc[safe_j], axis=1) - jnp.take(
+            sat, pymc[safe_j], axis=1
+        )  # (3, K, Ws) u32
+        has_fix = fix_y >= 0  # -1-padded entries must not scatter
+
+        def _band(lo: int, hi: int, u16: bool):
+            """Vertical diffs for output rows [lo, hi) -> u8 box means."""
+            n = hi - lo
+            d = rows[:, lo + 1 : hi + 1, :] - rows[:, lo : hi, :]
+            fix_here = has_fix & (fix_y >= lo) & (fix_y < hi)
+            # Scatter index: -1/out-of-band pads go to n (dropped).  A
+            # negative index would WRAP under mode="drop", hence the where.
+            jdx = jnp.where(fix_here, fix_y - lo, n)
+            if u16:
+                d = d.astype(jnp.uint16)
+                d = d.at[:, jdx, :].set(d_fix.astype(jnp.uint16), mode="drop")
+            else:
+                d = d.at[:, jdx, :].set(d_fix, mode="drop")
+
+            cols = jax.lax.optimization_barrier(jnp.take(d, qx, axis=2))
+            box = cols[:, :, 1:] - cols[:, :, :-1]  # (3, n, Wo)
+            safe_i = jnp.maximum(fix_x, 0)
+            box_fix = jnp.take(d, pxc[safe_i], axis=2) - jnp.take(
+                d, pxmc[safe_i], axis=2
+            )
+            idx = jnp.where(fix_x < 0, wo, fix_x)
+            box = box.at[:, :, idx].set(box_fix, mode="drop")
+            # u16 band boxes are true box sums (< 2^16 by construction).
+            return _exact_box_div(
+                box.astype(jnp.uint32), rect[None, lo:hi, :]
+            ).astype(jnp.uint8)
+
+        pieces = []
+        if top > 0:
+            pieces.append(_band(0, top, u16=False))
+        if bot > top:
+            pieces.append(_band(top, bot, u16=True))
+        if ho > bot:
+            pieces.append(_band(bot, ho, u16=False))
+        vals = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+    else:
+        rows_hi = jnp.take(sat, pyc, axis=1)  # (3, Ho, Ws)
+        rows_lo = jnp.take(sat, pymc, axis=1)
+        d = rows_hi - rows_lo
+        right = jnp.take(d, pxc, axis=2)  # (3, Ho, Wo)
+        left = jnp.take(d, pxmc, axis=2)
+        box = right - left  # uint32, mod-2^32 wrap is intentional
+        vals = _exact_box_div(box, rect[None]).astype(jnp.uint8)
 
     valid = (valid_y[:, None] & valid_x[None, :])[None]
     out = jnp.where(valid, vals, jnp.uint8(0))

@@ -75,16 +75,29 @@ def _sat_kernel(frame_ref, out_ref, carry_ref):
     )  # (c*r, nch, 128): inclusive scan within each chunk
 
     totals = local[..., _LANE - 1]  # (c*r, nch) chunk sums
-    # Exclusive chunk-offset scan: log-step shifted adds over the tiny nch
-    # axis.  NOT a matmul — chunk totals reach 255*128 = 32640, beyond
-    # bf16's exact-integer range, and the MXU truncates f32 operands to
-    # bf16 (the first matmul is safe: its inputs are <= 255).
-    incl = totals
-    shift = 1
-    while shift < nch:
-        incl = incl + jnp.pad(incl, ((0, 0), (shift, 0)))[:, :nch]
-        shift *= 2
-    excl = incl - totals
+    # Exclusive chunk-offset scan as ONE strict-lower-triangular matmul.
+    # Chunk totals reach 255*128 = 32640, beyond bf16's exact-integer range
+    # (and the MXU truncates f32 operands to bf16), so split totals =
+    # hi*128 + lo with both factors <= 255 (bf16-exact); the MXU
+    # accumulates in f32, exact below 2^24 (max sum 60*32640 ~ 2*10^6).
+    # A log-step pad/shift scan here measured 4.7 ms/frame at 8K — tiny
+    # data, but Mosaic lowers the lane-axis pads terribly; the two 60x60
+    # matmuls are ~free next to the main chunk-scan matmul.
+    t_hi = jnp.floor(totals * (1.0 / _LANE))
+    t_lo = totals - t_hi * _LANE
+    ks2 = jax.lax.broadcasted_iota(jnp.int32, (nch, nch), 0)
+    ls2 = jax.lax.broadcasted_iota(jnp.int32, (nch, nch), 1)
+    stri = (ks2 < ls2).astype(jnp.float32)
+
+    def _mm(t):
+        return jax.lax.dot_general(
+            t,
+            stri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    excl = _mm(t_hi) * _LANE + _mm(t_lo)
     # f32 -> u32 also needs an int32 hop in Mosaic (values < 2^24).
     rows = (local + excl[..., None]).reshape(c, r, w).astype(jnp.int32).astype(jnp.uint32)
 

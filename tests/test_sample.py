@@ -210,3 +210,84 @@ class TestSample360:
         want360, defined = golden.sample_rect_360(self.sat_np, self.dense, center)
         rect = golden.sample_rect(self.sat_np, self.dense, center)
         assert (want360[defined] != rect[defined]).any()
+
+
+class TestSharedTaps:
+    """The shared-gather tap formulation (one (N+1)-gather per axis + bounded
+    fixup) must be bit-identical to the straightforward paired gathers at
+    every gaze, including the edge strips and the 360 wrap seam where the
+    shared positions disagree and the fixup path is live."""
+
+    def test_shared_equals_paired_dense_gaze_sweep(self, small_frame):
+        src_h, src_w, _ = small_frame.shape
+        out_w, out_h = 48, 32
+        gj, _ = _grids(out_w, out_h, src_w, src_h)
+        sat = build_sat(jnp.asarray(small_frame))
+        fn = jax.jit(sample_rect_from_sat, static_argnames=("wrap_x", "taps"))
+        # Every integer gaze position on both axes (plus the x sweep at two
+        # y rows) — covers all clamp/wrap transitions.
+        for cxi in range(0, src_w + 1, 1):
+            for cyi in (0, src_h // 2, src_h):
+                c = jnp.asarray(
+                    [(cxi + 0.5) / src_w, (cyi + 0.5) / src_h], jnp.float32
+                )
+                a = np.asarray(fn(sat, gj, c, taps="shared"))
+                b = np.asarray(fn(sat, gj, c, taps="paired"))
+                np.testing.assert_array_equal(a, b, err_msg=f"cx={cxi} cy={cyi}")
+
+    def test_shared_equals_paired_no_wrap(self, small_frame):
+        src_h, src_w, _ = small_frame.shape
+        gj, _ = _grids(48, 32, src_w, src_h)
+        sat = build_sat(jnp.asarray(small_frame))
+        fn = jax.jit(sample_rect_from_sat, static_argnames=("wrap_x", "taps"))
+        for cx in (0.0, 0.013, 0.5, 0.987, 1.0):
+            c = jnp.asarray([cx, 0.4], jnp.float32)
+            a = np.asarray(fn(sat, gj, c, wrap_x=False, taps="shared"))
+            b = np.asarray(fn(sat, gj, c, wrap_x=False, taps="paired"))
+            np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize(
+        "dims",
+        [
+            (1072, 608, 1920, 1080),
+            (2144, 1200, 3840, 2160),
+            (4272, 2400, 7680, 4320),
+        ],
+        ids=["1080p", "4k", "8k"],
+    )
+    def test_fixup_bound_holds_at_production_sizes(self, dims):
+        """The _FIX_K capacity must cover the worst-case number of
+        shared-vs-elementwise tap mismatches over ALL integer gaze
+        positions (NumPy transcription of foveax.core.sample._axis_taps)."""
+        from foveax.core.logrect import _grid_axis
+        from foveax.core.sample import _FIX_K
+
+        out_w, out_h, src_w, src_h = dims
+
+        def worst(g, dim, wrap):
+            g = g.astype(np.int64)
+            assert np.all(np.diff(g) >= 1)  # shared taps need monotone grids
+            w = 0
+            for c in range(0, dim + 1):
+                p = c + g
+                px, pxm = p[1:], p[:-1]
+                if wrap:
+                    both_hi = (px >= dim) & (pxm >= dim)
+                    both_lo = (px < 0) & (pxm < 0)
+                    sh = np.where(both_hi, -dim, np.where(both_lo, dim, 0))
+                    px, pxm = px + sh, pxm + sh
+                valid = ((px >= 0) & (px < dim)) | ((pxm >= 0) & (pxm < dim))
+                pc = np.clip(px, 1, dim - 1)
+                pmc = np.clip(pxm, 0, pc - 1)
+                if wrap:
+                    psh = np.where(p >= dim, p - dim, np.where(p < 0, p + dim, p))
+                else:
+                    psh = p
+                q = np.clip(psh, 0, dim - 1)
+                w = max(w, int((valid & ((q[1:] != pc) | (q[:-1] != pmc))).sum()))
+            return w
+
+        wx = worst(np.asarray(_grid_axis(out_w, src_w)), src_w, wrap=True)
+        wy = worst(np.asarray(_grid_axis(out_h, src_h)), src_h, wrap=False)
+        assert wx <= _FIX_K and wy <= _FIX_K
+        assert wx > 0  # the fixup path is genuinely exercised
