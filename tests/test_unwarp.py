@@ -86,8 +86,9 @@ def test_unwarp_wraps_horizontally(rng):
 
 
 def test_fast_precision_within_one_lsb(rng):
-    """precision="fast" (quantized vertical blend + two uint8 column
-    gathers) must stay within 1 LSB of the exact gather path everywhere."""
+    """precision="fast" (quantized vertical blend + pair-u16 gathers: each
+    lo/hi tap pair packed as one uint16 and gathered once per axis) must
+    stay within 1 LSB of the exact gather path everywhere."""
     import jax
 
     hr, wr = 16, 24
