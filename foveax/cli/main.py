@@ -62,11 +62,39 @@ def cmd_serve(args) -> int:
         sat_compression=args.sat_compression,
     )
     logging.getLogger("foveax.serve").info("wire codec: %s", server.wire_codec)
+    if args.http_port:
+        _start_web_server(args.http_port, args.port)
     try:
         asyncio.run(server.run(args.port))
     except KeyboardInterrupt:
         pass
     return 0
+
+
+def _start_web_server(http_port: int, ws_port: int) -> None:
+    """Serve the browser viewer (foveax/web) on a daemon thread.
+
+    The viewer is static files; the websocket protocol itself stays on
+    the main server port (the reference's client is a native SDL binary,
+    src/client_driver.cc — the browser viewer is foveax's analog)."""
+    import functools
+    import http.server
+    import threading
+    from pathlib import Path
+
+    web_dir = Path(__file__).resolve().parent.parent / "web"
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(web_dir)
+    )
+    httpd = http.server.ThreadingHTTPServer(("0.0.0.0", http_port), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    logging.getLogger("foveax.serve").info(
+        "browser viewer: http://localhost:%d/viewer.html"
+        "?ws=ws%%3A%%2F%%2Flocalhost%%3A%d&video=<name>",
+        httpd.server_address[1],
+        ws_port,
+    )
+    return httpd
 
 
 def cmd_client(args) -> int:
@@ -805,6 +833,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="svd: stream rank-r SAT factors + residual; clients foveate "
         "locally with their own gaze (zero gaze latency, one stream "
         "serves all gazes)",
+    )
+    p.add_argument(
+        "--http-port", type=int, default=0,
+        help="also serve the browser viewer (foveax/web) over HTTP on "
+        "this port (0 = off); open /viewer.html?video=NAME",
     )
     p.set_defaults(fn=cmd_serve)
 

@@ -19,6 +19,7 @@ paced to the configured fps.
 from __future__ import annotations
 
 import asyncio
+import json
 import logging
 import time
 from collections import OrderedDict
@@ -298,6 +299,11 @@ class BroadcastChannel:
                 for session, mux in members:
                     try:
                         if session not in sent_header:
+                            await session.ws.send(
+                                self.server._stream_info(
+                                    p.config, mux.sample_format
+                                )
+                            )
                             await session.ws.send(mux.header())
                             sent_header.add(session)
                         if (
@@ -371,6 +377,11 @@ class BroadcastChannel:
                         raise result
                     sample, is_key = result
                     if session not in sent_header:
+                        await session.ws.send(
+                            self.server._stream_info(
+                                p.config, mux.sample_format
+                            )
+                        )
                         await session.ws.send(mux.header())
                         sent_header.add(session)
                     meta = FrameMeta(
@@ -608,6 +619,32 @@ class FoveaxServer:
         )
         session.send_task.add_done_callback(_log_task_failure)
 
+    def _stream_info(self, cfg: FoveaxConfig, sample_format: bytes) -> str:
+        """Stream metadata as a reference-compatible ``text`` message.
+
+        The binary header only advertises the TRANSMITTED (reduced) track
+        dimensions; a client that did not share the server's config (e.g.
+        the browser viewer) needs the source dimensions to size its
+        unwarp.  Riding in a ``text`` message keeps the wire vocabulary
+        exactly the reference's (src/video_server.cc:102-117) — clients
+        that don't understand it ignore it.
+        """
+        return protocol.dumps(
+            TextMessage(
+                json.dumps(
+                    {
+                        "kind": "streamInfo",
+                        "sourceWidth": cfg.source_width,
+                        "sourceHeight": cfg.source_height,
+                        "reducedWidth": cfg.reduced_width,
+                        "reducedHeight": cfg.reduced_height,
+                        "fps": self.config.fps,
+                        "codec": sample_format.decode("ascii", "replace"),
+                    }
+                )
+            )
+        )
+
     async def _send_frame_loop(
         self, session: Session, pipeline: FoveationPipeline
     ) -> None:
@@ -621,6 +658,7 @@ class FoveaxServer:
 
         # Header-first, as the reference sends the mp4 header as the first
         # binary frame (src/video_server.cc:273-280).
+        await ws.send(self._stream_info(pipeline.config, mux.sample_format))
         await ws.send(mux.header())
 
         frame_num = 0
