@@ -55,9 +55,9 @@ def main() -> None:
         # dispatch (see foveax.pipeline.runner).
         sat = build_sat(frame_chw, in_layout="chw")
         reduced = sample_rect_from_sat(sat, grid, center, out_layout="chw")
-        # precision="fast" quantizes the vertical blend to uint8 first,
-        # halving the column gathers (two uint8 gathers instead of four);
-        # bounded at 1 LSB deviation — within the project target.
+        # precision="auto" -> "mm" on the TPU backend: slab-DMA + MXU-dot
+        # unwarp (no gather engine); bounded at 1 LSB deviation from the
+        # exact path — within the project target (see core/unwarp.py).
         restored = unwarp_rect(
             reduced,
             src_w,
@@ -65,7 +65,7 @@ def main() -> None:
             center,
             in_layout="chw",
             out_layout="chw",
-            precision="fast",
+            precision="auto",
         )
         return reduced, restored
 

@@ -928,7 +928,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="also bench the batched N-gaze serve step (one SAT)",
     )
     p.add_argument(
-        "--precision", choices=["exact", "fast"], default="fast",
+        "--precision", choices=["exact", "fast", "mm", "auto"], default="auto",
         help="fast = rounded vertical blend halves the unwarp's column "
         "gathers (<=1 LSB deviation; faster at every resolution)",
     )

@@ -130,7 +130,7 @@ def stage4_4k_full_path() -> bool:
         )
         red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
         restored = unwarp_rect(
-            red, w, h, c, in_layout="chw", out_layout="chw", precision="fast"
+            red, w, h, c, in_layout="chw", out_layout="chw", precision="auto"
         )
         # BASELINE config 4 includes the viewport projection stage.
         view = gnomonic_project(restored.transpose(1, 2, 0), 1920, 1080, c)

@@ -116,6 +116,30 @@ def test_fast_unwarp_within_one_lsb_on_device(frame, grids):
     assert np.abs(exact - fast).max() <= 1
 
 
+def test_mm_unwarp_within_one_lsb_on_device(frame, grids):
+    """precision="mm" (slab + bf16-limb MXU dots) vs the exact path ON
+    THE DEVICE — this is where the bf16 weight-limb numerics (and XLA's
+    bf16 convert-folding hazard, see core/unwarp._round_bf16_f32) are
+    actually exercised; the CPU suite runs the f32 fallback.  Two gazes:
+    centered, and near the seam so the jump-tile fixup engages."""
+    gj, dense = grids
+    sat_np = golden.build_sat(frame)
+
+    fn = jax.jit(
+        lambda r, cc: (
+            unwarp_rect(r, W, H, cc).astype(jnp.int32),
+            unwarp_rect(r, W, H, cc, precision="mm").astype(jnp.int32),
+        )
+    )
+    for center in ((0.5, 0.5), (0.03, 0.5)):
+        reduced = golden.sample_rect(sat_np, dense, center)
+        exact, mm = fn(
+            jnp.asarray(reduced), jnp.asarray(center, jnp.float32)
+        )
+        d = np.abs(np.asarray(exact) - np.asarray(mm))
+        assert d.max() <= 1, (center, d.max())
+
+
 def test_full_path_device_matches_cpu_backend(frame, grids):
     """One full frame (SAT -> sample -> unwarp) computed on the
     accelerator vs the same jitted program on the CPU backend.  The SAT +

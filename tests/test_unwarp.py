@@ -124,3 +124,61 @@ def test_fast_precision_vs_float64_golden(rng, center):
     d = np.abs(fast.astype(np.int32) - ref.astype(np.int32))
     assert (d <= 2).all()  # 1 LSB quantization + 1 LSB golden tolerance
     assert (d <= 1).mean() > 0.99
+
+
+@pytest.mark.parametrize("center", [(0.5, 0.5), (0.02, 0.3), (0.97, 0.9)])
+def test_mm_precision_within_one_lsb(rng, center):
+    """precision="mm" (slab + MXU-dot unwarp) must stay within 1 LSB of
+    the exact path, including at wrap-seam gazes where the bounded
+    jump-tile fixup engages.  (On CPU the dots run in f32; the bf16-limb
+    device numerics are covered by the tpu-parity lane.)"""
+    hr, wr = 32, 48
+    out_w, out_h = 96, 64
+    reduced = jnp.asarray(rng.integers(0, 256, size=(hr, wr, 3), dtype=np.uint8))
+    c = jnp.asarray(center, dtype=jnp.float32)
+    exact = np.asarray(unwarp_rect(reduced, out_w, out_h, c))
+    mm = np.asarray(unwarp_rect(reduced, out_w, out_h, c, precision="mm"))
+    d = np.abs(exact.astype(np.int32) - mm.astype(np.int32))
+    assert d.max() <= 1, d.max()
+
+
+def test_mm_dense_gaze_sweep_vs_fast(rng):
+    """Every horizontal gaze position (all jump placements relative to
+    the 120-column tiles) stays within 1 LSB of the fast path."""
+    hr, wr = 16, 32
+    out_w, out_h = 64, 32
+    reduced = jnp.asarray(rng.integers(0, 256, size=(3, hr, wr), dtype=np.uint8))
+    import jax
+
+    f = jax.jit(
+        lambda c: (
+            unwarp_rect(reduced, out_w, out_h, c, in_layout="chw",
+                        out_layout="chw", precision="fast").astype(jnp.int32)
+            - unwarp_rect(reduced, out_w, out_h, c, in_layout="chw",
+                          out_layout="chw", precision="mm").astype(jnp.int32)
+        )
+    )
+    for cx in range(0, out_w, 1):
+        d = np.abs(np.asarray(f(jnp.asarray([cx / out_w, 0.4], jnp.float32))))
+        assert d.max() <= 1, (cx, d.max())
+
+
+def test_mm_fovea_identity(rng):
+    """The fovea must stay bit-exact through the mm path (blend ratio 0,
+    one-hot weights: the epsilon keeps exact integers from truncating
+    down)."""
+    hr, wr = 32, 48
+    out_w, out_h = 96, 64
+    reduced = rng.integers(0, 256, size=(hr, wr, 3), dtype=np.uint8)
+    out = np.asarray(
+        unwarp_rect(
+            jnp.asarray(reduced), out_w, out_h,
+            jnp.asarray([0.5, 0.5], jnp.float32), precision="mm",
+        )
+    )
+    k = 6
+    cx, cy = out_w // 2, out_h // 2
+    np.testing.assert_array_equal(
+        out[cy - k : cy + k + 1, cx - k : cx + k + 1],
+        reduced[hr // 2 - k : hr // 2 + k + 1, wr // 2 - k : wr // 2 + k + 1],
+    )
