@@ -48,6 +48,25 @@ def cmd_serve(args) -> int:
 
     logging.basicConfig(level=logging.INFO)
     cfg = FoveaxConfig(fps=args.fps)
+    mesh = None
+    if args.mesh:
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        data, space = (int(v) for v in args.mesh.split("x"))
+        devs = jax.devices()
+        if len(devs) < data * space:
+            print(
+                f"--mesh {args.mesh} needs {data * space} devices, have "
+                f"{len(devs)}",
+                file=sys.stderr,
+            )
+            return 1
+        mesh = Mesh(
+            _np.asarray(devs[: data * space]).reshape(data, space),
+            ("data", "space"),
+        )
     server = FoveaxServer(
         cfg,
         video_dir=args.video_dir,
@@ -60,6 +79,7 @@ def cmd_serve(args) -> int:
         wire_bitrate=args.wire_bitrate,
         wire_crf=args.wire_crf,
         sat_compression=args.sat_compression,
+        mesh=mesh,
     )
     logging.getLogger("foveax.serve").info("wire codec: %s", server.wire_codec)
     if args.http_port:
@@ -833,6 +853,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="svd: stream rank-r SAT factors + residual; clients foveate "
         "locally with their own gaze (zero gaze latency, one stream "
         "serves all gazes)",
+    )
+    p.add_argument(
+        "--mesh", default="",
+        help="shard broadcast serving over a DATAxSPACE device mesh, e.g. "
+        "2x4 (requires --broadcast and data*space jax devices; the SAT "
+        "scan shards over `space` rows, the client batch over `data`)",
     )
     p.add_argument(
         "--http-port", type=int, default=0,

@@ -153,3 +153,49 @@ def jit_multi_client_step(grid: LogRectGrid, mesh: Mesh, *, unwarp: bool = True)
         return multi_client_step(frame, centers, grid, mesh, unwarp=unwarp)
 
     return fn
+
+
+def sharded_sample_batch(
+    sat: jax.Array, centers: jax.Array, grid: LogRectGrid, mesh: Mesh
+) -> jax.Array:
+    """Gaze-late half of the sharded serving step: sample a batch of
+    client gazes from a row-sharded SAT.
+
+    ``sat``: (3, H, W) uint32 row-sharded over ``space`` (the output of
+    :func:`sharded_build_sat`).  ``centers``: (N, 2) float32, N divisible
+    by the data-axis size.  Each data shard all-gathers the SAT rows over
+    ``space`` (pixels cross ICI once per tick) and samples its clients
+    with zero further communication.  Returns (N, Hr, Wr, 3) uint8
+    sharded over ``data``.
+
+    Split from the SAT build so the serving loop keeps the reference's
+    build-eager / gaze-late structure (src/video_server.cc:302-328)
+    across the tick boundary.
+    """
+
+    def step(sat_block, centers_block):
+        full = jax.lax.all_gather(sat_block, "space", axis=1, tiled=True)
+        return jax.vmap(
+            lambda c: sample_rect_from_sat(full, grid, c)
+        )(centers_block)
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, "space", None), P("data", None)),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(sat, centers)
+
+
+def jit_serve_parts(grid: LogRectGrid, mesh: Mesh):
+    """(build_fn, sample_fn) compiled closures for the sharded broadcast
+    serving loop: ``build_fn(frame)`` -> row-sharded SAT (pre-tick,
+    eager), ``sample_fn(sat, centers)`` -> per-client reduced frames
+    (post-tick, gaze-late)."""
+    build = jax.jit(lambda f: sharded_build_sat(f, mesh))
+    sample = jax.jit(
+        lambda sat, centers: sharded_sample_batch(sat, centers, grid, mesh)
+    )
+    return build, sample

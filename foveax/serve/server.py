@@ -159,6 +159,10 @@ class BroadcastChannel:
         self.pipeline: FoveationPipeline | None = None
         self.dead = False
         self._read_future = None  # in-flight executor read, if any
+        # Sharded serving (server.mesh set): (build, sample) closures from
+        # foveax.parallel.sharded — SAT scan sharded over `space` rows,
+        # client batch over `data` gazes.
+        self._sharded = None
 
     def join(self, session: Session) -> None:
         if self.dead:
@@ -170,6 +174,22 @@ class BroadcastChannel:
                 self.reader.width, self.reader.height
             )
         cfg = self.pipeline.config
+        if (
+            self._sharded is None
+            and self.server.mesh is not None
+            and self.server.sat_compression != "svd"
+        ):
+            from foveax.parallel.sharded import jit_serve_parts
+
+            space = self.server.mesh.shape["space"]
+            if cfg.source_height % space != 0:
+                raise ValueError(
+                    f"source height {cfg.source_height} does not divide "
+                    f"the mesh space axis ({space})"
+                )
+            self._sharded = jit_serve_parts(
+                self.pipeline.grid, self.server.mesh
+            )
         if self.server.sat_compression == "svd":
             from foveax.io import svdwire
 
@@ -269,8 +289,9 @@ class BroadcastChannel:
             self._read_future = None
             if frame is None:
                 break
+            build = self._sharded[0] if self._sharded else p.build_sat
             sat = await loop.run_in_executor(
-                None, lambda: p.build_sat(jnp.asarray(frame))
+                None, lambda: build(jnp.asarray(frame))
             )
 
             now = time.perf_counter()
@@ -333,11 +354,17 @@ class BroadcastChannel:
 
             centers = [s.effective_center() for s, _ in members]
             slot = self._slot(len(centers))
+            if self._sharded is not None:
+                # The data axis shards the batch; round the slot up to a
+                # multiple of the axis size.
+                data = self.server.mesh.shape["data"]
+                slot = -(-slot // data) * data
             padded = centers + [centers[-1]] * (slot - len(centers))
+            sample = self._sharded[1] if self._sharded else p.sample_batch
             batch_np = await loop.run_in_executor(
                 None,
                 lambda: np.asarray(
-                    p.sample_batch(sat, jnp.asarray(padded, dtype=jnp.float32))
+                    sample(sat, jnp.asarray(padded, dtype=jnp.float32))
                 )[: len(centers)],
             )
 
@@ -415,6 +442,7 @@ class FoveaxServer:
         wire_bitrate: int = 0,
         wire_crf: int = 25,
         sat_compression: str = "none",
+        mesh: "object | None" = None,
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
@@ -442,6 +470,17 @@ class FoveaxServer:
         if sat_compression not in ("none", "svd"):
             raise ValueError(f"unknown sat_compression {sat_compression!r}")
         self.sat_compression = sat_compression
+        # Optional jax.sharding.Mesh over ("data", "space"): broadcast
+        # channels shard the SAT scan over `space` rows and the client
+        # batch over `data` (see foveax/parallel/sharded.py).  None =
+        # single-device pipeline (the default; a 1-chip bench host).
+        self.mesh = mesh
+        if mesh is not None:
+            names = tuple(mesh.axis_names)
+            if names != ("data", "space"):
+                raise ValueError(
+                    f'mesh axes must be ("data", "space"), got {names}'
+                )
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024

@@ -87,3 +87,73 @@ def test_frame_parallel_roundtrip(small_frame, mesh2x4):
     np.testing.assert_array_equal(np.asarray(reduced[3]), np.asarray(ref))
     ref_u = unwarp_rect(ref, w, h, centers[3])
     np.testing.assert_array_equal(np.asarray(restored[3]), np.asarray(ref_u))
+
+
+def test_sharded_serve_parts_match_local(small_frame, mesh2x4):
+    """The split build/sample closures (the broadcast server's sharded
+    mode) must reproduce the single-device pipeline exactly — integer
+    SAT math end to end."""
+    from foveax.parallel.sharded import jit_serve_parts
+
+    h, w, _ = small_frame.shape
+    grid = make_grid(48, 32, w, h)
+    build, sample = jit_serve_parts(grid, mesh2x4)
+    frame = jnp.asarray(small_frame)
+    centers = jnp.asarray(
+        [[0.5, 0.5], [0.25, 0.75], [0.9, 0.1], [0.02, 0.97]], dtype=jnp.float32
+    )
+    sat_sharded = build(frame)
+    reduced = np.asarray(sample(sat_sharded, centers))
+    assert reduced.shape == (4, 32, 48, 3)
+
+    sat = build_sat(frame)
+    for i in range(4):
+        ref = np.asarray(sample_rect_from_sat(sat, grid, centers[i]))
+        np.testing.assert_array_equal(reduced[i], ref)
+
+
+def test_broadcast_serve_with_mesh(small_frame):
+    """End-to-end loopback: broadcast server with a (2, 4) mesh serves
+    two clients; frames arrive and decode (ROADMAP scale-out item — the
+    client batch sharded over `data`, the SAT scan over `space`)."""
+    import asyncio
+    import socket
+
+    from foveax.config import FoveaxConfig
+    from foveax.parallel import make_mesh
+    from foveax.serve.client import FoveaxClient
+    from foveax.serve.server import FoveaxServer
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    cfg = FoveaxConfig(
+        source_width=96, source_height=64, reduced_width=48, reduced_height=32
+    )
+    server = FoveaxServer(
+        cfg, max_frames=8, broadcast=True, mesh=make_mesh(n_space=4, n_data=2)
+    )
+
+    def make_client(gx):
+        return FoveaxClient(
+            f"ws://127.0.0.1:{port}",
+            video="synthetic://96x64@30/20",
+            config=cfg,
+            gaze_source=lambda i: (gx, 0.5),
+            max_frames=4,
+        )
+
+    async def main():
+        import websockets
+
+        clients = [make_client(0.3), make_client(0.7)]
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(
+                asyncio.gather(*(c.run() for c in clients)), timeout=120
+            )
+
+    stats = asyncio.run(main())
+    assert all(s.frames == 4 for s in stats)
