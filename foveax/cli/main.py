@@ -156,6 +156,34 @@ def cmd_client(args) -> int:
     return 0
 
 
+def cmd_gaze_eval(args) -> int:
+    """Compare gaze predictors on a recorded or synthetic trace (the
+    dataset's pred_* fields are the zero-order baseline, reference:
+    src/gaze_view_points.cc:25-31)."""
+    from foveax.io.gaze import GazeViewPoints, synthetic_trace
+    from foveax.serve.gazepred import evaluate_predictors
+
+    if args.trace:
+        gvp = GazeViewPoints(args.trace)
+        label = args.trace
+    else:
+        kind = "saccades" if args.saccades else "smooth"
+        gvp = GazeViewPoints.from_text(
+            synthetic_trace(args.frames, saccades=args.saccades)
+        )
+        label = f"synthetic {kind}, {len(gvp)} frames"
+    gazes = gvp.gaze_array()
+    if len(gazes) < 3:
+        print("trace too short", file=sys.stderr)
+        return 1
+    res = evaluate_predictors(gazes)
+    print(f"trace: {label}")
+    for mode, err in res.items():
+        print(f"  {mode:<7} mean one-tick prediction error: {err:.5f}")
+    print(f"  best: {min(res, key=res.get)}")
+    return 0
+
+
 def _open_reader(source: str):
     from foveax.io.video import open_video
 
@@ -823,8 +851,11 @@ def build_parser() -> argparse.ArgumentParser:
         "deployments only; default confines requests to --video-dir)",
     )
     p.add_argument(
-        "--predict-gaze", action="store_true",
-        help="extrapolate the gaze one step ahead to hide latency",
+        "--predict-gaze", nargs="?", const="linear", default="off",
+        choices=["off", "linear", "kalman"],
+        help="extrapolate the gaze one tick ahead to hide latency "
+        "(bare flag = linear; kalman adds pursuit filtering with "
+        "saccade-aware reset, see foveax/serve/gazepred.py)",
     )
     p.add_argument(
         "--broadcast",
@@ -866,6 +897,18 @@ def build_parser() -> argparse.ArgumentParser:
         "this port (0 = off); open /viewer.html?video=NAME",
     )
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "gaze_eval",
+        help="compare gaze predictors (zero/linear/kalman) on a trace",
+    )
+    p.add_argument("--trace", help="360_em-format gaze trace file")
+    p.add_argument("--frames", type=int, default=600)
+    p.add_argument(
+        "--saccades", action="store_true",
+        help="synthetic trace with ballistic saccades every 2 s",
+    )
+    p.set_defaults(fn=cmd_gaze_eval)
 
     p = sub.add_parser("client", help="run the headless streaming client")
     p.add_argument("--uri", default="ws://localhost:9562")

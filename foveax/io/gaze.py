@@ -86,13 +86,24 @@ class GazeViewPoints:
         return len(self.points)
 
 
-def synthetic_trace(n_frames: int, seed: int = 0) -> str:
-    """Generate a plausible smooth gaze trace in the dataset's text format
-    (for tests and demos)."""
+def synthetic_trace(n_frames: int, seed: int = 0, saccades: bool = False) -> str:
+    """Generate a plausible gaze trace in the dataset's text format (for
+    tests and demos): smooth pursuit, optionally interrupted by ballistic
+    saccades (instant jumps to a new fixation every ~2 s) — the two
+    regimes eye movement alternates between."""
     rng = np.random.default_rng(seed)
     t = np.arange(n_frames) / 30.0
     x = 0.5 + 0.3 * np.sin(0.7 * t) + 0.02 * rng.standard_normal(n_frames)
     y = 0.5 + 0.2 * np.cos(1.1 * t) + 0.02 * rng.standard_normal(n_frames)
+    if saccades:
+        offset = np.zeros((n_frames, 2))
+        cur = np.zeros(2)
+        for i in range(n_frames):
+            if i > 0 and i % 60 == 0:
+                cur = rng.uniform(-0.25, 0.25, 2)
+            offset[i] = cur
+        x = x + offset[:, 0]
+        y = y + offset[:, 1]
     x, y = np.clip(x, 0.0, 1.0), np.clip(y, 0.0, 1.0)
     lines = [
         f"frame,{i},forward,{x[i]:.6f},{y[i]:.6f},eye,{x[i]:.6f},{y[i]:.6f}"

@@ -66,6 +66,14 @@ class Session:
         self.server = server
         self.center = (0.5, 0.5)
         self.prev_center = (0.5, 0.5)
+        # Per-session gaze predictor (Kalman filters carry state).
+        from foveax.serve.gazepred import make_predictor
+
+        self.predictor = (
+            make_predictor(server.predict_gaze)
+            if server.predict_gaze != "off"
+            else None
+        )
         self.reader = None
         self.mux: FragmentWriter | None = None
         self.wire = None  # per-session wire encoder (inter-frame state)
@@ -85,24 +93,18 @@ class Session:
     def update_gaze(self, cx: float, cy: float) -> None:
         self.prev_center = self.center
         self.center = (cx, cy)
+        if self.predictor is not None:
+            self.predictor.update(cx, cy)
 
     def effective_center(self) -> tuple[float, float]:
-        """Gaze used for the next frame; with prediction enabled, linearly
-        extrapolate one step from the last two gazes (the dataset's
+        """Gaze used for the next frame; with prediction enabled the
+        session's predictor extrapolates one tick ahead (the dataset's
         pred_* fields model the same one-frame-ahead idea, reference:
-        src/gaze_view_points.cc:25-31).  x wraps on the 360 seam."""
-        if not self.server.predict_gaze:
+        src/gaze_view_points.cc:25-31).  x wraps on the 360 seam; modes
+        and tuning in foveax.serve.gazepred."""
+        if self.predictor is None:
             return self.center
-        cx, cy = self.center
-        px, py = self.prev_center
-        dx = cx - px
-        if dx > 0.5:
-            dx -= 1.0
-        elif dx < -0.5:
-            dx += 1.0
-        nx = (cx + dx) % 1.0
-        ny = min(max(cy + (cy - py), 0.0), 1.0)
-        return (nx, ny)
+        return self.predictor.predict()
 
     def on_frame_outcome(self, dropped: bool) -> None:
         if dropped:
@@ -436,7 +438,7 @@ class FoveaxServer:
         max_frames: int | None = None,
         broadcast: bool = False,
         loop_videos: bool = False,
-        predict_gaze: bool = False,
+        predict_gaze: "bool | str" = "off",
         allow_paths: bool = False,
         wire_codec: str = "auto",
         wire_bitrate: int = 0,
@@ -450,6 +452,14 @@ class FoveaxServer:
         self.max_frames = max_frames
         self.broadcast = broadcast
         self.loop_videos = loop_videos
+        # Gaze prediction mode: "off" | "linear" | "kalman" (bools accepted
+        # for back-compat: True = "linear").
+        if predict_gaze is True:
+            predict_gaze = "linear"
+        elif predict_gaze is False:
+            predict_gaze = "off"
+        if predict_gaze not in ("off", "linear", "kalman"):
+            raise ValueError(f"unknown predict_gaze mode {predict_gaze!r}")
         self.predict_gaze = predict_gaze
         self.allow_paths = allow_paths
         # Wire codec: "auto" prefers inter-frame H.264 (the reference's
