@@ -491,6 +491,11 @@ class FoveaxServer:
                 raise ValueError(
                     f'mesh axes must be ("data", "space"), got {names}'
                 )
+            if sat_compression == "svd":
+                log.warning(
+                    "--mesh is ignored with --sat-compression svd (the SVD "
+                    "blob is built once per tick on the default pipeline)"
+                )
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024
