@@ -715,6 +715,10 @@ def cmd_perf(args) -> int:
         "1080p": (1920, 1080),
         "4k": (3840, 2160),
         "8k": (7680, 4320),
+        # 16K equirect: the resolution-scaling stress point (SURVEY's
+        # "long context" axis).  The SAT's mod-2^32 wrap engages (total
+        # pixel sum 3.4e10 > 2^32) and stays correct for 4-tap boxes.
+        "16k": (15360, 8640),
     }
     names = args.resolutions or ["1080p", "4k"]
     rng = np.random.default_rng(0)
@@ -989,7 +993,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("perf", help="device-path fps across resolutions")
     p.add_argument(
-        "--resolutions", nargs="*", choices=["1080p", "4k", "8k"], default=None
+        "--resolutions", nargs="*", choices=["1080p", "4k", "8k", "16k"], default=None
     )
     p.add_argument("--frames", type=int, default=20)
     p.add_argument(
