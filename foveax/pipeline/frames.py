@@ -83,6 +83,13 @@ class FoveationPipeline:
         def _unwarp(reduced, center):
             return unwarp_rect(reduced, sw, sh, center)
 
+        # Client-latency variant: backend-tuned precision ("mm" on TPU,
+        # "fast" on CPU), <= 1 LSB of exact, fovea bit-exact.  The
+        # default `unwarp`/`roundtrip` keep the exact path — quality
+        # studies report against it.
+        def _unwarp_auto(reduced, center):
+            return unwarp_rect(reduced, sw, sh, center, precision="auto")
+
         def _roundtrip(frame, center):
             reduced = _foveate(frame, center)
             return reduced, _unwarp(reduced, center)
@@ -128,6 +135,7 @@ class FoveationPipeline:
         self.sample_batch = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
         self.foveate = jax.jit(_foveate)
         self.unwarp = jax.jit(_unwarp)
+        self.unwarp_auto = jax.jit(_unwarp_auto)
         self.roundtrip = jax.jit(_roundtrip)
         self.foveate_batch = jax.jit(_foveate_batch)
         self.roundtrip_batch = jax.jit(_roundtrip_batch)

@@ -261,7 +261,10 @@ class FoveaxClient:
                             else (0.5, 0.5)
                         )
                     t0 = time.perf_counter()
-                    full = pipeline.unwarp(
+                    # Backend-tuned precision (<= 1 LSB of exact): the
+                    # client is latency-critical, like the reference's
+                    # GPU unwarp (src/video_client.cc:313-322).
+                    full = pipeline.unwarp_auto(
                         jnp.asarray(reduced),
                         jnp.asarray(center, jnp.float32),
                     )
