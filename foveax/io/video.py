@@ -59,20 +59,29 @@ class VideoReader:
             yield f
 
 
-_SYNTH_RE = re.compile(r"synthetic://(\d+)x(\d+)(?:@(\d+))?(?:/(\d+))?")
+_SYNTH_RE = re.compile(
+    r"synthetic://(\d+)x(\d+)(?:@(\d+))?(?:/(\d+))?(?:#(\w+))?"
+)
 
 
-def parse_synthetic_spec(spec: str) -> tuple[int, int, float, int]:
-    """(width, height, fps, n_frames) from a synthetic:// spec — lets
-    callers validate dimensions before any allocation happens."""
+def parse_synthetic_spec(spec: str) -> tuple[int, int, float, int, str]:
+    """(width, height, fps, n_frames, pattern) from a synthetic:// spec —
+    lets callers validate dimensions before any allocation happens.
+    Patterns: ``hostile`` (default — high-frequency stripes, the
+    aliasing stress content) or ``natural`` (band-limited gradients and
+    soft shapes, paper-style PSNR magnitudes)."""
     m = _SYNTH_RE.match(spec)
     if not m:
         raise ValueError(f"bad synthetic spec: {spec}")
+    pattern = m.group(5) or "hostile"
+    if pattern not in ("hostile", "natural"):
+        raise ValueError(f"unknown synthetic pattern {pattern!r}")
     return (
         int(m.group(1)),
         int(m.group(2)),
         float(m.group(3)) if m.group(3) else 30.0,
         int(m.group(4)) if m.group(4) else 300,
+        pattern,
     )
 
 
@@ -81,20 +90,46 @@ class SyntheticReader:
     detail so foveation artifacts are visible.  Spec string:
     ``synthetic://WxH@FPS/NFRAMES`` (fps and frame count optional)."""
 
-    def __init__(self, width: int, height: int, fps: float = 30.0, n_frames: int = 300):
+    def __init__(self, width: int, height: int, fps: float = 30.0,
+                 n_frames: int = 300, pattern: str = "hostile"):
         self.width, self.height = width, height
         self.fps, self.n_frames = fps, n_frames
+        self.pattern = pattern
         self._i = 0
         yy, xx = np.mgrid[0:height, 0:width]
         self._xx, self._yy = xx, yy
-        self._base = np.stack(
-            [
-                (255 * (0.5 + 0.5 * np.sin(xx / 23.0))),
-                (yy * 255 // max(height, 1)),
-                ((xx // 6 % 2) * 255),
-            ],
-            axis=-1,
-        ).astype(np.uint8)
+        if pattern == "natural":
+            # Band-limited content (smooth gradients + a few soft shapes):
+            # the regime where the paper reports 30-40 dB PSNRs, vs the
+            # deliberately aliasing-hostile default stripes.
+            u = xx / max(width, 1)
+            v = yy / max(height, 1)
+            r = 0.55 + 0.25 * np.sin(2 * np.pi * (1.5 * u + 0.3)) * np.cos(
+                2 * np.pi * (0.8 * v)
+            )
+            g = 0.45 + 0.3 * np.sin(2 * np.pi * (0.9 * u - 0.6 * v + 0.1))
+            b = 0.5 + 0.3 * np.cos(2 * np.pi * (0.5 * u + 1.1 * v))
+            for scx, scy, rad, amp in (
+                (0.3, 0.4, 0.18, 0.35),
+                (0.7, 0.6, 0.12, -0.3),
+                (0.5, 0.25, 0.08, 0.25),
+            ):
+                d2 = ((u - scx) ** 2 + (v - scy) ** 2) / rad**2
+                blob = amp * np.exp(-d2)
+                r = r + blob
+                g = g + 0.6 * blob
+            self._base = (
+                np.clip(np.stack([r, g, b], axis=-1), 0, 1) * 255
+            ).astype(np.uint8)
+        else:
+            self._base = np.stack(
+                [
+                    (255 * (0.5 + 0.5 * np.sin(xx / 23.0))),
+                    (yy * 255 // max(height, 1)),
+                    ((xx // 6 % 2) * 255),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
 
     @classmethod
     def from_spec(cls, spec: str) -> "SyntheticReader":
@@ -105,14 +140,24 @@ class SyntheticReader:
             return None
         shift = (self._i * 3) % self.width
         frame = np.roll(self._base, shift, axis=1)
-        # A moving bright blob (object motion on top of the pan).
+        frame = frame.copy()
         cx = int((0.5 + 0.4 * np.sin(self._i / 20.0)) * self.width)
         cy = int((0.5 + 0.3 * np.cos(self._i / 17.0)) * self.height)
         r = max(4, self.height // 24)
-        frame = frame.copy()
         y0, y1 = max(cy - r, 0), min(cy + r, self.height)
         x0, x1 = max(cx - r, 0), min(cx + r, self.width)
-        frame[y0:y1, x0:x1] = 255 - frame[y0:y1, x0:x1]
+        if self.pattern == "natural":
+            # Soft moving highlight instead of a hard inverted block.
+            yy = self._yy[y0:y1, x0:x1]
+            xx = self._xx[y0:y1, x0:x1]
+            d2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / max(r * r, 1)
+            glow = (80 * np.exp(-d2))[..., None]
+            frame[y0:y1, x0:x1] = np.clip(
+                frame[y0:y1, x0:x1].astype(np.int32) + glow, 0, 255
+            ).astype(np.uint8)
+        else:
+            # A moving bright blob (object motion on top of the pan).
+            frame[y0:y1, x0:x1] = 255 - frame[y0:y1, x0:x1]
         self._i += 1
         return frame
 

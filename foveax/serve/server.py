@@ -529,7 +529,7 @@ class FoveaxServer:
             # area is the largest supported config.
             from foveax.io.video import parse_synthetic_spec
 
-            w, h, _, _ = parse_synthetic_spec(name)
+            w, h, _, _, _ = parse_synthetic_spec(name)
             if w * h > 7680 * 4320:
                 raise ValueError(f"synthetic source too large: {name!r}")
             if w < 8 or h < 8:
