@@ -157,3 +157,25 @@ def test_init_segment_codec_config_box():
     assert size == 8 + len(cfg[1])
     # Without config the box is absent (JPEG default).
     assert b"avcC" not in init_segment(64, 48)
+
+
+def test_synthetic_pattern_spec():
+    """#natural spec selects band-limited content; default stays the
+    aliasing-hostile stripes; unknown patterns rejected."""
+    from foveax.io.video import SyntheticReader, parse_synthetic_spec
+
+    w, h, fps, n, pat = parse_synthetic_spec("synthetic://64x32@25/7#natural")
+    assert (w, h, fps, n, pat) == (64, 32, 25.0, 7, "natural")
+    assert parse_synthetic_spec("synthetic://64x32")[4] == "hostile"
+    with pytest.raises(ValueError):
+        parse_synthetic_spec("synthetic://64x32#plaid")
+
+    nat = SyntheticReader(256, 128, n_frames=2, pattern="natural").read()
+    hos = SyntheticReader(256, 128, n_frames=2).read()
+    assert nat.shape == hos.shape == (128, 256, 3)
+    # Band-limited content has far smaller adjacent-pixel jumps than the
+    # stripe pattern.
+    import numpy as np
+
+    jump = lambda f: np.abs(np.diff(f.astype(np.int32), axis=1)).mean()
+    assert jump(nat) < 0.25 * jump(hos), (jump(nat), jump(hos))
