@@ -217,3 +217,25 @@ def test_http_port_serves_viewer():
         assert b"foveax" in html and b"axisVectors" in js
     finally:
         httpd.shutdown()
+
+
+def test_selftest_golden_up_to_date(tmp_path):
+    """The committed browser self-test vectors must match what the
+    generator produces from the current shader twin (regenerate with
+    scripts/gen_web_golden.py after any unwarp-math change)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    committed = repo / "foveax" / "web" / "selftest_golden.js"
+    assert committed.exists(), "run scripts/gen_web_golden.py"
+    before = committed.read_bytes()
+    subprocess.run(
+        [_sys.executable, str(repo / "scripts" / "gen_web_golden.py")],
+        check=True,
+        capture_output=True,
+    )
+    assert committed.read_bytes() == before, (
+        "selftest_golden.js is stale — commit the regenerated file"
+    )
