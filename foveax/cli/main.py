@@ -54,7 +54,21 @@ def cmd_serve(args) -> int:
         import numpy as _np
         from jax.sharding import Mesh
 
-        data, space = (int(v) for v in args.mesh.split("x"))
+        if not args.broadcast:
+            # server.mesh is consumed only by BroadcastChannel — silently
+            # serving unsharded would defeat the flag's whole point.
+            print("--mesh requires --broadcast", file=sys.stderr)
+            return 1
+        try:
+            data, space = (int(v) for v in args.mesh.split("x"))
+            if data < 1 or space < 1:
+                raise ValueError
+        except ValueError:
+            print(
+                f"bad --mesh {args.mesh!r}: expected DATAxSPACE, e.g. 2x4",
+                file=sys.stderr,
+            )
+            return 1
         devs = jax.devices()
         if len(devs) < data * space:
             print(
@@ -91,8 +105,9 @@ def cmd_serve(args) -> int:
     return 0
 
 
-def _start_web_server(http_port: int, ws_port: int) -> None:
-    """Serve the browser viewer (foveax/web) on a daemon thread.
+def _start_web_server(http_port: int, ws_port: int):
+    """Serve the browser viewer (foveax/web) on a daemon thread; returns
+    the ThreadingHTTPServer (callers use its bound port and shutdown()).
 
     The viewer is static files; the websocket protocol itself stays on
     the main server port (the reference's client is a native SDL binary,

@@ -104,7 +104,7 @@ class Session:
         and tuning in foveax.serve.gazepred."""
         if self.predictor is None:
             return self.center
-        return self.predictor.predict()
+        return self.predictor.predict(1.0 / self.server.config.fps)
 
     def on_frame_outcome(self, dropped: bool) -> None:
         if dropped:
@@ -186,8 +186,8 @@ class BroadcastChannel:
             space = self.server.mesh.shape["space"]
             if cfg.source_height % space != 0:
                 raise ValueError(
-                    f"source height {cfg.source_height} does not divide "
-                    f"the mesh space axis ({space})"
+                    f"mesh space axis ({space}) must divide the source "
+                    f"height ({cfg.source_height})"
                 )
             self._sharded = jit_serve_parts(
                 self.pipeline.grid, self.server.mesh

@@ -215,9 +215,50 @@ class FragmentReader {
   }
 }
 
+// --- WebGL2 unwarp shaders (shared by viewer.html and selftest.html so
+// --- the self-test always exercises the shader the viewer renders with).
+
+const UNWARP_VS = `#version 300 es
+void main() {
+  // Fullscreen triangle.
+  vec2 p = vec2((gl_VertexID << 1) & 2, gl_VertexID & 2);
+  gl_Position = vec4(p * 2.0 - 1.0, 0.0, 1.0);
+}`;
+
+// Per-pixel 4-tap bilinear blend between the two enclosing log cells per
+// axis — the device unwarp's inner loop (foveax/core/unwarp.py,
+// reference: src/sat_decoder_interpolate_kernel.cl:74-151).  Axis
+// textures carry (lo, hi, ratio) per output column/row.
+const UNWARP_FS = `#version 300 es
+precision highp float;
+uniform sampler2D u_frame;
+uniform sampler2D u_ax;
+uniform sampler2D u_ay;
+uniform int u_outH;
+out vec4 o;
+void main() {
+  int x = int(gl_FragCoord.x);
+  int y = u_outH - 1 - int(gl_FragCoord.y);
+  vec4 ax = texelFetch(u_ax, ivec2(x, 0), 0);
+  vec4 ay = texelFetch(u_ay, ivec2(y, 0), 0);
+  int xl = int(ax.x), xh = int(ax.y);
+  int yl = int(ay.x), yh = int(ay.y);
+  vec3 tl = texelFetch(u_frame, ivec2(xl, yl), 0).rgb;
+  vec3 tr = texelFetch(u_frame, ivec2(xh, yl), 0).rgb;
+  vec3 bl = texelFetch(u_frame, ivec2(xl, yh), 0).rgb;
+  vec3 br = texelFetch(u_frame, ivec2(xh, yh), 0).rgb;
+  vec3 top = mix(tl, tr, ax.z);
+  vec3 bot = mix(bl, br, ax.z);
+  o = vec4(mix(top, bot, ay.z), 1.0);
+}`;
+
 // Export for both module-less <script> use and potential JS test runners.
+const exported = {
+  axisVectors, delta64, reducedDim, lamF32, FragmentReader,
+  UNWARP_VS, UNWARP_FS,
+};
 if (typeof window !== "undefined") {
-  window.foveaxUnwarp = { axisVectors, delta64, reducedDim, lamF32, FragmentReader };
+  window.foveaxUnwarp = exported;
 } else if (typeof module !== "undefined") {
-  module.exports = { axisVectors, delta64, reducedDim, lamF32, FragmentReader };
+  module.exports = exported;
 }

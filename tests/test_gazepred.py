@@ -48,12 +48,12 @@ def test_saccade_reset_no_overshoot():
     not extrapolate the jump."""
     p = KalmanPredictor()
     for i in range(30):
-        p.update(0.3 + 0.002 * i, 0.5)
-    p.update(0.75, 0.5)  # saccade
-    px, py = p.predict()
+        p.update(0.3 + 0.002 * i, 0.5, t=i / 30)
+    p.update(0.75, 0.5, t=31 / 30)  # saccade
+    px, py = p.predict(1 / 30)
     assert abs(px - 0.75) < 0.02, px
-    p.update(0.75, 0.5)
-    px, _ = p.predict()
+    p.update(0.75, 0.5, t=32 / 30)
+    px, _ = p.predict(1 / 30)
     assert abs(px - 0.75) < 0.02, px
 
 
@@ -61,12 +61,28 @@ def test_wrap_prediction_across_seam():
     """Pursuit moving right across x = 1 predicts across the seam."""
     p = KalmanPredictor()
     xs = (np.arange(40) * 0.01 + 0.8) % 1.0  # 0.8 ... 1.0 ... 0.19
-    for x in xs:
-        p.update(float(x), 0.5)
-    px, _ = p.predict()
+    for i, x in enumerate(xs):
+        p.update(float(x), 0.5, t=i / 30)
+    px, _ = p.predict(1 / 30)
     want = (xs[-1] + 0.01) % 1.0
     d = abs(px - want)
     assert min(d, 1.0 - d) < 0.02, (px, want)
+
+
+def test_kalman_horizon_independent_of_message_rate():
+    """The prediction horizon is the SERVER tick, not the client's
+    message interval: a 200 Hz mousemove stream moving at constant
+    velocity must still predict one 33 ms tick ahead (a per-message-step
+    filter would predict only 5 ms ahead and leave ~85% of the lag)."""
+    v = 0.3  # units/second
+    p = KalmanPredictor()
+    for i in range(400):
+        t = i / 200.0
+        p.update(0.1 + v * t, 0.5, t=t)
+    t_last = 399 / 200.0
+    px, _ = p.predict(1 / 30)
+    want = 0.1 + v * (t_last + 1 / 30)
+    assert abs(px - want) < 0.004, (px, want)
 
 
 def test_make_predictor_rejects_unknown():

@@ -230,12 +230,17 @@ def test_selftest_golden_up_to_date(tmp_path):
     repo = Path(__file__).resolve().parent.parent
     committed = repo / "foveax" / "web" / "selftest_golden.js"
     assert committed.exists(), "run scripts/gen_web_golden.py"
-    before = committed.read_bytes()
+    fresh = tmp_path / "selftest_golden.js"
     subprocess.run(
-        [_sys.executable, str(repo / "scripts" / "gen_web_golden.py")],
+        [
+            _sys.executable,
+            str(repo / "scripts" / "gen_web_golden.py"),
+            str(fresh),
+        ],
         check=True,
         capture_output=True,
     )
-    assert committed.read_bytes() == before, (
-        "selftest_golden.js is stale — commit the regenerated file"
+    assert committed.read_bytes() == fresh.read_bytes(), (
+        "selftest_golden.js is stale — rerun scripts/gen_web_golden.py "
+        "and commit the result"
     )
