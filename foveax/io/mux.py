@@ -292,7 +292,10 @@ class FragmentReader:
                 self._parse_dims(payload)
             elif fourcc == b"moof":
                 for fc, s, e in iter_boxes(payload):
-                    if fc == b"mfhd":
+                    # Minimum-size guard (version/flags + seq) matching the
+                    # native demuxer: a corrupt short mfhd must not read
+                    # the next box's bytes or raise struct.error.
+                    if fc == b"mfhd" and e - s >= 8:
                         self.last_seq = struct.unpack_from(">I", payload, s + 4)[0]
             elif fourcc == b"mdat":
                 samples.append(payload)
@@ -325,7 +328,7 @@ class FragmentReader:
             if fc != b"trak":
                 continue
             for fc2, s2, e2 in iter_boxes(moov_payload, s, e):
-                if fc2 == b"tkhd":
+                if fc2 == b"tkhd" and e2 - s2 >= 8:
                     w, h = struct.unpack_from(">II", moov_payload, e2 - 8)
                     self.width, self.height = w >> 16, h >> 16
                 elif fc2 == b"mdia":

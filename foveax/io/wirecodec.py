@@ -164,8 +164,23 @@ def parse_esds_dsi(esds_payload: bytes) -> bytes | None:
     pos = 0
     while pos < len(data):
         tag, body, size = read_desc(data, pos)
-        if tag == 0x03:  # ES_Descriptor: skip ES_ID(2)+flags(1), descend
-            pos = body + 3
+        if tag == 0x03:  # ES_Descriptor: ES_ID(2) + flags(1), then
+            # optional fields the flags gate (ISO 14496-1 s7.2.6.5):
+            # streamDependenceFlag -> dependsOn_ES_ID(2), URL_Flag ->
+            # URLlength(1)+URLstring, OCRstreamFlag -> OCR_ES_Id(2).
+            if body + 3 > len(data):
+                return None
+            flags = data[body + 2]
+            skip = 3
+            if flags & 0x80:
+                skip += 2
+            if flags & 0x40:
+                if body + skip >= len(data):
+                    return None
+                skip += 1 + data[body + skip]
+            if flags & 0x20:
+                skip += 2
+            pos = body + skip
         elif tag == 0x04:  # DecoderConfigDescriptor: skip 13 fixed bytes
             pos = body + 13
         elif tag == 0x05:
@@ -248,7 +263,7 @@ class WireEncoder:
             cap = -n
             buf = ctypes.create_string_buffer(cap)
             n = self._lib.fx_enc_extradata(self._h, buf, cap)
-        return buf.raw[:n] if n > 0 else b""
+        return bytes(buf[:n]) if n > 0 else b""
 
     def _build_config(self, bitrate: int) -> tuple[bytes, bytes] | None:
         extra = self._extradata()
@@ -283,7 +298,7 @@ class WireEncoder:
             # Zero-latency settings make this unreachable for the codecs
             # above; surface loudly rather than desync the fragment clock.
             raise IOError("encoder buffered the frame (latency contract broken)")
-        return self._out.raw[:n], bool(is_key.value)
+        return bytes(self._out[:n]), bool(is_key.value)
 
     def close(self) -> None:
         if getattr(self, "_h", None):
@@ -303,6 +318,8 @@ class WireDecoder:
         self,
         sample_format: bytes,
         codec_config: tuple[bytes, bytes] | None = None,
+        *,
+        size_hint: tuple[int, int] | None = None,
     ):
         lib = _lib()
         if lib is None:
@@ -334,52 +351,67 @@ class WireDecoder:
             raise RuntimeError(f"decoder open failed: {err.value.decode()}")
         self._cap = 0
         self._buf = None
+        # Pre-size from the stream dimensions when known (the demuxer's
+        # track header) so the grow-and-take retry never runs in steady
+        # state.
+        if size_hint is not None:
+            self._ensure(size_hint[0] * size_hint[1] * 3)
+        else:
+            self._ensure(1 << 22)
 
     def _ensure(self, cap: int) -> None:
         if cap > self._cap:
             self._cap = cap
             self._buf = ctypes.create_string_buffer(cap)
 
-    def _to_frame(self, n: int, w: int, h: int) -> np.ndarray:
+    def _to_frame(self, w: int, h: int) -> np.ndarray:
+        # ctypes array slicing copies only w*h*3 bytes (.raw would first
+        # materialize the whole capacity-sized buffer); .copy() keeps the
+        # returned array writable and independent of the reused buffer.
         return (
-            np.frombuffer(self._buf.raw[: w * h * 3], dtype=np.uint8)
+            np.frombuffer(self._buf[: w * h * 3], dtype=np.uint8)
             .reshape(h, w, 3)
             .copy()
         )
 
+    def _finish(self, n: int, w, h, what: str) -> np.ndarray | None:
+        """Resolve a decode/flush return: 1 = frame, 0 = none, -(needed)
+        with w set = grow the buffer and take the HELD frame (re-sending
+        the packet would corrupt inter-frame state; the shim retains the
+        decoded frame instead), anything else = hard error.  The
+        -(needed) space overlaps numerically with error codes for frames
+        >= ~0.6 MP — w > 0 disambiguates (errors leave it 0)."""
+        if n < 0 and w.value > 0 and n == -(w.value * h.value * 3):
+            self._ensure(-n)
+            n = self._lib.fx_dec_take(
+                self._h, self._buf, self._cap, ctypes.byref(w), ctypes.byref(h)
+            )
+        if n < 0:
+            raise IOError(f"{what} failed ({n})")
+        if n == 0:
+            return None
+        return self._to_frame(w.value, h.value)
+
     def decode(self, sample: bytes) -> np.ndarray | None:
         """Feed one sample; returns an RGB frame or None (decoder delay —
         does not occur with foveax's own zero-latency streams)."""
-        self._ensure(1 << 22)
         w = ctypes.c_int(0)
         h = ctypes.c_int(0)
         n = self._lib.fx_dec_decode(
             self._h, sample, len(sample), self._buf, self._cap,
             ctypes.byref(w), ctypes.byref(h),
         )
-        if n < 0 and n > -1000000:
-            self._ensure(-n)
-            n = self._lib.fx_dec_decode(
-                self._h, sample, len(sample), self._buf, self._cap,
-                ctypes.byref(w), ctypes.byref(h),
-            )
-        if n <= -1000000:
-            raise IOError(f"decode failed ({n})")
-        if n == 0:
-            return None
-        return self._to_frame(n, w.value, h.value)
+        return self._finish(n, w, h, "decode")
 
     def flush(self) -> np.ndarray | None:
-        """Drain a buffered frame at end of stream."""
-        self._ensure(1 << 22)
+        """Drain a buffered frame at end of stream (raises on decoder
+        errors rather than masking them as end-of-stream)."""
         w = ctypes.c_int(0)
         h = ctypes.c_int(0)
         n = self._lib.fx_dec_flush(
             self._h, self._buf, self._cap, ctypes.byref(w), ctypes.byref(h)
         )
-        if n <= 0:
-            return None
-        return self._to_frame(n, w.value, h.value)
+        return self._finish(n, w, h, "flush")
 
     def close(self) -> None:
         if getattr(self, "_h", None):
@@ -444,9 +476,11 @@ def make_wire_encoder(
 def make_wire_decoder(
     sample_format: bytes | None,
     codec_config: tuple[bytes, bytes] | None = None,
+    size_hint: tuple[int, int] | None = None,
 ):
     """Decoder from the demuxed stream's sample entry (the client learns
-    the codec from the stream, like any fMP4 player)."""
+    the codec from the stream, like any fMP4 player).  ``size_hint`` =
+    (width, height) from the track header pre-sizes the output buffer."""
     if sample_format is None or bytes(sample_format) == b"jpeg":
         return JpegWireDecoder()
-    return WireDecoder(sample_format, codec_config)
+    return WireDecoder(sample_format, codec_config, size_hint=size_hint)

@@ -187,6 +187,14 @@ def load_codec() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.fx_dec_take.restype = ctypes.c_int
+    lib.fx_dec_take.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.fx_dec_flush.restype = ctypes.c_int
     lib.fx_dec_flush.argtypes = [
         ctypes.c_void_p,
@@ -267,7 +275,7 @@ class NativeDemuxer:
                 self._cap = -r
                 self._buf = ctypes.create_string_buffer(self._cap)
                 r = self._lib.fvx_demux_next(self._h, self._buf, self._cap)
-            out.append(self._buf.raw[:r])
+            out.append(self._buf[:r])
         return out
 
     def _info(self):

@@ -118,6 +118,10 @@ struct Decoder {
   SwsContext* sws = nullptr;
   int sws_w = 0, sws_h = 0;
   AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
+  // A decoded frame retained after a buffer-too-small return, so the
+  // caller can grow its buffer and fetch it with fx_dec_take without
+  // re-sending the packet (which would corrupt inter-frame state).
+  bool held = false;
 
   ~Decoder() {
     if (sws != nullptr) sws_freeContext(sws);
@@ -325,33 +329,19 @@ void* fx_dec_open(const char* codec_name, const uint8_t* extradata, int len,
   return d;
 }
 
-// Feed one sample; if a frame comes out, convert to packed RGB24 into out.
-// Returns 1 (frame written, *out_w/*out_h set), 0 (no frame yet), -(needed)
-// if cap is too small for the decoded frame, or <=-1000000 on errors.
-int fx_dec_decode(void* dec, const uint8_t* data, int len, uint8_t* out,
-                  int cap, int* out_w, int* out_h) {
-  auto* d = static_cast<Decoder*>(dec);
-  // AV_INPUT_BUFFER_PADDING_SIZE guarantee: copy into a padded buffer.
-  uint8_t* padded = static_cast<uint8_t*>(
-      av_mallocz(size_t(len) + AV_INPUT_BUFFER_PADDING_SIZE));
-  if (padded == nullptr) return -1000001;
-  std::memcpy(padded, data, size_t(len));
-  av_packet_unref(d->pkt);
-  if (av_packet_from_data(d->pkt, padded, len) < 0) {
-    av_free(padded);
-    return -1000002;
-  }
-  int rc = avcodec_send_packet(d->ctx, d->pkt);
-  av_packet_unref(d->pkt);
-  if (rc < 0 && rc != AVERROR(EAGAIN)) return -1000003;
-
-  rc = avcodec_receive_frame(d->ctx, d->frame);
-  if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
-  if (rc < 0) return -1000004;
-
+// Convert the frame sitting in d->frame to packed RGB24.  Returns 1 and
+// clears the frame, or -(needed) with the frame HELD (d->held, *out_w/h
+// set) when cap is too small — the caller grows its buffer and calls
+// fx_dec_take.  Hard errors (<= -1000000) leave *out_w/h at 0, which is
+// how callers distinguish them from the -(needed) space (needed can
+// exceed 1000000 for >= ~0.6 MP frames).
+static int fx__convert(Decoder* d, uint8_t* out, int cap, int* out_w,
+                       int* out_h) {
   int w = d->frame->width, h = d->frame->height;
   if (w * h * 3 > cap) {
-    av_frame_unref(d->frame);
+    d->held = true;
+    if (out_w != nullptr) *out_w = w;
+    if (out_h != nullptr) *out_h = h;
     return -(w * h * 3);
   }
   auto fmt = static_cast<AVPixelFormat>(d->frame->format);
@@ -365,6 +355,7 @@ int fx_dec_decode(void* dec, const uint8_t* data, int len, uint8_t* out,
     d->sws_fmt = fmt;
     if (d->sws == nullptr) {
       av_frame_unref(d->frame);
+      d->held = false;
       return -1000005;
     }
   }
@@ -372,41 +363,76 @@ int fx_dec_decode(void* dec, const uint8_t* data, int len, uint8_t* out,
   const int dst_stride[1] = {w * 3};
   sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst, dst_stride);
   av_frame_unref(d->frame);
+  d->held = false;
   if (out_w != nullptr) *out_w = w;
   if (out_h != nullptr) *out_h = h;
   return 1;
+}
+
+// Fetch a frame retained by a previous -(needed) return (see fx__convert).
+// Returns like fx_dec_decode; 0 if nothing is held.
+int fx_dec_take(void* dec, uint8_t* out, int cap, int* out_w, int* out_h) {
+  auto* d = static_cast<Decoder*>(dec);
+  if (!d->held) return 0;
+  return fx__convert(d, out, cap, out_w, out_h);
+}
+
+// Feed one sample; if a frame comes out, convert to packed RGB24 into out.
+// Returns 1 (frame written, *out_w/*out_h set), 0 (no frame yet), -(needed)
+// with *out_w/h set and the frame held if cap is too small (grow and call
+// fx_dec_take), or <=-1000000 on errors (*out_w/h left 0).
+int fx_dec_decode(void* dec, const uint8_t* data, int len, uint8_t* out,
+                  int cap, int* out_w, int* out_h) {
+  auto* d = static_cast<Decoder*>(dec);
+  if (out_w != nullptr) *out_w = 0;
+  if (out_h != nullptr) *out_h = 0;
+  if (d->held) return -1000008;  // caller must fx_dec_take first
+  // AV_INPUT_BUFFER_PADDING_SIZE guarantee: copy into a padded buffer.
+  uint8_t* padded = static_cast<uint8_t*>(
+      av_mallocz(size_t(len) + AV_INPUT_BUFFER_PADDING_SIZE));
+  if (padded == nullptr) return -1000001;
+  std::memcpy(padded, data, size_t(len));
+  av_packet_unref(d->pkt);
+  if (av_packet_from_data(d->pkt, padded, len) < 0) {
+    av_free(padded);
+    return -1000002;
+  }
+  int rc = avcodec_send_packet(d->ctx, d->pkt);
+  if (rc == AVERROR(EAGAIN)) {
+    // Output queue full (a packet emitted multiple frames): drain one
+    // frame, re-send the packet — it is NOT consumed on EAGAIN, so
+    // dropping it here would desync every later P-frame.
+    int rc2 = avcodec_receive_frame(d->ctx, d->frame);
+    if (rc2 < 0) {
+      av_packet_unref(d->pkt);
+      return -1000006;
+    }
+    rc = avcodec_send_packet(d->ctx, d->pkt);
+    av_packet_unref(d->pkt);
+    if (rc < 0 && rc != AVERROR(EAGAIN)) return -1000007;
+    return fx__convert(d, out, cap, out_w, out_h);
+  }
+  av_packet_unref(d->pkt);
+  if (rc < 0) return -1000003;
+
+  rc = avcodec_receive_frame(d->ctx, d->frame);
+  if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+  if (rc < 0) return -1000004;
+  return fx__convert(d, out, cap, out_w, out_h);
 }
 
 // Drain any frames still buffered in the decoder (end of stream).
 // Same return convention as fx_dec_decode.
 int fx_dec_flush(void* dec, uint8_t* out, int cap, int* out_w, int* out_h) {
   auto* d = static_cast<Decoder*>(dec);
+  if (out_w != nullptr) *out_w = 0;
+  if (out_h != nullptr) *out_h = 0;
+  if (d->held) return fx__convert(d, out, cap, out_w, out_h);
   avcodec_send_packet(d->ctx, nullptr);
   int rc = avcodec_receive_frame(d->ctx, d->frame);
   if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
   if (rc < 0) return -1000004;
-  int w = d->frame->width, h = d->frame->height;
-  if (w * h * 3 > cap) {
-    av_frame_unref(d->frame);
-    return -(w * h * 3);
-  }
-  auto fmt = static_cast<AVPixelFormat>(d->frame->format);
-  if (d->sws == nullptr || d->sws_w != w || d->sws_h != h ||
-      d->sws_fmt != fmt) {
-    if (d->sws != nullptr) sws_freeContext(d->sws);
-    d->sws = sws_getContext(w, h, fmt, w, h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
-                            nullptr, nullptr, nullptr);
-    d->sws_w = w;
-    d->sws_h = h;
-    d->sws_fmt = fmt;
-  }
-  uint8_t* dst[1] = {out};
-  const int dst_stride[1] = {w * 3};
-  sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst, dst_stride);
-  av_frame_unref(d->frame);
-  if (out_w != nullptr) *out_w = w;
-  if (out_h != nullptr) *out_h = h;
-  return 1;
+  return fx__convert(d, out, cap, out_w, out_h);
 }
 
 void fx_dec_close(void* dec) { delete static_cast<Decoder*>(dec); }

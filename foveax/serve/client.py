@@ -224,6 +224,7 @@ class FoveaxClient:
                         decoder = make_wire_decoder(
                             sample_format,
                             getattr(demux, "codec_config", None),
+                            size_hint=(demux.width, demux.height),
                         )
                 for sample in samples:
                     meta = pending_meta

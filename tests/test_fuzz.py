@@ -205,3 +205,25 @@ def test_demuxer_byte_at_a_time():
     trickle = _observe(FragmentReader(), [bytes([b]) for b in stream])
     assert whole == trickle
     assert whole["err"] is None and whole["header"]
+
+
+def test_demuxers_agree_on_short_mfhd():
+    """Deterministic corruption the random sweeps rarely hit: an mfhd
+    whose size field shrinks to less than its 8-byte payload.  Both
+    demuxers must skip the truncated box identically (no struct.error,
+    no garbage last_seq) — the native parser guards blen >= 8 and the
+    Python twin must match."""
+    if not native_available():
+        pytest.skip("native demuxer unavailable")
+    rng = np.random.default_rng(5)
+    data = bytearray(_valid_stream(rng))
+    # Find the first mfhd box and shrink its size field to 9 (payload 1).
+    i = bytes(data).find(b"mfhd")
+    assert i > 4
+    import struct as _struct
+
+    _struct.pack_into(">I", data, i - 4, 9)
+    chunks = [bytes(data)]
+    a = _observe(FragmentReader(), chunks)
+    b = _observe(NativeDemuxer(), chunks)
+    assert a == b, (a, b)

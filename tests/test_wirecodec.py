@@ -334,3 +334,71 @@ def test_ladder_smoke():
     hi_lr = by[("logrect", 1500.0)]
     hi_ds = by[("downsample", 1500.0)]
     assert hi_lr.foveal > hi_ds.foveal  # sharper at the gaze
+
+
+def test_large_frame_decode_grow_and_hint():
+    """Frames above the historical 4 MB default buffer (any >= 4K-source
+    reduced stream) must decode via both the grow-and-take retry and the
+    size-hint pre-allocation — regression for the -(w*h*3) buffer-grow
+    sentinel colliding with the hard-error code space (it raised
+    IOError(-7718400) on the first 2144x1200 frame)."""
+    if "h264" not in available_wire_codecs():
+        pytest.skip("native codec shim unavailable")
+    w, h = 2144, 1200
+    enc = make_wire_encoder("h264", w, h, 30.0, crf=30)
+    dec_grow = make_wire_decoder(b"avc1", enc.codec_config)
+    dec_hint = make_wire_decoder(b"avc1", enc.codec_config, size_hint=(w, h))
+    frame = (
+        np.linspace(0, 255, w)[None, :, None] * np.ones((h, 1, 3))
+    ).astype(np.uint8)
+    for i in range(3):
+        f = np.roll(frame, i * 7, axis=1)
+        sample, _ = enc.encode(f)
+        a = dec_grow.decode(sample)
+        b = dec_hint.decode(sample)
+        assert a is not None and a.shape == (h, w, 3)
+        assert b is not None and np.array_equal(a, b)
+    enc.close()
+    dec_grow.close()
+    dec_hint.close()
+
+
+def test_flush_empty_returns_none():
+    if "h264" not in available_wire_codecs():
+        pytest.skip("native codec shim unavailable")
+    enc = make_wire_encoder("h264", 64, 48, 30.0)
+    dec = make_wire_decoder(b"avc1", enc.codec_config)
+    sample, _ = enc.encode(np.zeros((48, 64, 3), np.uint8))
+    assert dec.decode(sample) is not None
+    assert dec.flush() is None  # zero-latency stream leaves nothing buffered
+    enc.close()
+    dec.close()
+
+
+def test_esds_dsi_with_es_flags():
+    """ES_Descriptor optional fields (streamDependence/URL/OCR flags) must
+    be skipped per ISO 14496-1 before descending — foreign muxers set
+    them."""
+    from foveax.io.wirecodec import parse_esds_dsi
+
+    dsi = b"\x01\x02\x03"
+
+    def desc(tag, payload):
+        return bytes([tag, len(payload)]) + payload
+
+    dcd = desc(0x04, b"\x20\x11" + b"\x00" * 11 + desc(0x05, dsi))
+    # flags: streamDependence (0x80) + URL (0x40) with a 3-byte URL + OCR (0x20)
+    es_body = (
+        b"\x00\x01"      # ES_ID
+        + b"\xe0"          # flags
+        + b"\x00\x02"      # dependsOn_ES_ID
+        + b"\x03url"       # URLlength + URL
+        + b"\x00\x04"      # OCR_ES_Id
+        + dcd
+    )
+    payload = b"\x00\x00\x00\x00" + desc(0x03, es_body)
+    assert parse_esds_dsi(payload) == dsi
+    # and the plain zero-flags form still parses
+    es_plain = b"\x00\x01\x00" + dcd
+    payload2 = b"\x00\x00\x00\x00" + desc(0x03, es_plain)
+    assert parse_esds_dsi(payload2) == dsi
