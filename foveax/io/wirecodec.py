@@ -20,6 +20,7 @@ keep the zero-native-deps fallback the round-1 system shipped.
 from __future__ import annotations
 
 import ctypes
+import threading
 
 import numpy as np
 
@@ -254,6 +255,11 @@ class WireEncoder:
         self._out_cap = max(width * height * 3, 1 << 20)
         self._out = ctypes.create_string_buffer(self._out_cap)
         self.codec_config = self._build_config(bitrate)
+        # encode() runs in executor threads while close() may run on the
+        # event loop (session teardown during an in-flight broadcast
+        # tick): serialize access to the native handle — closing it under
+        # a running fx_enc_encode is a use-after-free.
+        self._hlock = threading.Lock()
 
     def _extradata(self) -> bytes:
         cap = 4096
@@ -283,13 +289,16 @@ class WireEncoder:
                 f"{(self.height, self.width, 3)}"
             )
         is_key = ctypes.c_int(0)
-        n = self._lib.fx_enc_encode(
-            self._h,
-            frame_rgb.ctypes.data_as(ctypes.c_char_p),
-            self._out,
-            self._out_cap,
-            ctypes.byref(is_key),
-        )
+        with self._hlock:
+            if not self._h:
+                raise IOError("encoder closed")
+            n = self._lib.fx_enc_encode(
+                self._h,
+                frame_rgb.ctypes.data_as(ctypes.c_char_p),
+                self._out,
+                self._out_cap,
+                ctypes.byref(is_key),
+            )
         if n <= -1000000:
             raise IOError(f"encode failed ({n})")
         if n < 0:  # buffer too small — grow and retry would re-encode;
@@ -301,9 +310,13 @@ class WireEncoder:
         return bytes(self._out[:n]), bool(is_key.value)
 
     def close(self) -> None:
-        if getattr(self, "_h", None):
-            self._lib.fx_enc_close(self._h)
-            self._h = None
+        lock = getattr(self, "_hlock", None)
+        if lock is None:
+            return
+        with lock:  # waits out an in-flight executor encode (~ms)
+            if self._h:
+                self._lib.fx_enc_close(self._h)
+                self._h = None
 
     def __del__(self):
         self.close()

@@ -109,7 +109,6 @@ class FoveaxClient:
         self.frame_sink = frame_sink  # callable (frame_np, meta) -> None
         self.max_frames = max_frames
         self.stats = ClientStats()
-        self._gaze_by_frame: dict[int, tuple[float, float]] = {}
         self._packet_number = 0
         self._last_sent_gaze: tuple[float, float] | None = None
         self._gaze_sent_at: dict[tuple[float, float], float] = {}
@@ -179,12 +178,10 @@ class FoveaxClient:
                     msg = protocol.loads(raw)
                     if isinstance(msg, FrameMeta):
                         pending_meta = msg
-                        self._gaze_by_frame[msg.frameNum] = (
-                            msg.centerX,
-                            msg.centerY,
-                        )
                         # Gaze-application latency: first frame whose echoed
-                        # center matches a gaze we sent.
+                        # center matches a gaze we sent.  (With server-side
+                        # gaze PREDICTION the echo is the predicted center
+                        # and never matches — the metric reads None then.)
                         key = (round(msg.centerX, 5), round(msg.centerY, 5))
                         sent = self._gaze_sent_at.pop(key, None)
                         if sent is not None:
@@ -226,8 +223,12 @@ class FoveaxClient:
                             getattr(demux, "codec_config", None),
                             size_hint=(demux.width, demux.height),
                         )
-                for sample in samples:
+                for sample_i, sample in enumerate(samples):
                     meta = pending_meta
+                    # The inter-message wait belongs to the message, not
+                    # to each contained sample.
+                    if sample_i > 0:
+                        recv_ms = 0.0
                     t0 = time.perf_counter()
                     if svd_mode:
                         # Client-side foveation: the blob is gaze-
@@ -256,10 +257,11 @@ class FoveaxClient:
                         # used, not the server echo.
                         center = local_gaze
                     else:
+                        # The paired metadata carries the gaze the server
+                        # sampled this frame with (the image echo,
+                        # reference: src/video_server.cc:396-401).
                         center = (
-                            self._gaze_by_frame.get(meta.frameNum, (0.5, 0.5))
-                            if meta
-                            else (0.5, 0.5)
+                            (meta.centerX, meta.centerY) if meta else (0.5, 0.5)
                         )
                     t0 = time.perf_counter()
                     # Backend-tuned precision (<= 1 LSB of exact): the
@@ -272,9 +274,12 @@ class FoveaxClient:
                     if self.frame_sink is not None:
                         full_np = np.asarray(full)
                     else:
-                        # Stats-only client: wait for device completion
-                        # without paying the full-frame readback.
-                        full.block_until_ready()
+                        # Stats-only client: force completion with a
+                        # data-dependent scalar readback instead of the
+                        # full-frame transfer (block_until_ready is not a
+                        # reliable fence through remote-attached
+                        # transports — see CLAUDE.md / bench.py).
+                        _ = int(full[0, 0, 0])
                         full_np = None
                     unw_ms = (time.perf_counter() - t0) * 1e3
 
@@ -311,6 +316,13 @@ class FoveaxClient:
                                 (round(gaze[0], 5), round(gaze[1], 5)),
                                 time.perf_counter(),
                             )
+                            # Entries whose echo never arrives (superseded
+                            # gazes; any server-side prediction) would
+                            # otherwise accumulate forever.
+                            while len(self._gaze_sent_at) > 256:
+                                self._gaze_sent_at.pop(
+                                    next(iter(self._gaze_sent_at))
+                                )
 
                     if (
                         self.max_frames is not None

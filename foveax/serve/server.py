@@ -65,7 +65,6 @@ class Session:
         self.ws = ws
         self.server = server
         self.center = (0.5, 0.5)
-        self.prev_center = (0.5, 0.5)
         # Per-session gaze predictor (Kalman filters carry state).
         from foveax.serve.gazepred import make_predictor
 
@@ -91,7 +90,6 @@ class Session:
         self._clean_streak = 0
 
     def update_gaze(self, cx: float, cy: float) -> None:
-        self.prev_center = self.center
         self.center = (cx, cy)
         if self.predictor is not None:
             self.predictor.update(cx, cy)
@@ -165,17 +163,35 @@ class BroadcastChannel:
         # foveax.parallel.sharded — SAT scan sharded over `space` rows,
         # client batch over `data` gazes.
         self._sharded = None
+        self._closing_task = None  # strong ref: loop holds tasks weakly
+        # Members that already received streamInfo + the stream header
+        # (channel-owned so leave() can force a re-send on rejoin).
+        self._sent_header: set[Session] = set()
 
     def join(self, session: Session) -> None:
         if self.dead:
             raise ValueError("channel is shutting down; retry")
-        cfg = None
-        if self.reader is None:
-            self.reader = self.server._resolve(self.video)
-            self.pipeline = self.server._pipeline_for(
-                self.reader.width, self.reader.height
-            )
-        cfg = self.pipeline.config
+        opened_reader = False
+        try:
+            if self.reader is None:
+                self.reader = self.server._resolve(self.video)
+                opened_reader = True
+                self.pipeline = self.server._pipeline_for(
+                    self.reader.width, self.reader.height
+                )
+            cfg = self.pipeline.config
+            self._join_inner(session, cfg)
+        except Exception:
+            # A failed join with no loop task yet has nothing to run
+            # _teardown — close what this call opened or the native
+            # decoder leaks on every client retry.
+            if opened_reader and self.task is None:
+                reader, self.reader = self.reader, None
+                self.pipeline = None
+                reader.close()
+            raise
+
+    def _join_inner(self, session: Session, cfg) -> None:
         if (
             self._sharded is None
             and self.server.mesh is not None
@@ -202,6 +218,11 @@ class BroadcastChannel:
                 svdwire.SAMPLE_FORMAT,
             )
         else:
+            if session.wire is not None:
+                # Rejoin after an error eviction: release the old encoder
+                # and resend header state (fresh FragmentWriter, seq 0).
+                session.wire.close()
+            self._sent_header.discard(session)
             session.wire = self.server._make_encoder(cfg)
             self.members[session] = FragmentWriter(
                 cfg.reduced_width,
@@ -244,12 +265,15 @@ class BroadcastChannel:
             reader.close()
 
         try:
-            asyncio.get_running_loop().create_task(_close_after_read())
+            self._closing_task = asyncio.get_running_loop().create_task(
+                _close_after_read()
+            )
         except RuntimeError:  # no running loop (interpreter teardown)
             reader.close()
 
     def leave(self, session: Session) -> None:
         self.members.pop(session, None)
+        self._sent_header.discard(session)
         # Clear the membership pointer here (not only in _teardown) so an
         # error-evicted but still-connected session can re-request a
         # stream instead of being silently ignored by _start_stream_inner.
@@ -277,7 +301,7 @@ class BroadcastChannel:
         loop = asyncio.get_running_loop()
         p = self.pipeline
         tick = 1.0 / self.server.config.fps
-        sent_header: set[Session] = set()
+        sent_header = self._sent_header
         frame_num = 0
         next_deadline = time.perf_counter()
         while True:
@@ -645,29 +669,40 @@ class FoveaxServer:
             return
         if session.send_task is not None:
             return
-        session.reader = self._resolve(video)
-        pipeline = self._pipeline_for(session.reader.width, session.reader.height)
-        cfg = pipeline.config
-        if self.sat_compression == "svd":
-            from foveax.io import svdwire
+        # Build everything into locals first: a failure after the reader
+        # opens must close it, not leave it leaking on the session for a
+        # retry to overwrite (videoRequest errors keep the session alive).
+        reader = self._resolve(video)
+        try:
+            pipeline = self._pipeline_for(reader.width, reader.height)
+            cfg = pipeline.config
+            if self.sat_compression == "svd":
+                from foveax.io import svdwire
 
-            # The payload is a full-frame object (gaze-independent), so
-            # the track advertises the SOURCE dimensions.
-            session.mux = FragmentWriter(
-                cfg.source_width,
-                cfg.source_height,
-                self.config.fps,
-                svdwire.SAMPLE_FORMAT,
-            )
-        else:
-            session.wire = self._make_encoder(cfg)
-            session.mux = FragmentWriter(
-                cfg.reduced_width,
-                cfg.reduced_height,
-                self.config.fps,
-                session.wire.sample_format,
-                codec_config=session.wire.codec_config,
-            )
+                # The payload is a full-frame object (gaze-independent),
+                # so the track advertises the SOURCE dimensions.
+                mux = FragmentWriter(
+                    cfg.source_width,
+                    cfg.source_height,
+                    self.config.fps,
+                    svdwire.SAMPLE_FORMAT,
+                )
+                wire = None
+            else:
+                wire = self._make_encoder(cfg)
+                mux = FragmentWriter(
+                    cfg.reduced_width,
+                    cfg.reduced_height,
+                    self.config.fps,
+                    wire.sample_format,
+                    codec_config=wire.codec_config,
+                )
+        except Exception:
+            reader.close()
+            raise
+        session.reader = reader
+        session.wire = wire
+        session.mux = mux
         session.send_task = asyncio.create_task(
             self._send_frame_loop(session, pipeline)
         )
