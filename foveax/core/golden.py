@@ -299,3 +299,236 @@ def unwarp_rect(
     blended = left + (right - left) * rx2
     exact = (ex_y[:, None] & ex_x[None, :])[..., None]
     return np.where(exact, ev, blended).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Log-polar baseline goldens (reference CPU twins:
+# src/image_sampler.cc:302-778; kernels
+# src/image_sampler_sample_logpolar_kernel.cl,
+# src/image_sampler_interpolate_kernel.cl).
+
+
+def logpolar_deltas(out_w: int, out_h: int, alpha: float = 1.0) -> np.ndarray:
+    """(H_out, W_out, 2) int64 truncated (dx, dy) deltas in float64:
+    rho(i) = exp(10 (i/W)^alpha) * (cos, sin)(2 pi j / H)."""
+    i = np.arange(out_w, dtype=np.float64)
+    j = np.arange(out_h, dtype=np.float64)
+    rho = np.exp(10.0 * (i / float(out_w)) ** alpha)
+    ang = j / float(out_h) * 2.0 * np.pi
+    dx = np.trunc(rho[None, :] * np.cos(ang)[:, None]).astype(np.int64)
+    dy = np.trunc(rho[None, :] * np.sin(ang)[:, None]).astype(np.int64)
+    return np.stack([dx, dy], axis=-1)
+
+
+def sample_logpolar(
+    frame: np.ndarray, out_w: int, out_h: int, center, alpha: float = 1.0
+) -> np.ndarray:
+    """Point-sampled log-polar forward map: x modulo wrap, y clamp
+    (reference kernel :67-80)."""
+    hs, ws, _ = frame.shape
+    d = logpolar_deltas(out_w, out_h, alpha)
+    x = (np.float64(center[0]) * ws + d[..., 0]).astype(np.int64)
+    y = (np.float64(center[1]) * hs + d[..., 1]).astype(np.int64)
+    x = np.mod(x + 10 * ws, ws)
+    y = np.clip(y, 0, hs - 1)
+    return frame[y, x]
+
+
+def logpolar_blur(img: np.ndarray) -> np.ndarray:
+    """3x3 Gaussian (0.3377 / 0.1217 / 0.0439), outer radial half only
+    (columns i >= W/2), clamped borders (reference kernel :110-137)."""
+    h, w, _ = img.shape
+    f = img.astype(np.float64)
+    p = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    c = p[1:-1, 1:-1]
+    edges = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
+    corners = p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:]
+    blurred = 0.3377 * c + 0.1217 * edges + 0.0439 * corners
+    out = f.copy()
+    out[:, w // 2 :] = blurred[:, w // 2 :]
+    return out.astype(np.uint8)
+
+
+def unwarp_logpolar(
+    reduced: np.ndarray, out_w: int, out_h: int, center, alpha: float = 1.0
+) -> np.ndarray:
+    """Inverse log-polar in float64: radius/angle inversion, snap-exact
+    check against the forward table, else bilinear in (rho, theta) with
+    angular wrap (reference: src/image_sampler_interpolate_kernel.cl:28-79)."""
+    hr, wr, _ = reduced.shape
+    two_pi = 2.0 * np.pi
+    i_h = np.arange(wr, dtype=np.float64)
+    j_h = np.arange(hr, dtype=np.float64)
+    rho_t = np.exp(10.0 * (i_h / float(wr)) ** alpha)
+    ang_t = j_h / float(hr) * two_pi
+    fwd_dx = rho_t[None, :] * np.cos(ang_t)[:, None]
+    fwd_dy = rho_t[None, :] * np.sin(ang_t)[:, None]
+
+    cxp = int(np.float64(center[0]) * out_w)
+    cyp = int(np.float64(center[1]) * out_h)
+    xs = np.arange(out_w)[None, :]
+    ys = np.arange(out_h)[:, None] * np.ones((1, out_w), dtype=np.int64)
+    half = out_w // 2
+    x = np.where(
+        xs - cxp > half, xs - out_w, np.where(xs - cxp < -half, xs + out_w, xs)
+    )
+    dx = (x - cxp).astype(np.float64)
+    dy = (ys - cyp).astype(np.float64)
+
+    r2 = dx * dx + dy * dy
+    at_center = (dx == 0) & (dy == 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        i_f = np.where(
+            at_center,
+            0.0,
+            wr * (np.log(np.sqrt(r2)) / 10.0) ** (1.0 / alpha),
+        )
+        j_gen = (np.arctan(dy / np.where(dx == 0, 1.0, dx)) + np.pi * (dx < 0)) * (
+            hr / two_pi
+        )
+    i_f = np.nan_to_num(i_f)
+    j_gen = np.mod(j_gen + 2 * hr, hr)
+    j_dx0 = (np.pi / 2 + np.pi * (dy < 0)) * (hr / two_pi)
+    j_f = np.where(dx == 0, j_dx0, j_gen)
+    i_idx = np.clip(np.floor(i_f + 0.5).astype(np.int64), 0, wr - 1)
+    j_idx = np.clip(np.floor(j_f + 0.5).astype(np.int64), 0, hr - 1)
+
+    calc_x = (np.float64(center[0]) * out_w + fwd_dx[j_idx, i_idx]).astype(np.int64)
+    calc_y = (np.float64(center[1]) * out_h + fwd_dy[j_idx, i_idx]).astype(np.int64)
+    exact = (calc_x == x) & (calc_y == ys)
+
+    src = reduced.astype(np.float64)
+    min_i = np.clip(np.floor(i_f).astype(np.int64), 0, wr - 1)
+    max_i = np.clip(np.ceil(i_f).astype(np.int64), 0, wr - 1)
+    min_j = np.mod(np.floor(j_f).astype(np.int64) + hr, hr)
+    max_j = np.mod(np.ceil(j_f).astype(np.int64) + hr, hr)
+
+    tl = src[min_j, min_i]
+    tr = src[min_j, max_i]
+    bl = src[max_j, min_i]
+    br = src[max_j, max_i]
+    ir = (i_f - np.floor(i_f))[..., None]
+    jr = (j_f - np.floor(j_f))[..., None]
+    left = tl + (bl - tl) * jr
+    right = tr + (br - tr) * jr
+    blended = left + (right - left) * ir
+    out = np.where(exact[..., None], src[j_idx, i_idx], blended)
+    return out.astype(np.uint8)
+
+
+def build_pyramid_flat(frame: np.ndarray, levels: int) -> np.ndarray:
+    """Flat mip buffer: level k+1 is the truncated 2x2 box mean of level k
+    (layout per the reference host loop, src/image_sampler.cc:881-919)."""
+    parts = [frame.reshape(-1, 3)]
+    cur = frame.astype(np.uint32)
+    w, h = frame.shape[1], frame.shape[0]
+    for _ in range(1, levels):
+        w //= 2
+        h //= 2
+        c = cur[: 2 * h, : 2 * w]
+        cur = (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]) // 4
+        parts.append(cur.astype(np.uint8).reshape(-1, 3))
+    return np.concatenate(parts, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Gnomonic viewport golden (reference: src/projections_program.cl:1-47).
+
+
+def gnomonic_project(
+    frame: np.ndarray, out_w: int, out_h: int, center, scale=(6.0, 3.0)
+) -> np.ndarray:
+    """Inverse gnomonic projection in float64; the rho == 0 center pixel
+    takes the analytic limit (the reference NaNs there)."""
+    hs, ws, _ = frame.shape
+    i = np.arange(out_w)
+    j = np.arange(out_h)
+    x = np.broadcast_to(
+        ((i / out_w - 0.5) * scale[0])[None, :], (out_h, out_w)
+    ).astype(np.float64)
+    y = np.broadcast_to(
+        ((j / out_h - 0.5) * scale[1])[:, None], (out_h, out_w)
+    ).astype(np.float64)
+    phi1 = (center[1] - 0.5) * np.pi
+    lam0 = (center[0] - 0.5) * 2 * np.pi
+    rho = np.sqrt(x * x + y * y)
+    c = np.arctan(rho)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = np.arcsin(
+            np.clip(
+                np.cos(c) * np.sin(phi1) + y * np.sin(c) * np.cos(phi1) / rho, -1, 1
+            )
+        )
+        lam = lam0 + np.arctan2(
+            x * np.sin(c),
+            rho * np.cos(phi1) * np.cos(c) - y * np.sin(phi1) * np.sin(c),
+        )
+    phi = np.where(rho == 0, phi1, phi)
+    lam = np.where(rho == 0, lam0, lam)
+    phi = np.mod(phi + np.pi / 2 + 10 * np.pi, 2 * np.pi)
+    lam = np.mod(lam + np.pi + 10 * np.pi, 2 * np.pi)
+    su = np.clip(lam / (2 * np.pi), 0, 0.999)
+    sv = np.clip(phi / np.pi, 0, 0.999)
+    sx = (su * ws).astype(np.int64)
+    sy = (sv * hs).astype(np.int64)
+    return frame[sy, sx]
+
+
+# ---------------------------------------------------------------------------
+# Point-sample baseline, forward-scatter expansion, SVD reconstruction.
+
+
+def sample_rect_point(
+    frame: np.ndarray, out_w: int, out_h: int, center
+) -> np.ndarray:
+    """Direct point sample through raw (non-averaged) log-rect deltas:
+    single-sided x wrap, zero outside y bounds (reference:
+    src/image_sampler_sample_rect_kernel.cl:1-46)."""
+    hs, ws, _ = frame.shape
+    dx = delta64(np.arange(out_w) - out_w // 2, out_w, ws)
+    dy = delta64(np.arange(out_h) - out_h // 2, out_h, hs)
+    cx = int(np.float64(center[0]) * ws)
+    cy = int(np.float64(center[1]) * hs)
+    x = cx + dx
+    y = cy + dy
+    x = np.where(x >= ws, x - ws, np.where(x < 0, x + ws, x))
+    valid = ((x >= 0) & (x < ws))[None, :] & ((y >= 0) & (y < hs))[:, None]
+    out = frame[np.clip(y, 0, hs - 1)][:, np.clip(x, 0, ws - 1)]
+    return np.where(valid[..., None], out, 0).astype(np.uint8)
+
+
+def expand_sampled_rect(
+    reduced: np.ndarray, out_w: int, out_h: int, center
+) -> np.ndarray:
+    """Forward-scatter expansion: each reduced texel lands at its raw-delta
+    anchor, gaps stay black (reference: src/sat_decoder.cc:555-616)."""
+    hr, wr, _ = reduced.shape
+    dx = delta64(np.arange(wr) - wr // 2, wr, out_w)
+    dy = delta64(np.arange(hr) - hr // 2, hr, out_h)
+    cx = int(np.float64(center[0]) * out_w)
+    cy = int(np.float64(center[1]) * out_h)
+    out = np.zeros((out_h, out_w, 3), np.uint8)
+    for j, yy in enumerate(cy + dy):
+        if not (0 <= yy < out_h):
+            continue
+        for i, xx in enumerate(cx + dx):
+            if 0 <= xx < out_w:
+                out[yy, xx] = reduced[j, i]
+    return out
+
+
+def reconstruct_sat_svd(u, s, v, residual_q, ranges) -> np.ndarray:
+    """Float64 SAT reconstruction from per-channel SVD factors + 8-bit
+    quantized residual: U diag(S) V + (q * range/255 - range/2)
+    (reference: src/sat_decoder_sample_rect_kernel.cl:1-22,
+    src/eigen_sat_generate.cc:34-52)."""
+    u = np.asarray(u, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    q = np.asarray(residual_q, dtype=np.float64)
+    rng = np.asarray(ranges, dtype=np.float64)
+    approx = np.einsum("chr,cr,crw->chw", u, s, v)
+    resid = q.transpose(2, 0, 1) * (rng[:, None, None] / 255.0) - (
+        rng[:, None, None] / 2.0
+    )
+    return approx + resid

@@ -282,8 +282,6 @@ def sample_rect_360_from_sat(
     src/sat_decoder.cc:350-398); implemented with dense 2-D index maps
     rather than the separable fast path of ``sample_rect_from_sat``.
     """
-    import numpy as np
-
     _, hs, ws = sat.shape
     wo, ho = grid.out_width, grid.out_height
     gw, gh = wo + 1, ho + 1
@@ -349,7 +347,6 @@ def expand_sampled_rect(
 
     (Hr, Wr, 3) uint8 -> (out_height, out_width, 3) uint8.
     """
-    import numpy as np
 
     from foveax.core.logrect import delta_table
 

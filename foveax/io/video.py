@@ -60,7 +60,7 @@ class VideoReader:
 
 
 _SYNTH_RE = re.compile(
-    r"synthetic://(\d+)x(\d+)(?:@(\d+))?(?:/(\d+))?(?:#(\w+))?"
+    r"synthetic://(\d+)x(\d+)(?:@(\d+))?(?:/(\d+))?(?:#(\w+))?\Z"
 )
 
 
@@ -76,6 +76,8 @@ def parse_synthetic_spec(spec: str) -> tuple[int, int, float, int, str]:
     pattern = m.group(5) or "hostile"
     if pattern not in ("hostile", "natural"):
         raise ValueError(f"unknown synthetic pattern {pattern!r}")
+    if int(m.group(1)) < 1 or int(m.group(2)) < 1:
+        raise ValueError(f"bad synthetic dimensions: {spec}")
     return (
         int(m.group(1)),
         int(m.group(2)),
@@ -139,8 +141,7 @@ class SyntheticReader:
         if self._i >= self.n_frames:
             return None
         shift = (self._i * 3) % self.width
-        frame = np.roll(self._base, shift, axis=1)
-        frame = frame.copy()
+        frame = np.roll(self._base, shift, axis=1)  # already a fresh array
         cx = int((0.5 + 0.4 * np.sin(self._i / 20.0)) * self.width)
         cy = int((0.5 + 0.3 * np.cos(self._i / 17.0)) * self.height)
         r = max(4, self.height // 24)
@@ -365,6 +366,8 @@ def open_video_writer(
 
 
 def encode_jpeg(frame_rgb: np.ndarray, quality: int = 90) -> bytes:
+    if not _HAVE_CV2:
+        raise RuntimeError("OpenCV not available for JPEG encode")
     ok, buf = cv2.imencode(
         ".jpg", np.asarray(frame_rgb)[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, quality]
     )
@@ -374,6 +377,8 @@ def encode_jpeg(frame_rgb: np.ndarray, quality: int = 90) -> bytes:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
+    if not _HAVE_CV2:
+        raise RuntimeError("OpenCV not available for JPEG decode")
     bgr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
     if bgr is None:
         raise IOError("jpeg decode failed")

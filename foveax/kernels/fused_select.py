@@ -7,7 +7,7 @@ both the write and the re-read.  This kernel fuses the two: it scans row
 blocks exactly like foveax.kernels.scan2d (MXU triangular-matmul row scan,
 VMEM-carried column totals), but instead of writing the SAT it DMAs just
 the *selected* rows — pyc[j] into sel_hi and pymc[j] into sel_lo — straight
-from the freshly computed VMEM block to two (n_out, 3, W) outputs.
+from the freshly computed VMEM block to two (n_out, 4, W) outputs.
 
 The gaze-dependent row indices arrive as scalar-prefetch operands (SMEM),
 and because the log-rectilinear row map is monotone, two SMEM cursors walk
@@ -17,7 +17,7 @@ each cursor over the output rows whose source row falls inside the block.
 Layout note: blocks are kept as (rows, 3, W) — image rows on the MAJOR
 axis — because Mosaic only supports dynamic slicing for DMA on untiled
 leading dimensions (a dynamic sublane slice of a (8,128)-tiled memref is
-rejected).  The downstream sample consumes (n_out, 3, W) directly.
+rejected).  The downstream sample consumes (n_out, 4, W) directly.
 
 HBM traffic at 4K: read 24 MB (u8 frame) + write 2 x 17.8 MB (selected
 rows) ~= 60 MB, vs ~215 MB for build-then-gather.

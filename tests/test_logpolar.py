@@ -153,3 +153,56 @@ def test_unwarp_logpolar_scalar_reference(small_frame):
             corners = red[[mj, mj, Mj, Mj], [mi, ma, mi, ma]].astype(int)
             assert (out[y, x].astype(int) >= corners.min(axis=0) - 1).all()
             assert (out[y, x].astype(int) <= corners.max(axis=0) + 1).all()
+
+
+def test_sample_matches_float64_golden(small_frame):
+    from foveax.core import golden
+
+    w, h = small_frame.shape[1], small_frame.shape[0]
+    g = make_logpolar_grid(32, 24, w, h)
+    for center in [(0.5, 0.5), (0.25, 0.75)]:
+        out = np.asarray(
+            sample_logpolar(
+                jnp.asarray(small_frame), g, jnp.asarray(center, jnp.float32)
+            )
+        )
+        ref = golden.sample_logpolar(small_frame, 32, 24, center)
+        same = (out == ref).all(axis=-1).mean()
+        # float32 vs float64 index truncation can shift a texel at cell
+        # boundaries; require overwhelming agreement.
+        assert same > 0.97, same
+
+
+def test_blur_matches_float64_golden(small_frame):
+    from foveax.core import golden
+
+    img = small_frame[:24, :32]
+    out = np.asarray(logpolar_gaussian_blur(jnp.asarray(img)))
+    ref = golden.logpolar_blur(img)
+    d = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert d.max() <= 1, d.max()
+
+
+def test_unwarp_matches_float64_golden(small_frame):
+    from foveax.core import golden
+    from foveax.core.logpolar import unwarp_logpolar
+
+    h, w = small_frame.shape[0], small_frame.shape[1]
+    g = make_logpolar_grid(32, 24, w, h)
+    c = jnp.asarray([0.5, 0.5], jnp.float32)
+    red = sample_logpolar(jnp.asarray(small_frame), g, c)
+    out = np.asarray(unwarp_logpolar(red, w, h, c))
+    ref = golden.unwarp_logpolar(np.asarray(red), w, h, (0.5, 0.5))
+    d = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    # f32-vs-f64 radius/angle rounding flips snap/bilinear decisions at
+    # cell boundaries; the blended values stay close.
+    assert (d <= 1).mean() > 0.97, (d.max(), (d > 1).mean())
+    assert np.median(d) == 0
+
+
+def test_pyramid_matches_float64_golden(small_frame):
+    from foveax.core import golden
+
+    pyr = np.asarray(build_pyramid(jnp.asarray(small_frame), 3))
+    ref = golden.build_pyramid_flat(small_frame, 3)
+    np.testing.assert_array_equal(pyr, ref)  # integer box means: exact

@@ -291,3 +291,37 @@ class TestSharedTaps:
         wy = worst(np.asarray(_grid_axis(out_h, src_h)), src_h, wrap=False)
         assert wx <= _FIX_K and wy <= _FIX_K
         assert wx > 0  # the fixup path is genuinely exercised
+
+
+def test_point_sample_matches_float64_golden(small_frame):
+    from foveax.core import golden
+
+    src_h, src_w, _ = small_frame.shape
+    out_w, out_h = 48, 32
+    g = make_point_grid(out_w, out_h, src_w, src_h)
+    for center in [(0.5, 0.5), (0.25, 0.75)]:  # exact binary fractions
+        out = np.asarray(
+            sample_rect_point(
+                jnp.asarray(small_frame), g, jnp.asarray(center, jnp.float32)
+            )
+        )
+        ref = golden.sample_rect_point(small_frame, out_w, out_h, center)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_expand_matches_float64_golden(small_frame):
+    from foveax.core import golden
+    from foveax.core.sample import expand_sampled_rect
+
+    src_h, src_w, _ = small_frame.shape
+    hr, wr = 16, 24
+    reduced = small_frame[:hr, :wr]
+    for center in [(0.5, 0.5), (0.25, 0.75)]:
+        out = np.asarray(
+            expand_sampled_rect(
+                jnp.asarray(reduced), src_w, src_h,
+                jnp.asarray(center, jnp.float32),
+            )
+        )
+        ref = golden.expand_sampled_rect(reduced, src_w, src_h, center)
+        np.testing.assert_array_equal(out, ref)

@@ -74,3 +74,19 @@ def test_reduced_sat_position_channels(small_frame):
     kx, ky = 12, 8
     assert red[ky, kx, 3] == np.clip(cx + dense[ky, kx, 0], 0, w - 1)
     assert red[ky, kx, 4] == np.clip(cy + dense[ky, kx, 1], 0, h - 1)
+
+
+def test_reconstruction_matches_float64_golden(small_frame):
+    from foveax.core import golden
+    from foveax.core.sat import build_sat
+    from foveax.core.svd_sat import compress_sat, reconstruct_sat
+
+    sat = build_sat(jnp.asarray(small_frame))
+    svd = compress_sat(sat, rank=8)
+    dev = np.asarray(reconstruct_sat(svd)).astype(np.float64)
+    ref = golden.reconstruct_sat_svd(
+        svd.u, svd.s, svd.v, svd.residual_q, svd.ranges
+    )
+    # f32 matmul vs f64: relative agreement on SAT-magnitude values.
+    denom = np.maximum(np.abs(ref), 1.0)
+    assert (np.abs(dev - ref) / denom).max() < 1e-4
