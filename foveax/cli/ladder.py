@@ -32,10 +32,10 @@ class Rung:
     frames: int
 
 
-def _restored_stream(technique, frames, gaze, cfg, bitrate, fps, codec):
-    """Yield (restored_full_frame, source_frame) after a real encode at
-    ``bitrate``; returns total sample bytes via a 1-element list hack-free
-    closure — structured as a generator + trailer tuple instead."""
+def _technique_fns(technique, cfg):
+    """(reduce_fn, restore_fn, center_fn) for one technique — built once
+    per technique; the reduced stream is bitrate-independent, so ladder
+    rungs reuse the same reduced frames and only re-encode."""
     import jax.numpy as jnp
 
     from foveax.io.wirecodec import make_wire_decoder, make_wire_encoder
@@ -78,16 +78,23 @@ def _restored_stream(technique, frames, gaze, cfg, bitrate, fps, codec):
         center_fn = lambda cx, cy: (cx, cy)
     else:
         raise ValueError(f"unknown technique {technique!r}")
+    return reduce_fn, restore_fn, center_fn
 
+
+def _restored_stream(reduced_frames, centers, frames, restore_fn, cfg,
+                     bitrate, fps, codec):
+    """(restored, source) pairs + total wire bytes for one rung: push the
+    precomputed reduced stream through a real rate-controlled encode."""
+    from foveax.io.wirecodec import make_wire_decoder, make_wire_encoder
+
+    rw, rh = cfg.reduced_width, cfg.reduced_height
     enc = make_wire_encoder(
         codec, rw, rh, fps, bitrate=int(bitrate), crf=-1, gop_size=30
     )
     dec = make_wire_decoder(enc.sample_format, enc.codec_config)
     total_bytes = 0
     pairs = []
-    for i, frame in enumerate(frames):
-        c = center_fn(*gaze(i))
-        reduced = reduce_fn(frame, c)
+    for reduced, c, frame in zip(reduced_frames, centers, frames):
         sample, _ = enc.encode(reduced)
         total_bytes += len(sample)
         got = dec.decode(sample)
@@ -117,9 +124,17 @@ def run_ladder(
 
     rungs: list[Rung] = []
     for technique in techniques:
+        # The device foveation is bitrate-independent: reduce once per
+        # technique, re-encode per rung.
+        reduce_fn, restore_fn, center_fn = _technique_fns(technique, cfg)
+        centers = [center_fn(*gaze(i)) for i in range(len(frames))]
+        reduced_frames = [
+            reduce_fn(f, c) for f, c in zip(frames, centers)
+        ]
         for kbps in bitrates_kbps:
             pairs, total_bytes = _restored_stream(
-                technique, frames, gaze, cfg, kbps * 1000, fps, codec
+                reduced_frames, centers, frames, restore_fn, cfg,
+                kbps * 1000, fps, codec,
             )
             full, fov, ecc = [], [], []
             for i, (restored, src) in enumerate(pairs):

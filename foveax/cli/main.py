@@ -206,12 +206,13 @@ def _open_reader(source: str):
 
 
 def _skip_to(reader, frame_idx: int):
+    """Frame at ``frame_idx`` or None if the clip is shorter (silently
+    clamping to the last frame would foveate the wrong frame)."""
     frame = reader.read()
     for _ in range(frame_idx):
-        nxt = reader.read()
-        if nxt is None:
-            break
-        frame = nxt
+        frame = reader.read()
+        if frame is None:
+            return None
     return frame
 
 
@@ -443,13 +444,21 @@ def cmd_svd_bench(args) -> int:
     svd = compress_sat(sat, args.rank)
     t_compress = time.perf_counter() - t0
 
-    rec = jax.jit(reconstruct_sat)
-    jax.block_until_ready(rec(svd))
+    # Dependency-chained device loop ending in a scalar readback —
+    # block_until_ready is not a reliable fence through remote-attached
+    # transports (CLAUDE.md / bench.py).
+    def rec_loop(svd, iters):
+        def body(i, acc):
+            out = reconstruct_sat(svd)
+            return acc + out[0, 0, 0]
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    j = jax.jit(rec_loop, static_argnums=1)
+    float(j(svd, 2))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = rec(svd)
-    jax.block_until_ready(out)
+    float(j(svd, args.iters))
     t_rec = (time.perf_counter() - t0) / args.iters
+    out = jax.jit(reconstruct_sat)(svd)
 
     err = float(
         jnp.abs(out - sat.astype(jnp.float32)).mean()
@@ -514,6 +523,12 @@ def cmd_quality(args) -> int:
     for tech in techniques:
         full, fov, ecc = [], [], []
         decoded = None
+        if args.through_codec and tech != "logrect":
+            print(
+                f"note: --through-codec applies to logrect only; {tech} "
+                "runs the in-memory roundtrip",
+                file=sys.stderr,
+            )
         if args.through_codec and tech == "logrect":
             reduced_all = [
                 np.asarray(p.foveate(jnp.asarray(f), p.center(*gaze(i))))

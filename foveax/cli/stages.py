@@ -68,9 +68,12 @@ def stage3_streaming_dynamic_gaze() -> bool:
     from foveax.serve.server import FoveaxServer
 
     cfg = FoveaxConfig()
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    # Bind the listening socket ourselves and hand it to websockets.serve:
+    # probing a free port and rebinding it is a TOCTOU race.
+    lsock = socket.socket()
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    port = lsock.getsockname()[1]
 
     n_frames = 30
     server = FoveaxServer(cfg, max_frames=n_frames + 5)
@@ -85,7 +88,7 @@ def stage3_streaming_dynamic_gaze() -> bool:
 
     async def main():
         async with websockets.serve(
-            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+            server.handle, sock=lsock, max_size=64 * 1024 * 1024
         ):
             return await asyncio.wait_for(client.run(), timeout=600)
 

@@ -192,6 +192,8 @@ class FragmentWriter:
         self.duration = int(round(TIMESCALE / fps))
         self.seq = 0
         self._native = None
+        if backend not in ("auto", "native", "python"):
+            raise ValueError(f"unknown mux backend {backend!r}")
         if backend in ("auto", "native"):
             try:
                 from foveax import native
@@ -346,6 +348,8 @@ class FragmentReader:
 def make_fragment_reader(backend: str = "auto"):
     """Demuxer factory: the C++ parser when built, the Python one
     otherwise.  Both expose feed()/width/height/last_seq/header_seen."""
+    if backend not in ("auto", "native", "python"):
+        raise ValueError(f"unknown demux backend {backend!r}")
     if backend in ("auto", "native"):
         try:
             from foveax import native

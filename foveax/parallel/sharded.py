@@ -47,9 +47,13 @@ def _local_sat_block(frame_block: jax.Array) -> jax.Array:
     idx = jax.lax.axis_index("space")
     n = jax.lax.axis_size("space")
     mask = (jnp.arange(n) < idx).astype(jnp.uint32)  # strictly preceding
-    carry = jnp.einsum(
-        "cnw,n->cw", gathered.astype(jnp.uint32), mask
-    ).astype(jnp.uint32)
+    # Mask-multiply + integer sum, NOT einsum: a dot_general contraction
+    # may lower through the MXU, whose float operand truncation would
+    # corrupt uint32 SAT totals (> 2^24 at 1080p+; mod-2^32 wrap load-
+    # bearing at 16K).  The VPU multiply/reduce stays exact.
+    carry = (gathered.astype(jnp.uint32) * mask[None, :, None]).sum(
+        axis=1, dtype=jnp.uint32
+    )
     return local + carry[:, None, :]
 
 
