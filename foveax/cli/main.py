@@ -756,32 +756,25 @@ def cmd_perf(args) -> int:
         w, h = resolutions[name]
         rw, rh = reduced_dim(w), reduced_dim(h)
         grid = make_grid(rw, rh, w, h)
+        # One chw-in SAT builder regardless of backend, so the step/batch
+        # jits below stay single definitions (copies of these functions
+        # diverged once before; the only legitimate difference is this
+        # line).
         if w % 128 == 0 and jax.default_backend() != "cpu":
-            from foveax.kernels.scan2d import build_sat_pallas as build
+            from foveax.kernels.scan2d import build_sat_pallas
+
+            build_fn = lambda f: build_sat_pallas(f, in_layout="chw")
         else:
-            build = build_xla
+            build_fn = lambda f: build_xla(f.transpose(1, 2, 0))
 
-        if build is not build_xla:
-
-            @jax.jit
-            def step(f, c, build=build, grid=grid, w=w, h=h):
-                sat = build(f, in_layout="chw")
-                red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
-                return unwarp_rect(
-                    red, w, h, c, in_layout="chw", out_layout="chw",
-                    precision=args.precision,
-                )
-
-        else:
-
-            @jax.jit
-            def step(f, c, grid=grid, w=w, h=h):
-                sat = build_xla(f.transpose(1, 2, 0))
-                red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
-                return unwarp_rect(
-                    red, w, h, c, in_layout="chw", out_layout="chw",
-                    precision=args.precision,
-                )
+        @jax.jit
+        def step(f, c, build_fn=build_fn, grid=grid, w=w, h=h):
+            sat = build_fn(f)
+            red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
+            return unwarp_rect(
+                red, w, h, c, in_layout="chw", out_layout="chw",
+                precision=args.precision,
+            )
 
         frame = jax.device_put(rng.integers(0, 256, (3, h, w), np.uint8))
         centers = [
@@ -801,34 +794,29 @@ def cmd_perf(args) -> int:
         base = chain(2)
         total = chain(args.frames + 2)
         per = (total - base) / args.frames * 1000
-        print(
-            f"{name}: {w}x{h} -> {rw}x{rh}  {per:.2f} ms/frame  "
-            f"{1000 / per:.1f} fps"
-        )
+        if per <= 0:
+            print(
+                f"{name}: timing noise exceeded the measured span — "
+                "increase --frames",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"{name}: {w}x{h} -> {rw}x{rh}  {per:.2f} ms/frame  "
+                f"{1000 / per:.1f} fps"
+            )
 
         if args.clients:
             n_c = args.clients
-            if build is not build_xla:
 
-                @jax.jit
-                def batch_step(f, cs, build=build, grid=grid):
-                    sat = build(f, in_layout="chw")
-                    return jax.vmap(
-                        lambda c: sample_rect_from_sat(
-                            sat, grid, c, out_layout="chw"
-                        )
-                    )(cs)
-
-            else:
-
-                @jax.jit
-                def batch_step(f, cs, grid=grid):
-                    sat = build_xla(f.transpose(1, 2, 0))
-                    return jax.vmap(
-                        lambda c: sample_rect_from_sat(
-                            sat, grid, c, out_layout="chw"
-                        )
-                    )(cs)
+            @jax.jit
+            def batch_step(f, cs, build_fn=build_fn, grid=grid):
+                sat = build_fn(f)
+                return jax.vmap(
+                    lambda c: sample_rect_from_sat(
+                        sat, grid, c, out_layout="chw"
+                    )
+                )(cs)
 
             cs0 = jax.device_put(
                 rng.uniform(0.1, 0.9, (n_c, 2)).astype(np.float32)
@@ -848,6 +836,13 @@ def cmd_perf(args) -> int:
             base = chain_b(2)
             total = chain_b(args.frames + 2)
             per = (total - base) / args.frames * 1000
+            if per <= 0:
+                print(
+                    f"{name} x{n_c} clients: timing noise exceeded the "
+                    "measured span — increase --frames",
+                    file=sys.stderr,
+                )
+                continue
             print(
                 f"{name} x{n_c} clients (one SAT, batched sample): "
                 f"{per:.2f} ms/frame  {1000 / per * n_c:.1f} client-fps"
