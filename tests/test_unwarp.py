@@ -182,3 +182,35 @@ def test_mm_fovea_identity(rng):
         out[cy - k : cy + k + 1, cx - k : cx + k + 1],
         reduced[hr // 2 - k : hr // 2 + k + 1, wr // 2 - k : wr // 2 + k + 1],
     )
+
+
+def test_mm_tile_window_precondition():
+    """The mm path's slab-window correctness rests on a structural property
+    of the inverse map: per 120-column output tile, ix_lo spans at most
+    126 source cells except in the single tile containing the circular
+    wrap jump (whose overflow columns the top_k fixup repairs, capacity
+    _MM_FIX_K).  If grid-math changes ever break this, the fixup would
+    silently drop columns — pin it across ALL integer gazes at two sizes
+    and sampled gazes at 1080p."""
+    from foveax.core.unwarp import _MM_FIX_K, _MM_K, _MM_L, _axis_vectors
+    from foveax.config import reduced_dim
+
+    def check(out_dim, red_dim, gazes):
+        f = jax.jit(
+            lambda cp: _axis_vectors(out_dim, red_dim, cp, wrap=True)
+        )
+        t = -(-out_dim // _MM_L)
+        for cp in gazes:
+            lo = np.asarray(f(jnp.int32(cp))[0]).astype(np.int64)
+            lo_p = np.concatenate([lo, np.full(t * _MM_L - out_dim, lo[-1])])
+            tiles = lo_p.reshape(t, _MM_L)
+            over = tiles - tiles.min(axis=1, keepdims=True) > (_MM_K - 2)
+            # Overflow confined to at most one tile, within fixup capacity.
+            bad_tiles = over.any(axis=1).sum()
+            assert bad_tiles <= 1, (out_dim, cp, bad_tiles)
+            n_bad = int(over.sum())
+            assert n_bad <= min(_MM_FIX_K, out_dim), (out_dim, cp, n_bad)
+
+    check(96, reduced_dim(96), range(96))
+    check(320, reduced_dim(320), range(320))
+    check(1920, reduced_dim(1920), range(0, 1920, 37))
