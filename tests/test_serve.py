@@ -535,3 +535,83 @@ def test_svd_wire_pack_roundtrip():
     assert float(jnp.max(jnp.abs(back.u - svd.u))) <= 2.0 ** -10 * float(
         jnp.max(jnp.abs(svd.u))
     ) * 4 + 1e-3
+
+
+def test_broadcast_eviction_rejoin_same_connection():
+    """A member evicted from a LIVE channel (other members keep it alive)
+    must be able to re-request the stream on the same connection: the old
+    encoder is released, and streamInfo + a fresh header are re-sent so
+    the restarted fragment numbering decodes (round-2 review fix)."""
+    port = _free_port()
+    server = FoveaxServer(CFG, max_frames=200, broadcast=True)
+    video = "synthetic://96x64@30/200"
+
+    async def main():
+        import websockets
+
+        from foveax.io.mux import make_fragment_reader
+        from foveax.serve.protocol import VideoRequest
+
+        async def keeper():
+            # A second member keeps the channel alive across the eviction.
+            c = FoveaxClient(
+                f"ws://127.0.0.1:{port}", video=video, config=CFG,
+                max_frames=14,
+            )
+            return await c.run()
+
+        async def victim():
+            async with websockets.connect(
+                f"ws://127.0.0.1:{port}", max_size=64 * 1024 * 1024
+            ) as ws:
+                await ws.send(protocol.dumps(VideoRequest(video)))
+                # Receive a couple of fragments, then get evicted.
+                demux = make_fragment_reader()
+                got = 0
+                while got < 2:
+                    raw = await asyncio.wait_for(ws.recv(), timeout=30)
+                    if not isinstance(raw, str):
+                        got += len(demux.feed(bytes(raw)))
+                # Identify OUR session (the set also holds the keeper's).
+                my_port = ws.local_address[1]
+                session = next(
+                    s
+                    for s in server.sessions
+                    if s.ws.remote_address[1] == my_port
+                )
+                channel = session.channel
+                assert channel is not None
+                old_wire = session.wire
+                channel.leave(session)
+                assert session.channel is None
+                # Rejoin on the same connection.
+                await ws.send(protocol.dumps(VideoRequest(video)))
+                demux2 = make_fragment_reader()
+                texts, samples2 = [], 0
+                while samples2 < 2:
+                    raw = await asyncio.wait_for(ws.recv(), timeout=30)
+                    if isinstance(raw, str):
+                        texts.append(raw)
+                    else:
+                        samples2 += len(demux2.feed(bytes(raw)))
+                # Fresh header arrived (demux2 saw moov) and fragment
+                # numbering restarted from 1.
+                assert demux2.header_seen
+                assert demux2.last_seq <= 2
+                # The old encoder handle was released on rejoin.
+                assert session.wire is not old_wire
+                infos = [t for t in texts if "streamInfo" in t]
+                assert infos, texts
+                return samples2
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            k = asyncio.create_task(keeper())
+            await asyncio.sleep(0.3)
+            n = await asyncio.wait_for(victim(), timeout=90)
+            await asyncio.wait_for(k, timeout=90)
+            return n
+
+    n = asyncio.run(main())
+    assert n >= 2
