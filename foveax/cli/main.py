@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import dataclasses
 import logging
 import sys
 import time
@@ -448,8 +449,13 @@ def cmd_svd_bench(args) -> int:
     # block_until_ready is not a reliable fence through remote-attached
     # transports (CLAUDE.md / bench.py).
     def rec_loop(svd, iters):
+        # Each iteration's input depends on the carry (acc * 0 is not
+        # folded for floats: NaN/Inf semantics), so XLA's while-loop
+        # invariant code motion cannot hoist the reconstruction out of
+        # the loop and t_rec measures `iters` real reconstructions.
         def body(i, acc):
-            out = reconstruct_sat(svd)
+            s = svd.s + acc * jnp.float32(0)
+            out = reconstruct_sat(dataclasses.replace(svd, s=s))
             return acc + out[0, 0, 0]
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 

@@ -239,6 +239,13 @@ class WireEncoder:
         self.width, self.height = width, height
         err = ctypes.create_string_buffer(256)
         self._lib = lib
+        # Created before fx_enc_open so close() (via __del__) can always
+        # release the native handle, even if _build_config below raises.
+        # encode() runs in executor threads while close() may run on the
+        # event loop (session teardown during an in-flight broadcast
+        # tick): serialize access to the native handle — closing it under
+        # a running fx_enc_encode is a use-after-free.
+        self._hlock = threading.Lock()
         self._h = lib.fx_enc_open(
             enc_name.encode(),
             width,
@@ -255,11 +262,6 @@ class WireEncoder:
         self._out_cap = max(width * height * 3, 1 << 20)
         self._out = ctypes.create_string_buffer(self._out_cap)
         self.codec_config = self._build_config(bitrate)
-        # encode() runs in executor threads while close() may run on the
-        # event loop (session teardown during an in-flight broadcast
-        # tick): serialize access to the native handle — closing it under
-        # a running fx_enc_encode is a use-after-free.
-        self._hlock = threading.Lock()
 
     def _extradata(self) -> bytes:
         cap = 4096

@@ -39,6 +39,7 @@ extern "C" {
 
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <vector>
 
@@ -122,8 +123,13 @@ struct Decoder {
   // caller can grow its buffer and fetch it with fx_dec_take without
   // re-sending the packet (which would corrupt inter-frame state).
   bool held = false;
+  // Frames drained while re-sending an EAGAIN'd packet (a packet that
+  // emitted more than two frames).  Delivered oldest-first before any
+  // new receive_frame so output order is preserved.
+  std::deque<AVFrame*> pending;
 
   ~Decoder() {
+    for (AVFrame* f : pending) av_frame_free(&f);
     if (sws != nullptr) sws_freeContext(sws);
     if (pkt != nullptr) av_packet_free(&pkt);
     if (frame != nullptr) av_frame_free(&frame);
@@ -398,23 +404,37 @@ int fx_dec_decode(void* dec, const uint8_t* data, int len, uint8_t* out,
     return -1000002;
   }
   int rc = avcodec_send_packet(d->ctx, d->pkt);
-  if (rc == AVERROR(EAGAIN)) {
-    // Output queue full (a packet emitted multiple frames): drain one
-    // frame, re-send the packet — it is NOT consumed on EAGAIN, so
-    // dropping it here would desync every later P-frame.
-    int rc2 = avcodec_receive_frame(d->ctx, d->frame);
+  // Output queue full (a packet emitted multiple frames): drain frames
+  // (queueing the extras) and re-send until the packet is accepted — it
+  // is NOT consumed on EAGAIN, so dropping it would desync every later
+  // P-frame.
+  while (rc == AVERROR(EAGAIN)) {
+    AVFrame* f = av_frame_alloc();
+    if (f == nullptr) {
+      av_packet_unref(d->pkt);
+      return -1000001;
+    }
+    int rc2 = avcodec_receive_frame(d->ctx, f);
     if (rc2 < 0) {
+      av_frame_free(&f);
       av_packet_unref(d->pkt);
       return -1000006;
     }
+    d->pending.push_back(f);
     rc = avcodec_send_packet(d->ctx, d->pkt);
-    av_packet_unref(d->pkt);
-    if (rc < 0 && rc != AVERROR(EAGAIN)) return -1000007;
-    return fx__convert(d, out, cap, out_w, out_h);
   }
   av_packet_unref(d->pkt);
   if (rc < 0) return -1000003;
 
+  // Oldest drained frame first; frames still inside the codec are newer.
+  if (!d->pending.empty()) {
+    AVFrame* f = d->pending.front();
+    d->pending.pop_front();
+    av_frame_unref(d->frame);
+    av_frame_move_ref(d->frame, f);
+    av_frame_free(&f);
+    return fx__convert(d, out, cap, out_w, out_h);
+  }
   rc = avcodec_receive_frame(d->ctx, d->frame);
   if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
   if (rc < 0) return -1000004;
@@ -428,6 +448,14 @@ int fx_dec_flush(void* dec, uint8_t* out, int cap, int* out_w, int* out_h) {
   if (out_w != nullptr) *out_w = 0;
   if (out_h != nullptr) *out_h = 0;
   if (d->held) return fx__convert(d, out, cap, out_w, out_h);
+  if (!d->pending.empty()) {
+    AVFrame* f = d->pending.front();
+    d->pending.pop_front();
+    av_frame_unref(d->frame);
+    av_frame_move_ref(d->frame, f);
+    av_frame_free(&f);
+    return fx__convert(d, out, cap, out_w, out_h);
+  }
   avcodec_send_packet(d->ctx, nullptr);
   int rc = avcodec_receive_frame(d->ctx, d->frame);
   if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;

@@ -168,7 +168,9 @@ class FragmentReader {
 
   _parseMoof(payload) {
     for (const [fc, s] of this._boxes(payload, 0, payload.length)) {
-      if (fc === "mfhd") this.lastSeq = be32(payload, s + 4);
+      // Guard as the Python/native demuxers do: a truncated mfhd body
+      // (< 8 bytes) must be skipped, not read as a garbage sequence.
+      if (fc === "mfhd" && e - s >= 8) this.lastSeq = be32(payload, s + 4);
     }
   }
 

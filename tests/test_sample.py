@@ -252,8 +252,9 @@ class TestSharedTaps:
             (1072, 608, 1920, 1080),
             (2144, 1200, 3840, 2160),
             (4272, 2400, 7680, 4320),
+            (8544, 4800, 15360, 8640),
         ],
-        ids=["1080p", "4k", "8k"],
+        ids=["1080p", "4k", "8k", "16k"],
     )
     def test_fixup_bound_holds_at_production_sizes(self, dims):
         """The _FIX_K capacity must cover the worst-case number of
