@@ -27,6 +27,7 @@ class Rung:
     target_kbps: float
     actual_kbps: float
     psnr: float
+    ws: float
     foveal: float
     ecc: float
     frames: int
@@ -118,6 +119,7 @@ def run_ladder(
         eccentricity_weighted_psnr,
         foveal_psnr,
         psnr,
+        ws_psnr,
     )
 
     import jax.numpy as jnp
@@ -136,11 +138,12 @@ def run_ladder(
                 reduced_frames, centers, frames, restore_fn, cfg,
                 kbps * 1000, fps, codec,
             )
-            full, fov, ecc = [], [], []
+            full, ws, fov, ecc = [], [], [], []
             for i, (restored, src) in enumerate(pairs):
                 c = jnp.asarray(list(gaze(i)), dtype=jnp.float32)
                 rj, sj = jnp.asarray(restored), jnp.asarray(src)
                 full.append(float(psnr(rj, sj)))
+                ws.append(float(ws_psnr(rj, sj)))
                 fov.append(float(foveal_psnr(rj, sj, c)))
                 ecc.append(float(eccentricity_weighted_psnr(rj, sj, c)))
             n = len(pairs)
@@ -150,6 +153,7 @@ def run_ladder(
                     target_kbps=float(kbps),
                     actual_kbps=total_bytes * 8 * fps / n / 1e3,
                     psnr=sum(full) / n,
+                    ws=sum(ws) / n,
                     foveal=sum(fov) / n,
                     ecc=sum(ecc) / n,
                     frames=n,
@@ -160,12 +164,12 @@ def run_ladder(
 
 def format_table(rungs: list[Rung]) -> str:
     lines = [
-        "| technique | target kbit/s | actual kbit/s | PSNR dB | foveal dB | ecc-weighted dB |",
-        "|---|---|---|---|---|---|",
+        "| technique | target kbit/s | actual kbit/s | PSNR dB | WS-PSNR dB | foveal dB | ecc-weighted dB |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rungs:
         lines.append(
             f"| {r.technique} | {r.target_kbps:.0f} | {r.actual_kbps:.0f} "
-            f"| {r.psnr:.2f} | {r.foveal:.2f} | {r.ecc:.2f} |"
+            f"| {r.psnr:.2f} | {r.ws:.2f} | {r.foveal:.2f} | {r.ecc:.2f} |"
         )
     return "\n".join(lines)

@@ -488,6 +488,7 @@ def cmd_quality(args) -> int:
         eccentricity_weighted_psnr,
         foveal_psnr,
         psnr,
+        ws_psnr,
     )
     from foveax.pipeline.frames import FoveationPipeline
 
@@ -527,7 +528,7 @@ def cmd_quality(args) -> int:
                 return [f for f in rr]
 
     for tech in techniques:
-        full, fov, ecc = [], [], []
+        full, fov, ecc, ws = [], [], [], []
         decoded = None
         if args.through_codec and tech != "logrect":
             print(
@@ -573,12 +574,14 @@ def cmd_quality(args) -> int:
                 print(f"unknown technique {tech}", file=sys.stderr)
                 return 1
             full.append(float(psnr(restored, fj)))
+            ws.append(float(ws_psnr(restored, fj)))
             fov.append(float(foveal_psnr(restored, fj, c)))
             ecc.append(float(eccentricity_weighted_psnr(restored, fj, c)))
         n = len(full)
         mode = " (through codec)" if decoded is not None else ""
         print(
             f"{tech}{mode}: frames={n} psnr={sum(full) / n:.2f}dB "
+            f"ws-psnr={sum(ws) / n:.2f}dB "
             f"foveal={sum(fov) / n:.2f}dB ecc-weighted={sum(ecc) / n:.2f}dB"
         )
     return 0

@@ -45,6 +45,25 @@ def foveal_psnr(
     return 10.0 * jnp.log10(255.0 * 255.0 / jnp.maximum(m, 1e-10))
 
 
+def ws_psnr(a: jax.Array, b: jax.Array, peak: float = 255.0) -> jax.Array:
+    """WS-PSNR: sphere-weighted PSNR for equirectangular frames.
+
+    Equirect pixels near the poles cover far less solid angle than their
+    area suggests, so planar PSNR over-weights polar error.  WS-PSNR
+    (Sun, Lu, Yu — IEEE SPL 2017; adopted by JVET for 360 video) weights
+    each row by cos(latitude) evaluated at the pixel center:
+    w(y) = cos((y + 0.5 - H/2) * pi / H).  Uniform error ⇒ identical to
+    planar PSNR (weights normalize out); pole-concentrated error is
+    down-weighted toward its true solid-angle share.
+    """
+    h = a.shape[0]
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0) * (jnp.pi / h)
+    wgt = jnp.cos(ys)[:, None, None]  # (H, 1, 1) broadcasts over W, C
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    m = jnp.sum(d * d * wgt) / (jnp.sum(wgt) * a.shape[1] * a.shape[2])
+    return 10.0 * jnp.log10(peak * peak / jnp.maximum(m, 1e-10))
+
+
 def eccentricity_weighted_psnr(
     a: jax.Array, b: jax.Array, center: jax.Array, sigma_frac: float = 0.25
 ) -> jax.Array:
