@@ -27,17 +27,31 @@ def _center(arg: str):
 
 
 def _add_io_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--gaze-trace", help="360_em-format gaze trace file")
+    p.add_argument(
+        "--gaze-trace",
+        help="360_em-format gaze trace file, or 'synthetic[:seed]' for a "
+        "generated pursuit+saccade trace",
+    )
     p.add_argument(
         "--gaze", type=_center, default=(0.5, 0.5), help="fixed gaze 'x,y' in [0,1]"
     )
 
 
 def _gaze_fn(args):
-    if getattr(args, "gaze_trace", None):
-        from foveax.io.gaze import GazeViewPoints
+    trace = getattr(args, "gaze_trace", None)
+    if trace:
+        from foveax.io.gaze import GazeViewPoints, synthetic_trace
 
-        gvp = GazeViewPoints(args.gaze_trace)
+        if trace == "synthetic" or trace.startswith("synthetic:"):
+            # Reproducible recorded-style moving gaze (smooth pursuit +
+            # saccades) without needing a dataset file on disk —
+            # "synthetic" or "synthetic:<seed>".
+            seed = int(trace.split(":", 1)[1]) if ":" in trace else 0
+            gvp = GazeViewPoints.from_text(
+                synthetic_trace(3600, seed=seed, saccades=True)
+            )
+        else:
+            gvp = GazeViewPoints(trace)
         return lambda i: gvp.gaze_for_frame(i)
     fixed = args.gaze
     return lambda i: fixed

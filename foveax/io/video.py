@@ -68,13 +68,15 @@ def parse_synthetic_spec(spec: str) -> tuple[int, int, float, int, str]:
     """(width, height, fps, n_frames, pattern) from a synthetic:// spec —
     lets callers validate dimensions before any allocation happens.
     Patterns: ``hostile`` (default — high-frequency stripes, the
-    aliasing stress content) or ``natural`` (band-limited gradients and
-    soft shapes, paper-style PSNR magnitudes)."""
+    aliasing stress content), ``natural`` (band-limited gradients and
+    soft shapes, paper-style PSNR magnitudes), or ``natural1f``
+    (calibrated 1/f amplitude spectrum — the natural-image statistics
+    regime between the two, with detail above the peripheral Nyquist)."""
     m = _SYNTH_RE.match(spec)
     if not m:
         raise ValueError(f"bad synthetic spec: {spec}")
     pattern = m.group(5) or "hostile"
-    if pattern not in ("hostile", "natural"):
+    if pattern not in ("hostile", "natural", "natural1f"):
         raise ValueError(f"unknown synthetic pattern {pattern!r}")
     if int(m.group(1)) < 1 or int(m.group(2)) < 1:
         raise ValueError(f"bad synthetic dimensions: {spec}")
@@ -100,7 +102,43 @@ class SyntheticReader:
         self._i = 0
         yy, xx = np.mgrid[0:height, 0:width]
         self._xx, self._yy = xx, yy
-        if pattern == "natural":
+        if pattern == "natural1f":
+            # Natural-image statistics: amplitude spectrum A(f) = 1/f
+            # (Field 1987; slope verified by tests/test_io.py).  Unlike
+            # the band-limited "natural" pattern, spectral energy
+            # continues all the way to Nyquist — so the periphery of a
+            # foveated transform MUST low-pass (SAT box filter) or alias
+            # (point sampling), which is exactly the regime the paper's
+            # claim lives in — while unlike "hostile" the energy is not
+            # concentrated at Nyquist.  Channels share a 1/f luminance
+            # field plus low-amplitude independent 1/f chroma, matching
+            # the strong inter-channel correlation of natural images.
+            rng = np.random.default_rng(width * 7919 + height)
+            fy = np.fft.fftfreq(height)[:, None]
+            fx = np.fft.fftfreq(width)[None, :]
+            freq = np.hypot(fy, fx)
+            freq[0, 0] = 1.0  # DC handled by zeroing the coefficient
+
+            def field_1f():
+                spec = (
+                    rng.standard_normal((height, width))
+                    + 1j * rng.standard_normal((height, width))
+                ) / freq
+                spec[0, 0] = 0.0
+                x = np.fft.ifft2(spec).real
+                return (x - x.mean()) / (x.std() + 1e-12)
+
+            luma = field_1f()
+            ca, cb = field_1f(), field_1f()
+            # RMS contrast ~0.18 around mid-gray: <1% of pixels clip, so
+            # clipping barely perturbs the calibrated spectrum.
+            r = 0.5 + 0.18 * luma + 0.06 * ca
+            g = 0.5 + 0.18 * luma - 0.03 * ca + 0.03 * cb
+            b = 0.5 + 0.18 * luma - 0.06 * cb
+            self._base = (
+                np.clip(np.stack([r, g, b], axis=-1), 0, 1) * 255
+            ).astype(np.uint8)
+        elif pattern == "natural":
             # Band-limited content (smooth gradients + a few soft shapes):
             # the regime where the paper reports 30-40 dB PSNRs, vs the
             # deliberately aliasing-hostile default stripes.
@@ -147,7 +185,7 @@ class SyntheticReader:
         r = max(4, self.height // 24)
         y0, y1 = max(cy - r, 0), min(cy + r, self.height)
         x0, x1 = max(cx - r, 0), min(cx + r, self.width)
-        if self.pattern == "natural":
+        if self.pattern in ("natural", "natural1f"):
             # Soft moving highlight instead of a hard inverted block.
             yy = self._yy[y0:y1, x0:x1]
             xx = self._xx[y0:y1, x0:x1]
