@@ -21,6 +21,8 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import math
+import os
 import time
 from collections import OrderedDict
 from pathlib import Path
@@ -78,8 +80,10 @@ class Session:
         self.wire = None  # per-session wire encoder (inter-frame state)
         self.send_task: asyncio.Task | None = None
         self.channel = None  # BroadcastChannel membership
+        self.member_ordinal = 0  # join order within a broadcast channel
         self.frames_sent = 0
         self.frames_dropped = 0
+        self.frames_decimated = 0  # skipped by saturation decimation
         self._read_future = None  # in-flight executor decode, if any
         # Adaptive quality (AIMD): backlog-dropped frames cut the JPEG
         # quality multiplicatively; sustained clean delivery restores it.
@@ -140,6 +144,15 @@ class Session:
             self.wire = None
 
 
+def _timed_encode(wire, arr):
+    """Run one wire encode and report its wall time — the saturation
+    detector's measurement (runs inside the executor, GIL released by
+    the codec)."""
+    t0 = time.perf_counter()
+    out = wire.encode(arr)
+    return out, time.perf_counter() - t0
+
+
 class BroadcastChannel:
     """All viewers of one video share a frame clock and one SAT; their
     gazes are sampled in a single vmapped launch per tick.
@@ -167,6 +180,14 @@ class BroadcastChannel:
         # Members that already received streamInfo + the stream header
         # (channel-owned so leave() can force a re-send on rejoin).
         self._sent_header: set[Session] = set()
+        # Encode-saturation degradation state: EMA of one wire encode's
+        # wall time, the join-order counter that phase-spreads members,
+        # and the current cadence decimation factor (1 = serve every
+        # member every tick).
+        self._enc_ema = 0.0
+        self._next_ordinal = 0
+        self.decimation = 1
+        self._relax_ticks = 0  # consecutive ticks below the current k
 
     def join(self, session: Session) -> None:
         if self.dead:
@@ -224,6 +245,8 @@ class BroadcastChannel:
                 session.wire.close()
             self._sent_header.discard(session)
             session.wire = self.server._make_encoder(cfg)
+            session.member_ordinal = self._next_ordinal
+            self._next_ordinal += 1
             self.members[session] = FragmentWriter(
                 cfg.reduced_width,
                 cfg.reduced_height,
@@ -294,6 +317,35 @@ class BroadcastChannel:
         while s < n:
             s *= 2
         return s
+
+    def _update_decimation(self, n_members: int, tick: float) -> int:
+        """Cadence decimation factor for this tick: ceil of (estimated
+        full-membership encode batch time / 90% of the tick), clamped to
+        16.  The estimate is the per-encode EMA times members divided by
+        executor workers — decimation-independent, so the factor relaxes
+        automatically as members leave or encodes get cheaper."""
+        if self._enc_ema <= 0.0 or n_members == 0:
+            self.decimation = 1
+            return 1
+        budget = 0.9 * tick
+        workers = max(1, self.server.encode_workers)
+        est = self._enc_ema * n_members / workers
+        k_target = max(1, min(16, math.ceil(est / budget)))
+        # Hysteresis: raising is immediate (overload protection), but
+        # lowering waits for ~half a second of sustained headroom — a
+        # k flap near a boundary would re-phase every member's schedule
+        # and destroy the stable-cadence property decimation exists for.
+        if k_target > self.decimation:
+            self.decimation = k_target
+            self._relax_ticks = 0
+        elif k_target < self.decimation:
+            self._relax_ticks += 1
+            if self._relax_ticks >= 15:
+                self.decimation = k_target
+                self._relax_ticks = 0
+        else:
+            self._relax_ticks = 0
+        return self.decimation
 
     async def _loop(self) -> None:
         import jax.numpy as jnp
@@ -378,6 +430,30 @@ class BroadcastChannel:
                 frame_num += 1
                 continue
 
+            # Deterministic degradation under encode saturation: when the
+            # measured per-member encode cost times the membership exceeds
+            # what the executor can finish inside one tick, serve each
+            # member every k-th tick (phase-spread by join ordinal) so
+            # every member keeps a STABLE decimated cadence instead of
+            # the global clock stretching for everyone.  The reference's
+            # analogous load response is its bounded-wait frame drop
+            # (reference: src/video_server.cc:365-374); backlog dropping
+            # alone cannot catch this case because the bottleneck is the
+            # executor, not any one socket.
+            k = self._update_decimation(len(members), tick)
+            if k > 1:
+                served = []
+                for s, m in members:
+                    if (frame_num + s.member_ordinal) % k == 0:
+                        served.append((s, m))
+                    else:
+                        s.frames_decimated += 1
+                        self.server.total_decimated += 1
+                members = served
+                if not members:
+                    frame_num += 1
+                    continue
+
             centers = [s.effective_center() for s, _ in members]
             slot = self._slot(len(centers))
             if self._sharded is not None:
@@ -418,17 +494,28 @@ class BroadcastChannel:
                         session,
                         mux,
                         centers[i],
-                        loop.run_in_executor(None, wire.encode, batch_np[i]),
+                        loop.run_in_executor(
+                            None, _timed_encode, wire, batch_np[i]
+                        ),
                     )
                 )
             results = await asyncio.gather(
                 *(job[3] for job in encode_jobs), return_exceptions=True
             )
+            dts = [
+                r[1] for r in results if not isinstance(r, BaseException)
+            ]
+            if dts:
+                d = float(np.mean(dts))
+                self._enc_ema = (
+                    d if self._enc_ema == 0.0
+                    else 0.7 * self._enc_ema + 0.3 * d
+                )
             for (session, mux, center, _), result in zip(encode_jobs, results):
                 try:
                     if isinstance(result, BaseException):
                         raise result
-                    sample, is_key = result
+                    (sample, is_key), _dt = result
                     if session not in sent_header:
                         await session.ws.send(
                             self.server._stream_info(
@@ -469,6 +556,7 @@ class FoveaxServer:
         wire_crf: int = 25,
         sat_compression: str = "none",
         mesh: "object | None" = None,
+        encode_workers: int | None = None,
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
@@ -523,11 +611,18 @@ class FoveaxServer:
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024
+        # Encode-executor parallelism assumed by the saturation detector
+        # (asyncio's default executor sizing); tests pass an explicit
+        # value to model a constrained host deterministically.
+        self.encode_workers = encode_workers or min(
+            32, (os.cpu_count() or 1) + 4
+        )
         self.pipeline: FoveationPipeline | None = None
         self.sessions: set[Session] = set()
         self.channels: dict[str, BroadcastChannel] = {}
         self.total_sent = 0
         self.total_dropped = 0
+        self.total_decimated = 0
         # LRU-bounded: each entry holds compiled XLA executables, and the
         # key space is remote-influenced (per-resolution) — unbounded
         # growth would let a client exhaust memory via novel dimensions.
@@ -835,11 +930,13 @@ class FoveaxServer:
             dropped = self.total_dropped
             if self.sessions or sent != prev_sent:
                 log.info(
-                    "sessions=%d channels=%d fps=%.1f dropped=%d q_avg=%.0f",
+                    "sessions=%d channels=%d fps=%.1f dropped=%d "
+                    "decimated=%d q_avg=%.0f",
                     len(self.sessions),
                     len(self.channels),
                     (sent - prev_sent) / period_s,
                     dropped - prev_dropped,
+                    self.total_decimated,
                     np.mean([s.quality for s in self.sessions])
                     if self.sessions
                     else float(self.jpeg_quality),
