@@ -73,8 +73,18 @@ def compress_sat(sat: jax.Array, rank: int) -> SVDSat:
 def reconstruct_sat(svd: SVDSat) -> jax.Array:
     """Full (3, H, W) float32 SAT reconstruction (the eigen_sat_generate
     path, reference: src/eigen_sat_generate.cc:34-52) — one batched matmul."""
+    # HIGHEST: SAT magnitudes reach 255*W*H (~1e8 at 1080p); the MXU's
+    # default bf16 operand truncation (8 mantissa bits) would inject
+    # ~4e-3 relative error — ~4e5 absolute — destroying the 4-tap box
+    # differences sampling takes.  HIGHEST runs the multi-pass f32-
+    # equivalent matmul; CPU backends are unaffected.
     approx = jnp.einsum(
-        "chr,cr,crw->chw", svd.u, svd.s, svd.v, preferred_element_type=jnp.float32
+        "chr,cr,crw->chw",
+        svd.u,
+        svd.s,
+        svd.v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     resid = (
         svd.residual_q.astype(jnp.float32).transpose(2, 0, 1)
@@ -120,7 +130,14 @@ def create_reduced_sat(
     u_rows = jnp.take(svd.u, yc, axis=1)  # (3, Ho+1, r)
     v_cols = jnp.take(svd.v, xc, axis=2)  # (3, r, Wo+1)
     approx = jnp.einsum(
-        "cyr,cr,crx->cyx", u_rows, svd.s, v_cols, preferred_element_type=jnp.float32
+        "cyr,cr,crx->cyx",
+        u_rows,
+        svd.s,
+        v_cols,
+        preferred_element_type=jnp.float32,
+        # HIGHEST for the same reason as reconstruct_sat: bf16-truncated
+        # operands at SAT magnitude would swamp the box differences.
+        precision=jax.lax.Precision.HIGHEST,
     )
     res_rows = jnp.take(svd.residual_q, yc, axis=0)
     res = jnp.take(res_rows, xc, axis=1).astype(jnp.float32)  # (Ho+1, Wo+1, 3)
