@@ -829,8 +829,7 @@ def cmd_perf(args) -> int:
                 f"{1000 / per:.1f} fps"
             )
 
-        if args.clients:
-            n_c = args.clients
+        for n_c in args.clients or []:
 
             @jax.jit
             def batch_step(f, cs, build_fn=build_fn, grid=grid):
@@ -845,7 +844,7 @@ def cmd_perf(args) -> int:
                 rng.uniform(0.1, 0.9, (n_c, 2)).astype(np.float32)
             )
 
-            def chain_b(n):
+            def chain_b(n, cs0=cs0, batch_step=batch_step):
                 y, cs = frame, cs0
                 t0 = time.perf_counter()
                 for i in range(n):
@@ -1045,8 +1044,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--frames", type=int, default=20)
     p.add_argument(
-        "--clients", type=int, default=0,
-        help="also bench the batched N-gaze serve step (one SAT)",
+        "--clients", type=int, nargs="*", default=None,
+        help="also bench the batched N-gaze serve step (one SAT); pass "
+        "several values (e.g. --clients 8 32 128) to sweep for the "
+        "marginal-cost knee",
     )
     p.add_argument(
         "--precision", choices=["exact", "fast", "mm", "auto"], default="auto",

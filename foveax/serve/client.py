@@ -46,6 +46,10 @@ class ClientStats:
     # Gaze-application latency: time from sending a frameRequest to
     # receiving the first frame whose echoed center matches it.
     gaze_apply_ms: list = dataclasses.field(default_factory=list)
+    # Total binary bytes received (header + fragments) — the wire cost
+    # of the session (the reference prints receive averages only,
+    # src/video_client.cc:375-383; bytes make the bandwidth explicit).
+    wire_bytes: int = 0
     by_gaze: dict = dataclasses.field(
         default_factory=lambda: defaultdict(lambda: [0, 0.0, 0.0, 0.0])
     )
@@ -194,6 +198,7 @@ class FoveaxClient:
 
                 # Binary: header or fragment.
                 recv_ms = (time.perf_counter() - last_recv) * 1e3
+                self.stats.wire_bytes += len(raw)
                 samples = demux.feed(bytes(raw))
                 if decoder is None and demux.header_seen:
                     sample_format = getattr(demux, "sample_format", None)

@@ -42,8 +42,6 @@ async def run_client(port: int, video: str, w: int, h: int, frames: int):
     from foveax.serve.client import FoveaxClient
 
     cfg = FoveaxConfig().with_source(w, h)
-    wire_bytes = 0
-
     client = FoveaxClient(
         f"ws://127.0.0.1:{port}",
         video=video,
@@ -51,12 +49,7 @@ async def run_client(port: int, video: str, w: int, h: int, frames: int):
         gaze_source=lambda i: ((0.3 + 0.01 * i) % 1.0, 0.5),
         max_frames=frames,
     )
-
-    # Count wire bytes by wrapping the demuxer feed.
-    orig_run = client.run
-
-    stats = await orig_run()
-    return stats
+    return await client.run()
 
 
 def main() -> int:
@@ -73,6 +66,12 @@ def main() -> int:
         "so the demo runs anywhere)",
     )
     ap.add_argument("--wire-codec", default="auto")
+    ap.add_argument(
+        "--predict-gaze", default="off", choices=["off", "linear", "kalman"],
+        help="server-side gaze prediction (note: with prediction on, the "
+        "echoed center is the predicted one, so the matched gaze-apply "
+        "metric reads n/a — compare delivered quality instead)",
+    )
     args = ap.parse_args()
     w, h = (int(v) for v in args.resolution.split("x"))
     port = free_port()
@@ -88,6 +87,7 @@ def main() -> int:
     server_cmd += [
         "serve", "--port", str(port), "--loop",
         "--wire-codec", args.wire_codec,
+        "--predict-gaze", args.predict_gaze,
     ]
     print(f"[demo] starting server process: {' '.join(server_cmd)}")
     server = subprocess.Popen(
@@ -122,9 +122,17 @@ def main() -> int:
         print(f"[demo] avg receive gap: {a['avg_receive_ms']:.1f} ms")
         print(f"[demo] avg decode: {a['avg_decode_ms']:.2f} ms")
         print(f"[demo] avg unwarp: {a['avg_unwarp_ms']:.2f} ms")
-        if a["avg_gaze_apply_ms"] is not None:
+        if stats.gaze_apply_ms:
+            g = sorted(stats.gaze_apply_ms)
+            p = lambda q: g[min(int(q * len(g)), len(g) - 1)]
             print(f"[demo] gaze fan-in latency (request -> echoed frame): "
-                  f"{a['avg_gaze_apply_ms']:.1f} ms")
+                  f"mean {a['avg_gaze_apply_ms']:.1f} ms  "
+                  f"p50 {p(0.5):.1f}  p90 {p(0.9):.1f}  max {g[-1]:.1f} "
+                  f"(n={len(g)})")
+        print(f"[demo] wire: {stats.wire_bytes} bytes in {dt:.1f}s = "
+              f"{stats.wire_bytes * 8 / dt / 1e3:.0f} kbit/s "
+              f"({stats.wire_bytes * 8 / max(a['frames'], 1) / 1e3:.1f} "
+              f"kbit/frame)")
         print("[demo] traffic: JSON gaze messages up, encoded fMP4 down — "
               "no unencoded pixels crossed the process boundary")
         return 0
