@@ -375,6 +375,59 @@ def cmd_doctor(args) -> int:
         print(f"websockets {websockets.__version__}")
     except Exception as e:
         print(f"websockets: FAILED ({e})")
+
+    if getattr(args, "probe_transfers", False):
+        # Host<->device transfer health.  Remote-attached transports
+        # (the TPU tunnel) can wedge their device->host path while
+        # uploads and compute still work — a server then stalls at
+        # frame readback with no error.  Each probe runs in a daemon
+        # thread with a deadline so a wedged path reports WEDGED
+        # instead of hanging the diagnostic.
+        import threading
+
+        import jax.numpy as jnp  # noqa: F811
+
+        def timed(label, fn, deadline_s=20.0):
+            out = {}
+
+            def run():
+                t0 = time.perf_counter()
+                try:
+                    fn()
+                    out["ms"] = (time.perf_counter() - t0) * 1e3
+                except Exception as e:  # pragma: no cover
+                    out["err"] = str(e)[:120]
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            t.join(deadline_s)
+            if t.is_alive():
+                print(f"{label}: WEDGED (no completion in {deadline_s:.0f}s)")
+                return False
+            if "err" in out:
+                print(f"{label}: FAILED ({out['err']})")
+                return False
+            print(f"{label}: {out['ms']:.1f} ms")
+            return True
+
+        buf = np.zeros((608, 1072, 3), np.uint8)
+        dev = {}
+        ok = timed(
+            "upload 2MB",
+            lambda: dev.setdefault("x", jax.device_put(buf)).block_until_ready(),
+        )
+        ok = ok and timed(
+            "scalar readback",
+            lambda: float(jnp.sum(dev["x"].astype(jnp.uint32))),
+        )
+        ok = ok and timed("2MB readback", lambda: np.asarray(dev["x"]))
+        if not ok:
+            print(
+                "transfer path unhealthy: device compute may still work "
+                "(dependency-chained benches), but serving/readback will "
+                "stall — retry later or restart the device transport"
+            )
+            return 1
     return 0
 
 
@@ -1057,6 +1110,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_perf)
 
     p = sub.add_parser("doctor", help="environment diagnostic")
+    p.add_argument(
+        "--probe-transfers", action="store_true",
+        help="time host<->device transfers with a deadline (detects a "
+        "wedged tunnel readback path without hanging)",
+    )
     p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("montage", help="4-panel comparison image")
