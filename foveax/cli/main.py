@@ -46,7 +46,13 @@ def _gaze_fn(args):
             # Reproducible recorded-style moving gaze (smooth pursuit +
             # saccades) without needing a dataset file on disk —
             # "synthetic" or "synthetic:<seed>".
-            seed = int(trace.split(":", 1)[1]) if ":" in trace else 0
+            try:
+                seed = int(trace.split(":", 1)[1]) if ":" in trace else 0
+            except ValueError:
+                raise SystemExit(
+                    f"invalid --gaze-trace {trace!r}: expected "
+                    "'synthetic' or 'synthetic:<integer seed>'"
+                )
             gvp = GazeViewPoints.from_text(
                 synthetic_trace(3600, seed=seed, saccades=True)
             )
@@ -412,10 +418,16 @@ def cmd_doctor(args) -> int:
 
         buf = np.zeros((608, 1072, 3), np.uint8)
         dev = {}
-        ok = timed(
-            "upload 2MB",
-            lambda: dev.setdefault("x", jax.device_put(buf)).block_until_ready(),
-        )
+
+        def upload():
+            # Fence via a dependent scalar readback, not
+            # block_until_ready — the relay does not reliably fence the
+            # latter (CLAUDE.md), so a wedged upload direction would
+            # otherwise report healthy and misattribute the stall.
+            dev["x"] = jax.device_put(buf)
+            float(jnp.sum(dev["x"][:1, :1].astype(jnp.uint32)))
+
+        ok = timed("upload 2MB (+scalar fence)", upload)
         ok = ok and timed(
             "scalar readback",
             lambda: float(jnp.sum(dev["x"].astype(jnp.uint32))),
@@ -883,6 +895,8 @@ def cmd_perf(args) -> int:
             )
 
         for n_c in args.clients or []:
+            if n_c <= 0:  # "--clients 0" stays a documented no-op
+                continue
 
             @jax.jit
             def batch_step(f, cs, build_fn=build_fn, grid=grid):

@@ -80,7 +80,6 @@ class Session:
         self.wire = None  # per-session wire encoder (inter-frame state)
         self.send_task: asyncio.Task | None = None
         self.channel = None  # BroadcastChannel membership
-        self.member_ordinal = 0  # join order within a broadcast channel
         self.frames_sent = 0
         self.frames_dropped = 0
         self.frames_decimated = 0  # skipped by saturation decimation
@@ -181,11 +180,9 @@ class BroadcastChannel:
         # (channel-owned so leave() can force a re-send on rejoin).
         self._sent_header: set[Session] = set()
         # Encode-saturation degradation state: EMA of one wire encode's
-        # wall time, the join-order counter that phase-spreads members,
-        # and the current cadence decimation factor (1 = serve every
-        # member every tick).
+        # wall time and the current cadence decimation factor (1 = serve
+        # every member every tick).
         self._enc_ema = 0.0
-        self._next_ordinal = 0
         self.decimation = 1
         self._relax_ticks = 0  # consecutive ticks below the current k
 
@@ -245,8 +242,6 @@ class BroadcastChannel:
                 session.wire.close()
             self._sent_header.discard(session)
             session.wire = self.server._make_encoder(cfg)
-            session.member_ordinal = self._next_ordinal
-            self._next_ordinal += 1
             self.members[session] = FragmentWriter(
                 cfg.reduced_width,
                 cfg.reduced_height,
@@ -442,9 +437,14 @@ class BroadcastChannel:
             # executor, not any one socket.
             k = self._update_decimation(len(members), tick)
             if k > 1:
+                # Phase = live position in the insertion-ordered member
+                # dict: always densely spread mod k, with no ordinal
+                # bookkeeping that could cluster after churn (churn
+                # shifts survivors' phases by at most their index delta
+                # — one off-stride beat, then stable again).
                 served = []
-                for s, m in members:
-                    if (frame_num + s.member_ordinal) % k == 0:
+                for idx, (s, m) in enumerate(members):
+                    if (frame_num + idx) % k == 0:
                         served.append((s, m))
                     else:
                         s.frames_decimated += 1
@@ -923,11 +923,12 @@ class FoveaxServer:
         """Periodic one-line observability: sessions, delivered fps, drops
         (the reference's closest analog is an every-30-frames print,
         src/run_satlogrectilinear.cc:724-726)."""
-        prev_sent = prev_dropped = 0
+        prev_sent = prev_dropped = prev_decimated = 0
         while True:
             await asyncio.sleep(period_s)
             sent = self.total_sent
             dropped = self.total_dropped
+            decimated = self.total_decimated
             if self.sessions or sent != prev_sent:
                 log.info(
                     "sessions=%d channels=%d fps=%.1f dropped=%d "
@@ -936,12 +937,12 @@ class FoveaxServer:
                     len(self.channels),
                     (sent - prev_sent) / period_s,
                     dropped - prev_dropped,
-                    self.total_decimated,
+                    decimated - prev_decimated,
                     np.mean([s.quality for s in self.sessions])
                     if self.sessions
                     else float(self.jpeg_quality),
                 )
-            prev_sent, prev_dropped = sent, dropped
+            prev_sent, prev_dropped, prev_decimated = sent, dropped, decimated
 
     async def run(self, port: int | None = None, *, host: str = "0.0.0.0"):
         import websockets

@@ -167,7 +167,7 @@ class FragmentReader {
   }
 
   _parseMoof(payload) {
-    for (const [fc, s] of this._boxes(payload, 0, payload.length)) {
+    for (const [fc, s, e] of this._boxes(payload, 0, payload.length)) {
       // Guard as the Python/native demuxers do: a truncated mfhd body
       // (< 8 bytes) must be skipped, not read as a garbage sequence.
       if (fc === "mfhd" && e - s >= 8) this.lastSeq = be32(payload, s + 4);

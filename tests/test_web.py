@@ -244,3 +244,40 @@ def test_selftest_golden_up_to_date(tmp_path):
         "selftest_golden.js is stale — rerun scripts/gen_web_golden.py "
         "and commit the result"
     )
+
+
+def test_js_box_loop_destructuring_consistent():
+    """Static guard for the one JS-only bug class no test can execute
+    (no JS engine in this sandbox): every `for (const [a, b, c] of
+    this._boxes(...))` loop body must only use box-bound names it
+    actually destructured.  (Round-3 regression: an mfhd guard used `e`
+    in a loop that destructured only `[fc, s]` — a ReferenceError on
+    every fragment, invisible to the Python twins.)"""
+    import re
+    from pathlib import Path
+
+    src = (
+        Path(__file__).resolve().parent.parent / "foveax" / "web" / "unwarp.js"
+    ).read_text()
+    pat = re.compile(
+        r"for \(const \[([^\]]+)\] of this\._boxes\([^)]*\)\) \{"
+    )
+    box_names = re.compile(r"\b(?:fc|s|e)\d*\b")
+    for m in pat.finditer(src):
+        declared = {v.strip() for v in m.group(1).split(",")}
+        # Body = balanced-brace span following the loop header.
+        depth, i = 1, m.end()
+        while depth and i < len(src):
+            depth += {"{": 1, "}": -1}.get(src[i], 0)
+            i += 1
+        body = src[m.end():i - 1]
+        # Strip nested _boxes loop headers (they declare their own).
+        inner_declared = set()
+        for im in pat.finditer(body):
+            inner_declared |= {v.strip() for v in im.group(1).split(",")}
+        used = set(box_names.findall(body))
+        undeclared = used - declared - inner_declared
+        assert not undeclared, (
+            f"loop destructures {sorted(declared)} but body uses "
+            f"{sorted(undeclared)}: {m.group(0)}"
+        )
