@@ -115,6 +115,7 @@ def cmd_serve(args) -> int:
         wire_crf=args.wire_crf,
         sat_compression=args.sat_compression,
         mesh=mesh,
+        adapt_rate=args.adapt_rate,
     )
     logging.getLogger("foveax.serve").info("wire codec: %s", server.wire_codec)
     if args.http_port:
@@ -996,6 +997,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--wire-crf", type=int, default=25,
         help="quality target for the wire codec (reference runs cq 25, "
         "src/video_encoder.cc:43)",
+    )
+    p.add_argument(
+        "--adapt-rate", action="store_true",
+        help="AIMD the per-session wire bitrate on backlog drops "
+        "(requires --wire-bitrate > 0; re-negotiates the encoder and "
+        "re-sends the stream header live)",
     )
     p.add_argument(
         "--sat-compression", default="none", choices=["none", "svd"],

@@ -268,6 +268,10 @@ class FragmentReader:
         self._buf = bytearray()
         self.width = self.height = None
         self.header_seen = False
+        # Init segments seen: >1 means the stream was renegotiated
+        # mid-flight (rate adaptation) and downstream decoders must be
+        # rebuilt from the new sample entry.
+        self.header_count = 0
         self.last_seq = 0
         self.sample_format: bytes | None = None
         self.codec_config: tuple[bytes, bytes] | None = None
@@ -291,6 +295,7 @@ class FragmentReader:
             payload = bytes(self._buf[8:size])
             if fourcc == b"moov":
                 self.header_seen = True
+                self.header_count += 1
                 self._parse_dims(payload)
             elif fourcc == b"moof":
                 for fc, s, e in iter_boxes(payload):

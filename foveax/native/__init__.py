@@ -243,6 +243,8 @@ class NativeDemuxer:
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_int),
             ]
+            lib.fvx_demux_header_count.restype = ctypes.c_uint32
+            lib.fvx_demux_header_count.argtypes = [ctypes.c_void_p]
             lib.fvx_demux_codec.restype = ctypes.c_int
             lib.fvx_demux_codec.argtypes = [
                 ctypes.c_void_p,
@@ -309,6 +311,11 @@ class NativeDemuxer:
     @property
     def header_seen(self):
         return self._info()[3]
+
+    @property
+    def header_count(self):
+        """Init segments seen (>1 = mid-stream renegotiation)."""
+        return int(self._lib.fvx_demux_header_count(self._h))
 
     def _codec(self):
         fourcc = ctypes.create_string_buffer(4)

@@ -295,6 +295,7 @@ struct Demuxer {
   uint32_t height = 0;
   uint32_t last_seq = 0;
   bool header_seen = false;
+  uint32_t header_count = 0;  // init segments seen (>1 = renegotiated)
   char sample_format[4] = {0, 0, 0, 0};   // stsd entry fourcc (e.g. avc1)
   char config_fourcc[4] = {0, 0, 0, 0};   // e.g. avcC — zeroes if none
   std::vector<uint8_t> codec_config;      // config box payload
@@ -341,6 +342,7 @@ void parse_stsd(Demuxer* d, const uint8_t* body, size_t blen) {
 
 void parse_moov(Demuxer* d, const uint8_t* payload, size_t len) {
   d->header_seen = true;
+  d->header_count++;
   for_boxes(payload, len, [&](const uint8_t* fourcc, const uint8_t* body,
                               size_t blen) {
     if (!is4(fourcc, "trak")) return;
@@ -433,6 +435,12 @@ int fvx_demux_info(void* h, uint32_t* width, uint32_t* height,
   *last_seq = d->last_seq;
   *header_seen = d->header_seen ? 1 : 0;
   return 0;
+}
+
+// Init segments seen so far (>1 = the stream was renegotiated and the
+// decoder must be rebuilt from the new sample entry).
+uint32_t fvx_demux_header_count(void* h) {
+  return static_cast<Demuxer*>(h)->header_count;
 }
 
 // Sample-entry codec info parsed from moov/stsd.  fourcc_out/cfg_fourcc_out

@@ -164,6 +164,7 @@ class FoveaxClient:
         pipeline = FoveationPipeline(cfg)
         demux = make_fragment_reader()
         decoder = None  # built after the header announces the codec
+        built_headers = 0  # init segments consumed (rebuild on each new one)
         svd_mode = False
         pending_meta: FrameMeta | None = None
         last_recv = time.perf_counter()
@@ -200,6 +201,19 @@ class FoveaxClient:
                 recv_ms = (time.perf_counter() - last_recv) * 1e3
                 self.stats.wire_bytes += len(raw)
                 samples = demux.feed(bytes(raw))
+                # Rebuild the decoder on every NEW init segment, not just
+                # the first: a rate-adapting server renegotiates its
+                # encoder mid-stream and re-sends the header (the new
+                # sample entry carries the new codec config; the fresh
+                # stream starts on an IDR).
+                header_count = getattr(
+                    demux, "header_count", 1 if demux.header_seen else 0
+                )
+                if header_count != built_headers and demux.header_seen:
+                    built_headers = header_count
+                    if decoder is not None and hasattr(decoder, "close"):
+                        decoder.close()
+                    decoder = None
                 if decoder is None and demux.header_seen:
                     sample_format = getattr(demux, "sample_format", None)
                     svd_mode = sample_format == b"fxsv"

@@ -91,6 +91,19 @@ class Session:
         # the bytes actually sent.)
         self.quality = float(server.jpeg_quality)
         self._clean_streak = 0
+        # AIMD rate adaptation on the inter-frame wire (--adapt-rate with
+        # a rate-targeted encoder): multiplicative decrease on drops,
+        # additive-ish increase after sustained clean delivery, applied
+        # by swapping in a fresh encoder + muxer (header re-sent; the
+        # client rebuilds its decoder on the new init segment).  Extends
+        # the reference's fixed dual operating point
+        # (src/video_encoder.cc:28-58, :210-342) into live adaptation.
+        self.rate_bps = (
+            int(server.wire_bitrate)
+            if server.adapt_rate and server.wire_bitrate > 0
+            else 0
+        )
+        self._rate_dirty = False
 
     def update_gaze(self, cx: float, cy: float) -> None:
         self.center = (cx, cy)
@@ -110,6 +123,11 @@ class Session:
     def on_frame_outcome(self, dropped: bool) -> None:
         if dropped:
             self.quality = max(40.0, self.quality * 0.8)
+            if self.rate_bps:
+                new = max(int(self.rate_bps * 0.7), 250_000)
+                if new != self.rate_bps:
+                    self.rate_bps = new
+                    self._rate_dirty = True
             self._clean_streak = 0
         else:
             self._clean_streak += 1
@@ -117,7 +135,34 @@ class Session:
                 self.quality = min(
                     float(self.server.jpeg_quality), self.quality + 5.0
                 )
+                if self.rate_bps:
+                    new = min(
+                        int(self.rate_bps * 1.25),
+                        int(self.server.wire_bitrate),
+                    )
+                    if new != self.rate_bps:
+                        self.rate_bps = new
+                        self._rate_dirty = True
                 self._clean_streak = 0
+
+    def renegotiate_wire(self, cfg: FoveaxConfig) -> FragmentWriter:
+        """Swap in a fresh encoder at the current rate target plus a
+        fresh muxer.  The caller must re-send streamInfo + the new
+        header (a new init segment mid-stream); the new encoder opens on
+        an IDR, so inter-frame state stays consistent."""
+        old, self.wire = self.wire, self.server._make_encoder(
+            cfg, bitrate=self.rate_bps
+        )
+        if old is not None:
+            old.close()
+        self._rate_dirty = False
+        return FragmentWriter(
+            cfg.reduced_width,
+            cfg.reduced_height,
+            self.server.config.fps,
+            self.wire.sample_format,
+            codec_config=self.wire.codec_config,
+        )
 
     async def close(self) -> None:
         if self.channel is not None:
@@ -478,6 +523,13 @@ class BroadcastChannel:
             # past the bytes its client actually received.
             encode_jobs = []  # (session, mux, center, future)
             for i, (session, mux) in enumerate(members):
+                if session._rate_dirty and session.wire is not None:
+                    # Rate adaptation: fresh encoder + muxer; dropping
+                    # the member from sent_header re-sends streamInfo +
+                    # the new init segment before the next sample.
+                    mux = session.renegotiate_wire(p.config)
+                    self.members[session] = mux
+                    sent_header.discard(session)
                 if (
                     self.server._backlog(session.ws)
                     > self.server.max_send_backlog
@@ -557,6 +609,7 @@ class FoveaxServer:
         sat_compression: str = "none",
         mesh: "object | None" = None,
         encode_workers: int | None = None,
+        adapt_rate: bool = False,
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
@@ -584,6 +637,16 @@ class FoveaxServer:
         self.wire_codec = wire_codec
         self.wire_bitrate = wire_bitrate
         self.wire_crf = wire_crf
+        # Live per-session AIMD on the wire bitrate (requires a
+        # rate-targeted inter-frame encoder, i.e. wire_bitrate > 0).
+        self.adapt_rate = adapt_rate
+        if adapt_rate and wire_bitrate <= 0:
+            raise ValueError("--adapt-rate requires --wire-bitrate > 0")
+        if adapt_rate and wire_codec == "jpeg":
+            raise ValueError(
+                "--adapt-rate needs an inter-frame wire codec (JPEG "
+                "already adapts via per-frame quality)"
+            )
         # "svd": stream rank-r SAT factors + residual instead of foveated
         # frames — foveation moves client-side (zero gaze latency, one
         # stream serves any number of gazes).  Goes beyond the reference,
@@ -676,15 +739,16 @@ class FoveaxServer:
         self._pipelines.move_to_end(key)
         return self._pipelines[key]
 
-    def _make_encoder(self, cfg: FoveaxConfig):
+    def _make_encoder(self, cfg: FoveaxConfig, bitrate: int | None = None):
         """Per-session wire encoder (inter-frame state is per-client, like
-        the reference's per-connection VideoEncoder, src/video_server.h:41)."""
+        the reference's per-connection VideoEncoder, src/video_server.h:41).
+        ``bitrate`` overrides the configured target (rate adaptation)."""
         return make_wire_encoder(
             self.wire_codec,
             cfg.reduced_width,
             cfg.reduced_height,
             self.config.fps,
-            bitrate=self.wire_bitrate,
+            bitrate=self.wire_bitrate if bitrate is None else bitrate,
             crf=self.wire_crf,
             gop_size=self.config.gop_size,
             jpeg_quality=self.jpeg_quality,
@@ -896,6 +960,18 @@ class FoveaxServer:
                         True,
                     )
                 else:
+                    if session._rate_dirty and session.wire is not None:
+                        # Rate adaptation: new encoder + muxer, then the
+                        # new init segment goes out before the sample.
+                        mux = session.mux = session.renegotiate_wire(
+                            pipeline.config
+                        )
+                        await ws.send(
+                            self._stream_info(
+                                pipeline.config, mux.sample_format
+                            )
+                        )
+                        await ws.send(mux.header())
                     wire = session.wire
                     if hasattr(wire, "quality"):
                         wire.quality = session.quality

@@ -123,6 +123,10 @@ class FragmentReader {
   constructor() {
     this.buf = new Uint8Array(0);
     this.headerSeen = false;
+    // Init segments seen; >1 means the server renegotiated its encoder
+    // (rate adaptation) — a WebCodecs decoder must be reconfigured from
+    // the new codecConfig (the JPEG path is stateless and just works).
+    this.headerCount = 0;
     this.width = null;
     this.height = null;
     this.lastSeq = 0;
@@ -145,6 +149,7 @@ class FragmentReader {
       const payload = this.buf.subarray(8, size);
       if (fc === "moov") {
         this.headerSeen = true;
+        this.headerCount += 1;
         this._parseMoov(payload);
       } else if (fc === "moof") {
         this._parseMoof(payload);

@@ -808,7 +808,9 @@ def test_encode_saturation_decimates_cadence():
         diffs = np.diff(sorted(nums))
         assert len(diffs) >= 2
         assert np.median(diffs) >= 2, nums  # decimated, not every tick
-        assert diffs.max() <= 32, nums  # never starved (2x the k clamp)
+        # Never starved: k clamps at 16, so even a clamp-level schedule
+        # plus one churn re-phase stays under 3x the clamp.
+        assert diffs.max() <= 48, nums
     # Accounting consistency: every membership tick either served or
     # decimated (no member silently starved).
     assert server.total_sent == 8 * 4
@@ -873,3 +875,102 @@ def test_decimation_phases_stay_spread_after_churn():
             for idx in range(n):
                 served = [fn for fn in range(k) if (fn + idx) % k == 0]
                 assert len(served) == 1, (n, k, idx)
+
+
+def test_rate_adaptation_aimd_unit():
+    """AIMD wire-rate controller: multiplicative decrease on drops
+    (floored), additive-ish increase after 30 clean frames (capped at
+    the configured target), dirty flag only on change."""
+    from foveax.serve.server import Session
+
+    server = FoveaxServer(
+        CFG, wire_codec="jpeg" if "h264" not in _INTER else "h264",
+        wire_bitrate=800_000,
+        adapt_rate="h264" in _INTER,
+    ) if "h264" in _INTER else None
+    if server is None:
+        pytest.skip("native h264 shim not built")
+    s = Session(ws=None, server=server)
+    assert s.rate_bps == 800_000 and not s._rate_dirty
+    s.on_frame_outcome(dropped=True)
+    assert s.rate_bps == 560_000 and s._rate_dirty
+    s._rate_dirty = False
+    s.on_frame_outcome(dropped=True)
+    assert s.rate_bps == 392_000
+    # Floor.
+    for _ in range(20):
+        s.on_frame_outcome(dropped=True)
+    assert s.rate_bps == 250_000
+    # Increase after 30 clean, capped at the configured target.
+    s._rate_dirty = False
+    for _ in range(30):
+        s.on_frame_outcome(dropped=False)
+    assert s.rate_bps == 312_500 and s._rate_dirty
+    for _ in range(30 * 20):
+        s.on_frame_outcome(dropped=False)
+    assert s.rate_bps == 800_000  # capped
+
+    with pytest.raises(ValueError, match="wire-bitrate"):
+        FoveaxServer(CFG, wire_codec="h264", adapt_rate=True)
+    with pytest.raises(ValueError, match="inter-frame"):
+        FoveaxServer(
+            CFG, wire_codec="jpeg", wire_bitrate=1, adapt_rate=True
+        )
+
+
+@pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
+def test_rate_adaptation_renegotiates_midstream(monkeypatch):
+    """Backlog drops trigger a live bitrate decrease: the server swaps
+    encoder+muxer and re-sends the header mid-stream; the client detects
+    the new init segment, rebuilds its decoder, and keeps decoding
+    (frames after the renegotiation arrive intact)."""
+    from foveax.serve.server import Session
+
+    port = _free_port()
+    server = FoveaxServer(
+        CFG, max_frames=20, wire_codec="h264", wire_bitrate=800_000,
+        adapt_rate=True,
+    )
+    calls = {"n": 0}
+
+    def fake_backlog(ws):  # force drops on the 4th and 5th ticks
+        calls["n"] += 1
+        return 10**9 if calls["n"] in (4, 5) else 0
+
+    server._backlog = fake_backlog
+
+    reneg_rates = []
+    orig_reneg = Session.renegotiate_wire
+
+    def spy(self, cfg):
+        reneg_rates.append(self.rate_bps)
+        return orig_reneg(self, cfg)
+
+    monkeypatch.setattr(Session, "renegotiate_wire", spy)
+
+    frames_seen = []
+    client = FoveaxClient(
+        f"ws://127.0.0.1:{port}",
+        video="synthetic://96x64@30/40",
+        config=CFG,
+        gaze_source=lambda i: (0.5, 0.5),
+        frame_sink=lambda f, meta: frames_seen.append(f),
+        max_frames=10,
+    )
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(client.run(), timeout=90)
+
+    stats = asyncio.run(main())
+    # 2 drops -> 800k * 0.7^2 = 392k, renegotiated exactly once.
+    assert reneg_rates == [392_000], reneg_rates
+    # The client decoded across the renegotiation: full frame count and
+    # intact (non-black, correctly shaped) frames after the new header.
+    assert stats.frames == 10
+    assert all(f.shape == (64, 96, 3) for f in frames_seen)
+    assert frames_seen[-1].std() > 5.0
