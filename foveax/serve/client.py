@@ -178,6 +178,31 @@ class FoveaxClient:
             self.uri, max_size=64 * 1024 * 1024
         ) as ws:
             await ws.send(protocol.dumps(VideoRequest(self.video)))
+            # Send the initial gaze WITH the handshake: waiting for the
+            # first decoded frame (which includes the client's jit
+            # compile) would let a free-running server emit seconds of
+            # center-gazed frames first.  The reference's client has the
+            # same pattern — its first frameRequest goes out at stream
+            # start, not on first render (reference:
+            # src/video_client.cc:125-146).
+            if self.gaze_source is not None:
+                gaze = self.gaze_source(0)
+                self._packet_number += 1
+                await ws.send(
+                    protocol.dumps(
+                        FrameRequest(
+                            centerX=gaze[0],
+                            centerY=gaze[1],
+                            packetNumber=self._packet_number,
+                        )
+                    )
+                )
+                self._last_sent_gaze = gaze
+                last_request_at = time.perf_counter()
+                self._gaze_sent_at.setdefault(
+                    (round(gaze[0], 5), round(gaze[1], 5)),
+                    time.perf_counter(),
+                )
             async for raw in ws:
                 if isinstance(raw, str):
                     msg = protocol.loads(raw)

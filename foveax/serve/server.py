@@ -523,13 +523,6 @@ class BroadcastChannel:
             # past the bytes its client actually received.
             encode_jobs = []  # (session, mux, center, future)
             for i, (session, mux) in enumerate(members):
-                if session._rate_dirty and session.wire is not None:
-                    # Rate adaptation: fresh encoder + muxer; dropping
-                    # the member from sent_header re-sends streamInfo +
-                    # the new init segment before the next sample.
-                    mux = session.renegotiate_wire(p.config)
-                    self.members[session] = mux
-                    sent_header.discard(session)
                 if (
                     self.server._backlog(session.ws)
                     > self.server.max_send_backlog
@@ -538,6 +531,16 @@ class BroadcastChannel:
                     self.server.total_dropped += 1
                     session.on_frame_outcome(True)
                     continue
+                if session._rate_dirty and session.wire is not None:
+                    # Rate adaptation: fresh encoder + muxer; dropping
+                    # the member from sent_header re-sends streamInfo +
+                    # the new init segment before the next sample.  The
+                    # check sits AFTER the backlog drop so a member that
+                    # is still backlogged does not churn a new encoder
+                    # every tick while its socket drains.
+                    mux = session.renegotiate_wire(p.config)
+                    self.members[session] = mux
+                    sent_header.discard(session)
                 wire = session.wire
                 if hasattr(wire, "quality"):
                     wire.quality = session.quality

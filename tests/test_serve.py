@@ -974,3 +974,78 @@ def test_rate_adaptation_renegotiates_midstream(monkeypatch):
     assert stats.frames == 10
     assert all(f.shape == (64, 96, 3) for f in frames_seen)
     assert frames_seen[-1].std() > 5.0
+
+
+@pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
+def test_rate_adaptation_broadcast_per_member(monkeypatch):
+    """On a broadcast channel rate adaptation is PER MEMBER: only the
+    backlogged member's encoder renegotiates (after its socket drains —
+    never while still backlogged), the other members' encoders and
+    headers are untouched, and every member keeps decoding across the
+    victim's renegotiation."""
+    from foveax.serve.server import Session
+
+    port = _free_port()
+    server = FoveaxServer(
+        CFG, max_frames=24, broadcast=True, wire_codec="h264",
+        wire_bitrate=800_000, adapt_rate=True,
+    )
+
+    state = {"victim": None, "calls": 0}
+
+    def fake_backlog(ws):
+        # First ws observed becomes the victim; drop exactly two of its
+        # backlog checks once all three members are polled regularly.
+        if state["victim"] is None:
+            state["victim"] = ws
+        if ws is state["victim"]:
+            state["calls"] += 1
+            if state["calls"] in (4, 5):
+                return 10**9
+        return 0
+
+    server._backlog = fake_backlog
+
+    reneg = []  # (session, rate at renegotiation time)
+    orig_reneg = Session.renegotiate_wire
+
+    def spy(self, cfg):
+        reneg.append((self, self.rate_bps))
+        return orig_reneg(self, cfg)
+
+    monkeypatch.setattr(Session, "renegotiate_wire", spy)
+
+    frames = [[], [], []]
+    clients = [
+        FoveaxClient(
+            f"ws://127.0.0.1:{port}",
+            video="synthetic://96x64@30/40",
+            config=CFG,
+            gaze_source=lambda i, g=g: g,
+            frame_sink=lambda f, meta, sink=sink: sink.append(f),
+            max_frames=10,
+        )
+        for g, sink in zip([(0.2, 0.3), (0.5, 0.5), (0.8, 0.7)], frames)
+    ]
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(
+                asyncio.gather(*(c.run() for c in clients)), timeout=120
+            )
+
+    stats = asyncio.run(main())
+    # Exactly one renegotiation, on one session, at 800k * 0.7^2.
+    assert len(reneg) == 1, [r[1] for r in reneg]
+    assert reneg[0][1] == 392_000
+    # Every member — victim included — decoded its full frame count with
+    # intact frames; the victim's drop count is exactly the forced two.
+    assert all(s.frames == 10 for s in stats)
+    for sink in frames:
+        assert all(f.shape == (64, 96, 3) for f in sink)
+        assert sink[-1].std() > 5.0
+    assert server.total_dropped == 2
