@@ -188,7 +188,18 @@ void* fx_enc_open(const char* codec_name, int width, int height, double fps,
       std::strcmp(codec_name, "libx265") == 0) {
     av_opt_set(c->priv_data, "preset", "veryfast", 0);
     av_opt_set(c->priv_data, "tune", "zerolatency", 0);
-    if (crf >= 0) av_opt_set_int(c->priv_data, "crf", crf, 0);
+    if (bitrate > 0) {
+      // Rate-targeted mode: x264's rate-control precedence is
+      // crf > qp > ABR, so setting crf here would silently IGNORE
+      // bit_rate (every target would encode at identical bytes).  ABR
+      // plus a tight VBV (~2 frames) makes the target hold per-RTT —
+      // required for live AIMD adaptation to actually move the wire.
+      c->rc_max_rate = bitrate;
+      double f = fps > 1.0 ? fps : 30.0;
+      c->rc_buffer_size = (int)(2.0 * bitrate / f);
+    } else if (crf >= 0) {
+      av_opt_set_int(c->priv_data, "crf", crf, 0);
+    }
     // Sliced threading: parallel encode within one frame, zero added
     // latency (frame threading would queue frames — the delay the
     // reference kills via its NVENC async_depth hack).  Capped at the
@@ -208,10 +219,15 @@ void* fx_enc_open(const char* codec_name, int width, int height, double fps,
     av_opt_set(c->priv_data, "deadline", "realtime", 0);
     av_opt_set_int(c->priv_data, "cpu-used", 8, 0);
     av_opt_set_int(c->priv_data, "lag-in-frames", 0, 0);
-    if (crf >= 0) av_opt_set_int(c->priv_data, "crf", crf, 0);
+    // libvpx precedence: crf + bit_rate = constrained-quality (crf-led);
+    // bitrate mode must therefore omit crf to rate-target for real.
+    if (bitrate <= 0 && crf >= 0)
+      av_opt_set_int(c->priv_data, "crf", crf, 0);
     if (bitrate <= 0) c->bit_rate = 2'000'000;  // vpx needs a rate target
   } else if (std::strcmp(codec_name, "mpeg4") == 0) {
-    if (crf >= 0) {  // map crf onto the 1..31 qscale range
+    // QSCALE (constant quantizer) disables rate control entirely — only
+    // valid in quality mode.
+    if (bitrate <= 0 && crf >= 0) {  // map crf onto the 1..31 qscale range
       c->flags |= AV_CODEC_FLAG_QSCALE;
       int q = crf < 1 ? 1 : (crf > 31 ? 31 : crf);
       c->global_quality = FF_QP2LAMBDA * q;

@@ -402,3 +402,29 @@ def test_esds_dsi_with_es_flags():
     es_plain = b"\x00\x01\x00" + dcd
     payload2 = b"\x00\x00\x00\x00" + desc(0x03, es_plain)
     assert parse_esds_dsi(payload2) == dsi
+
+
+@needs_codec
+def test_bitrate_mode_wins_over_crf():
+    """The serve path passes BOTH --wire-bitrate and --wire-crf to the
+    encoder; the documented contract (bitrate > 0 selects rate-targeted
+    mode) must hold then too.  x264's internal rate-control precedence
+    is crf > ABR, so naively forwarding both made every target encode at
+    identical crf-chosen bytes — the regression this pins: two targets
+    4x apart must measure ~4x apart, and the absolute rate must track
+    the target (VBV-bounded), with crf=25 supplied alongside."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (H * 4, W * 4, 3), np.uint8)
+    frames = [np.roll(base, 2 * i, axis=1) for i in range(40)]
+    fps = 30.0
+    measured = {}
+    for rate in (200_000, 800_000):
+        enc = make_wire_encoder(
+            "h264", W * 4, H * 4, fps, bitrate=rate, crf=25
+        )
+        sizes = [len(enc.encode(f)[0]) for f in frames]
+        enc.close()
+        measured[rate] = float(np.mean(sizes[10:]) * 8 * fps)
+    assert 2.5 < measured[800_000] / measured[200_000] < 6.0, measured
+    for rate, got in measured.items():
+        assert 0.5 * rate < got < 1.5 * rate, measured
