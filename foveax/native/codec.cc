@@ -224,7 +224,25 @@ void* fx_enc_open(const char* codec_name, int width, int height, double fps,
     if (bitrate <= 0 && crf >= 0)
       av_opt_set_int(c->priv_data, "crf", crf, 0);
     if (bitrate <= 0) c->bit_rate = 2'000'000;  // vpx needs a rate target
+    if (bitrate > 0) {
+      // libvpx only rate-TARGETS in CBR mode, which its libavcodec
+      // wrapper selects when minrate == maxrate == bit_rate (plain
+      // bit_rate alone is VBR guidance and overshoots ~3x on hostile
+      // content).  Buffer ~0.5 s: vpx counts its rc buffer in ms and
+      // stalls quality with per-frame-sized windows.
+      c->rc_min_rate = bitrate;
+      c->rc_max_rate = bitrate;
+      c->rc_buffer_size = (int)(0.5 * bitrate);
+    }
   } else if (std::strcmp(codec_name, "mpeg4") == 0) {
+    if (bitrate > 0) {
+      // mpeg4's rate control underflows a 2-frame buffer on hostile
+      // content (its quantizer range can't always hit the per-frame
+      // budget); half a second keeps targeting tight without the
+      // underflow spiral.
+      c->rc_max_rate = bitrate;
+      c->rc_buffer_size = (int)(0.5 * bitrate);
+    }
     // QSCALE (constant quantizer) disables rate control entirely — only
     // valid in quality mode.
     if (bitrate <= 0 && crf >= 0) {  // map crf onto the 1..31 qscale range

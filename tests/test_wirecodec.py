@@ -428,3 +428,16 @@ def test_bitrate_mode_wins_over_crf():
     assert 2.5 < measured[800_000] / measured[200_000] < 6.0, measured
     for rate, got in measured.items():
         assert 0.5 * rate < got < 1.5 * rate, measured
+    # The other inter-frame codecs must at least RESPOND to the knob with
+    # crf supplied alongside (vp9's realtime qmax floors it on pure
+    # noise, so only ratio-tracking is pinned there).
+    for codec in (c for c in INTER_CODECS if c != "h264"):
+        by_rate = {}
+        for rate in (200_000, 800_000):
+            enc = make_wire_encoder(
+                codec, W * 4, H * 4, fps, bitrate=rate, crf=25
+            )
+            sizes = [len(enc.encode(f)[0]) for f in frames]
+            enc.close()
+            by_rate[rate] = float(np.mean(sizes[10:]) * 8 * fps)
+        assert by_rate[800_000] / by_rate[200_000] > 1.8, (codec, by_rate)
