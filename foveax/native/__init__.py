@@ -204,12 +204,30 @@ def load_codec() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.fx_dec_close.argtypes = [ctypes.c_void_p]
+    lib.fx_codec_live_handles.restype = ctypes.c_int
+    lib.fx_codec_live_handles.argtypes = []
     _codec_lib = lib
     return _codec_lib
 
 
 def codec_available() -> bool:
     return load_codec() is not None
+
+
+def live_native_handles() -> dict:
+    """Native handles currently alive in this process, per library — a
+    leak probe for soak tests: after all sessions close, every count
+    must be zero (the reference leaked detached encoder threads on
+    disconnect, src/video_server.cc:213-239)."""
+    counts = {}
+    clib = load_codec()
+    if clib is not None:
+        counts["codec"] = int(clib.fx_codec_live_handles())
+    nlib = load()
+    if nlib is not None and hasattr(nlib, "fvx_demux_live_handles"):
+        nlib.fvx_demux_live_handles.restype = ctypes.c_int
+        counts["demux"] = int(nlib.fvx_demux_live_handles())
+    return counts
 
 
 class NativeDemuxer:

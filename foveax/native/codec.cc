@@ -37,6 +37,7 @@ extern "C" {
 
 #include <unistd.h>
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -94,6 +95,12 @@ bool annexb_to_avcc(const uint8_t* in, int len, std::vector<uint8_t>* out) {
   return true;
 }
 
+// Live-handle accounting: a leak detector for the binding layer.  The
+// Python side can assert this returns to zero after churn (sessions
+// joining/leaving must release every native codec handle — the reference
+// leaked detached encoder threads here, src/video_server.cc:213-239).
+static std::atomic<int> g_live_handles{0};
+
 struct Encoder {
   AVCodecContext* ctx = nullptr;
   AVFrame* frame = nullptr;
@@ -104,7 +111,9 @@ struct Encoder {
   int64_t next_pts = 0;
   bool length_prefix = false;  // h26x: convert Annex-B -> AVCC framing
 
+  Encoder() { g_live_handles.fetch_add(1, std::memory_order_relaxed); }
   ~Encoder() {
+    g_live_handles.fetch_sub(1, std::memory_order_relaxed);
     if (sws != nullptr) sws_freeContext(sws);
     if (pkt != nullptr) av_packet_free(&pkt);
     if (frame != nullptr) av_frame_free(&frame);
@@ -128,7 +137,9 @@ struct Decoder {
   // new receive_frame so output order is preserved.
   std::deque<AVFrame*> pending;
 
+  Decoder() { g_live_handles.fetch_add(1, std::memory_order_relaxed); }
   ~Decoder() {
+    g_live_handles.fetch_sub(1, std::memory_order_relaxed);
     for (AVFrame* f : pending) av_frame_free(&f);
     if (sws != nullptr) sws_freeContext(sws);
     if (pkt != nullptr) av_packet_free(&pkt);
@@ -148,6 +159,11 @@ __attribute__((constructor)) static void fx_quiet_logs() {
 }
 
 // 1 if the named encoder (encoder=1) / decoder (encoder=0) exists.
+// Encoder+decoder handles currently alive in this process (leak probe).
+int fx_codec_live_handles() {
+  return g_live_handles.load(std::memory_order_relaxed);
+}
+
 int fx_codec_probe(const char* codec_name, int encoder) {
   if (encoder) return avcodec_find_encoder_by_name(codec_name) != nullptr;
   return avcodec_find_decoder_by_name(codec_name) != nullptr;

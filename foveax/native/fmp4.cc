@@ -383,9 +383,21 @@ void parse_moof(Demuxer* d, const uint8_t* payload, size_t len) {
 
 extern "C" {
 
-void* fvx_demux_new() { return new Demuxer(); }
+// Live demuxer handles (leak probe — the Python side asserts zero after
+// session churn; see fx_codec_live_handles in codec.cc for the pattern).
+static int g_live_demuxers = 0;
 
-void fvx_demux_free(void* h) { delete static_cast<Demuxer*>(h); }
+void* fvx_demux_new() {
+  ++g_live_demuxers;
+  return new Demuxer();
+}
+
+void fvx_demux_free(void* h) {
+  if (h != nullptr) --g_live_demuxers;
+  delete static_cast<Demuxer*>(h);
+}
+
+int fvx_demux_live_handles() { return g_live_demuxers; }
 
 // Feed a chunk; returns the number of samples now queued, or -1 on a
 // corrupt box header (stream unrecoverable over a reliable transport).
