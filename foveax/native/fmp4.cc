@@ -282,6 +282,7 @@ int fvx_fragment(uint32_t seq, uint64_t decode_time, const uint8_t* sample,
 // Skips ftyp, parses track dimensions from moov/trak/tkhd, fragment
 // sequence numbers from moof/mfhd, and queues mdat payloads.
 
+#include <atomic>
 #include <cstdlib>
 #include <deque>
 #include <vector>
@@ -385,19 +386,23 @@ extern "C" {
 
 // Live demuxer handles (leak probe — the Python side asserts zero after
 // session churn; see fx_codec_live_handles in codec.cc for the pattern).
-static int g_live_demuxers = 0;
+// Atomic: fvx_demux_free runs from whatever thread drops the last Python
+// reference (GC/executor), not only the loop thread that created it.
+static std::atomic<int> g_live_demuxers{0};
 
 void* fvx_demux_new() {
-  ++g_live_demuxers;
+  g_live_demuxers.fetch_add(1, std::memory_order_relaxed);
   return new Demuxer();
 }
 
 void fvx_demux_free(void* h) {
-  if (h != nullptr) --g_live_demuxers;
+  if (h != nullptr) g_live_demuxers.fetch_sub(1, std::memory_order_relaxed);
   delete static_cast<Demuxer*>(h);
 }
 
-int fvx_demux_live_handles() { return g_live_demuxers; }
+int fvx_demux_live_handles() {
+  return g_live_demuxers.load(std::memory_order_relaxed);
+}
 
 // Feed a chunk; returns the number of samples now queued, or -1 on a
 // corrupt box header (stream unrecoverable over a reliable transport).

@@ -199,10 +199,11 @@ class FoveaxClient:
                 )
                 self._last_sent_gaze = gaze
                 last_request_at = time.perf_counter()
-                self._gaze_sent_at.setdefault(
-                    (round(gaze[0], 5), round(gaze[1], 5)),
-                    time.perf_counter(),
-                )
+                # Deliberately NOT seeded into _gaze_sent_at: the first
+                # echo spans stream startup (server first-frame jit
+                # compile — tens of seconds on TPU), which would skew
+                # the gaze-apply latency stats that measure steady-state
+                # fan-in.
             async for raw in ws:
                 if isinstance(raw, str):
                     msg = protocol.loads(raw)

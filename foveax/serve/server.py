@@ -537,8 +537,15 @@ class BroadcastChannel:
                     # the new init segment before the next sample.  The
                     # check sits AFTER the backlog drop so a member that
                     # is still backlogged does not churn a new encoder
-                    # every tick while its socket drains.
-                    mux = session.renegotiate_wire(p.config)
+                    # every tick while its socket drains.  An encoder-
+                    # open failure (fires exactly when the host is
+                    # strained) evicts only this member, like every
+                    # other per-member failure path in this loop.
+                    try:
+                        mux = session.renegotiate_wire(p.config)
+                    except Exception:
+                        self.leave(session)
+                        continue
                     self.members[session] = mux
                     sent_header.discard(session)
                 wire = session.wire
