@@ -37,14 +37,38 @@ def build() -> bool:
         return False
 
 
+def _stale(so: Path) -> bool:
+    """True when the .so is missing or older than any native source —
+    a prebuilt library from an older checkout must be rebuilt, not
+    loaded (new mandatory symbols would raise AttributeError)."""
+    if not so.exists():
+        return True
+    so_m = so.stat().st_mtime
+    srcs = list(_DIR.glob("*.cc")) + [_DIR / "Makefile"]
+    return any(p.exists() and p.stat().st_mtime > so_m for p in srcs)
+
+
 def load() -> ctypes.CDLL | None:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO.exists() and not build():
+    if _stale(_SO) and not build() and not _SO.exists():
         return None
-    lib = ctypes.CDLL(str(_SO))
+    try:
+        lib = _configure_native(ctypes.CDLL(str(_SO)))
+    except (OSError, AttributeError) as e:  # pragma: no cover
+        log.warning(
+            "native library unusable (stale build? run "
+            "`make -C foveax/native`): %s",
+            e,
+        )
+        return None
+    _lib = lib
+    return _lib
+
+
+def _configure_native(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fvx_init_segment.restype = ctypes.c_int
     lib.fvx_init_segment.argtypes = [
         ctypes.c_uint32,
@@ -75,8 +99,40 @@ def load() -> ctypes.CDLL | None:
         ctypes.c_char_p,
         ctypes.c_int,
     ]
-    _lib = lib
-    return _lib
+    lib.fvx_demux_new.restype = ctypes.c_void_p
+    lib.fvx_demux_free.argtypes = [ctypes.c_void_p]
+    lib.fvx_demux_feed.restype = ctypes.c_int
+    lib.fvx_demux_feed.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.fvx_demux_next.restype = ctypes.c_int
+    lib.fvx_demux_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.fvx_demux_info.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fvx_demux_header_count.restype = ctypes.c_uint32
+    lib.fvx_demux_header_count.argtypes = [ctypes.c_void_p]
+    lib.fvx_demux_codec.restype = ctypes.c_int
+    lib.fvx_demux_codec.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.fvx_demux_live_handles.restype = ctypes.c_int
+    lib.fvx_demux_live_handles.argtypes = []
+    return lib
 
 
 def init_segment(
@@ -135,15 +191,24 @@ def load_codec() -> ctypes.CDLL | None:
     if _codec_lib is not None or _codec_tried:
         return _codec_lib
     _codec_tried = True
-    if not _CODEC_SO.exists():
+    if _stale(_CODEC_SO):
         build()
         if not _CODEC_SO.exists():
             return None
     try:
-        lib = ctypes.CDLL(str(_CODEC_SO))
-    except OSError as e:  # pragma: no cover - runtime libs missing
-        log.warning("codec shim load failed: %s", e)
+        lib = _configure_codec(ctypes.CDLL(str(_CODEC_SO)))
+    except (OSError, AttributeError) as e:  # pragma: no cover
+        log.warning(
+            "codec shim unusable (stale build? run "
+            "`make -C foveax/native`): %s",
+            e,
+        )
         return None
+    _codec_lib = lib
+    return _codec_lib
+
+
+def _configure_codec(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fx_codec_probe.restype = ctypes.c_int
     lib.fx_codec_probe.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.fx_enc_open.restype = ctypes.c_void_p
@@ -206,8 +271,7 @@ def load_codec() -> ctypes.CDLL | None:
     lib.fx_dec_close.argtypes = [ctypes.c_void_p]
     lib.fx_codec_live_handles.restype = ctypes.c_int
     lib.fx_codec_live_handles.argtypes = []
-    _codec_lib = lib
-    return _codec_lib
+    return lib
 
 
 def codec_available() -> bool:
@@ -224,8 +288,7 @@ def live_native_handles() -> dict:
     if clib is not None:
         counts["codec"] = int(clib.fx_codec_live_handles())
     nlib = load()
-    if nlib is not None and hasattr(nlib, "fvx_demux_live_handles"):
-        nlib.fvx_demux_live_handles.restype = ctypes.c_int
+    if nlib is not None:
         counts["demux"] = int(nlib.fvx_demux_live_handles())
     return counts
 
@@ -238,40 +301,7 @@ class NativeDemuxer:
         lib = load()
         if lib is None:
             raise RuntimeError("native library unavailable")
-        self._lib = lib
-        if not hasattr(lib, "_demux_configured"):
-            lib.fvx_demux_new.restype = ctypes.c_void_p
-            lib.fvx_demux_free.argtypes = [ctypes.c_void_p]
-            lib.fvx_demux_feed.restype = ctypes.c_int
-            lib.fvx_demux_feed.argtypes = [
-                ctypes.c_void_p,
-                ctypes.c_char_p,
-                ctypes.c_int,
-            ]
-            lib.fvx_demux_next.restype = ctypes.c_int
-            lib.fvx_demux_next.argtypes = [
-                ctypes.c_void_p,
-                ctypes.c_char_p,
-                ctypes.c_int,
-            ]
-            lib.fvx_demux_info.argtypes = [
-                ctypes.c_void_p,
-                ctypes.POINTER(ctypes.c_uint32),
-                ctypes.POINTER(ctypes.c_uint32),
-                ctypes.POINTER(ctypes.c_uint32),
-                ctypes.POINTER(ctypes.c_int),
-            ]
-            lib.fvx_demux_header_count.restype = ctypes.c_uint32
-            lib.fvx_demux_header_count.argtypes = [ctypes.c_void_p]
-            lib.fvx_demux_codec.restype = ctypes.c_int
-            lib.fvx_demux_codec.argtypes = [
-                ctypes.c_void_p,
-                ctypes.c_char_p,
-                ctypes.c_char_p,
-                ctypes.c_char_p,
-                ctypes.c_int,
-            ]
-            lib._demux_configured = True
+        self._lib = lib  # demux symbols configured in _configure_native
         self._h = lib.fvx_demux_new()
         self._cap = 1 << 20
         self._buf = ctypes.create_string_buffer(self._cap)

@@ -17,6 +17,7 @@ gaze into a 10x10 grid, src/video_client.cc:434-438).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from collections import defaultdict
 
@@ -27,6 +28,8 @@ from foveax.io.mux import make_fragment_reader
 from foveax.io.wirecodec import make_wire_decoder
 from foveax.serve import protocol
 from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, VideoRequest
+
+log = logging.getLogger(__name__)
 
 
 def gaze_to_index(cx: float, cy: float) -> int:
@@ -105,6 +108,7 @@ class FoveaxClient:
         gaze_source=None,
         frame_sink=None,
         max_frames: int | None = None,
+        on_text=None,
     ):
         self.uri = uri
         self.video = video
@@ -112,6 +116,9 @@ class FoveaxClient:
         self.gaze_source = gaze_source  # callable i -> (cx, cy)
         self.frame_sink = frame_sink  # callable (frame_np, meta) -> None
         self.max_frames = max_frames
+        # Server text messages carry stream-level errors (e.g. "stream
+        # ended: encoder renegotiation failed") — surface them.
+        self.on_text = on_text or (lambda m: log.info("server: %s", m))
         self.stats = ClientStats()
         self._packet_number = 0
         self._last_sent_gaze: tuple[float, float] | None = None
@@ -204,7 +211,17 @@ class FoveaxClient:
                 # compile — tens of seconds on TPU), which would skew
                 # the gaze-apply latency stats that measure steady-state
                 # fan-in.
-            async for raw in ws:
+            while True:
+                try:
+                    raw = await ws.recv()
+                except websockets.exceptions.ConnectionClosedOK:
+                    break
+                except websockets.exceptions.ConnectionClosedError as e:
+                    # A server-initiated error close (e.g. 1011 after a
+                    # failed encoder renegotiation) ends the stream; the
+                    # reason was already surfaced via the text channel.
+                    log.warning("server closed the stream: %s", e)
+                    break
                 if isinstance(raw, str):
                     msg = protocol.loads(raw)
                     if isinstance(msg, FrameMeta):
@@ -219,7 +236,9 @@ class FoveaxClient:
                             self.stats.gaze_apply_ms.append(
                                 (time.perf_counter() - sent) * 1e3
                             )
-                    elif isinstance(msg, (Ack, TextMessage)):
+                    elif isinstance(msg, TextMessage):
+                        self.on_text(msg.message)
+                    elif isinstance(msg, Ack):
                         pass
                     continue
 

@@ -124,7 +124,11 @@ class Session:
         if dropped:
             self.quality = max(40.0, self.quality * 0.8)
             if self.rate_bps:
-                new = max(int(self.rate_bps * 0.7), 250_000)
+                # Floor never exceeds the configured target: a
+                # sub-250k --wire-bitrate must not be RAISED by the
+                # multiplicative decrease.
+                floor = min(250_000, int(self.server.wire_bitrate))
+                new = max(int(self.rate_bps * 0.7), floor)
                 if new != self.rate_bps:
                     self.rate_bps = new
                     self._rate_dirty = True
@@ -539,12 +543,32 @@ class BroadcastChannel:
                     # is still backlogged does not churn a new encoder
                     # every tick while its socket drains.  An encoder-
                     # open failure (fires exactly when the host is
-                    # strained) evicts only this member, like every
-                    # other per-member failure path in this loop.
+                    # strained) evicts only this member — and, unlike
+                    # the send-failure paths where the socket is already
+                    # broken, this member's socket is healthy, so it
+                    # must be told and closed or a headless client
+                    # blocks forever on a silent connection.
                     try:
                         mux = session.renegotiate_wire(p.config)
-                    except Exception:
+                    except Exception as e:
+                        log.warning(
+                            "member renegotiation failed, evicting: %s", e
+                        )
                         self.leave(session)
+                        try:
+                            await session.ws.send(
+                                protocol.dumps(
+                                    TextMessage(
+                                        "stream ended: encoder "
+                                        f"renegotiation failed: {e}"
+                                    )
+                                )
+                            )
+                            await session.ws.close(
+                                code=1011, reason="renegotiation failed"
+                            )
+                        except Exception:
+                            pass
                         continue
                     self.members[session] = mux
                     sent_header.discard(session)
@@ -973,9 +997,33 @@ class FoveaxServer:
                     if session._rate_dirty and session.wire is not None:
                         # Rate adaptation: new encoder + muxer, then the
                         # new init segment goes out before the sample.
-                        mux = session.mux = session.renegotiate_wire(
-                            pipeline.config
-                        )
+                        # An encoder-open failure must not die silently
+                        # in the task (the socket is healthy, so the
+                        # client would hang forever): tell it and close.
+                        try:
+                            mux = session.mux = session.renegotiate_wire(
+                                pipeline.config
+                            )
+                        except Exception as e:
+                            log.warning(
+                                "renegotiation failed, closing session: %s",
+                                e,
+                            )
+                            try:
+                                await ws.send(
+                                    protocol.dumps(
+                                        TextMessage(
+                                            "stream ended: encoder "
+                                            f"renegotiation failed: {e}"
+                                        )
+                                    )
+                                )
+                            except Exception:
+                                pass
+                            await ws.close(
+                                code=1011, reason="renegotiation failed"
+                            )
+                            return
                         await ws.send(
                             self._stream_info(
                                 pipeline.config, mux.sample_format

@@ -1049,3 +1049,124 @@ def test_rate_adaptation_broadcast_per_member(monkeypatch):
         assert all(f.shape == (64, 96, 3) for f in sink)
         assert sink[-1].std() > 5.0
     assert server.total_dropped == 2
+
+
+def test_aimd_floor_never_exceeds_configured_bitrate():
+    """The multiplicative-decrease floor must never RAISE the rate above
+    the configured --wire-bitrate: with a sub-250k target, a backlog
+    drop keeps the rate at or below the target (and an eventual clean
+    streak may only restore it up TO the target)."""
+    from foveax.serve.server import Session
+
+    # Pure unit test of Session's AIMD math (codec-agnostic): arm the
+    # rate path directly rather than requiring the native h264 shim.
+    server = FoveaxServer(CFG, wire_codec="jpeg")
+    server.adapt_rate = True
+    server.wire_bitrate = 200_000
+    s = Session(ws=None, server=server)
+    assert s.rate_bps == 200_000
+    s.on_frame_outcome(True)  # drop: decrease, clamped at the floor
+    assert s.rate_bps <= 200_000, s.rate_bps
+    for _ in range(200):  # sustained clean delivery restores to target
+        s.on_frame_outcome(False)
+    assert s.rate_bps == 200_000
+
+
+@pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
+def test_renegotiation_failure_closes_session(monkeypatch):
+    """An encoder-open failure during mid-stream renegotiation must not
+    leave a healthy client hanging on a silent socket: the server sends
+    a text error and closes, and the client's run() returns."""
+    from foveax.serve.server import Session
+
+    port = _free_port()
+    server = FoveaxServer(
+        CFG, max_frames=40, wire_codec="h264", wire_bitrate=800_000,
+        adapt_rate=True,
+    )
+    calls = {"n": 0}
+
+    def fake_backlog(ws):  # force one drop so _rate_dirty arms
+        calls["n"] += 1
+        return 10**9 if calls["n"] == 3 else 0
+
+    server._backlog = fake_backlog
+    monkeypatch.setattr(
+        Session,
+        "renegotiate_wire",
+        lambda self, cfg: (_ for _ in ()).throw(
+            RuntimeError("fx_enc_open failed")
+        ),
+    )
+
+    texts = []
+    client = FoveaxClient(
+        f"ws://127.0.0.1:{port}",
+        video="synthetic://96x64@30/60",
+        config=CFG,
+        gaze_source=lambda i: (0.5, 0.5),
+        frame_sink=lambda f, meta: None,
+        max_frames=40,
+        on_text=texts.append,
+    )
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(client.run(), timeout=60)
+
+    stats = asyncio.run(main())
+    # The stream ended early (renegotiation fires on the tick after the
+    # drop) but the client unblocked instead of hanging to the timeout.
+    assert stats.frames < 40
+    assert any("renegotiation failed" in t for t in texts), texts
+
+
+@pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
+def test_renegotiation_failure_broadcast_evicts_and_closes(monkeypatch):
+    """Broadcast variant: the failed member is evicted AND its (healthy)
+    socket is told + closed, so a headless client does not block forever."""
+    from foveax.serve.server import Session
+
+    port = _free_port()
+    server = FoveaxServer(
+        CFG, max_frames=40, wire_codec="h264", wire_bitrate=800_000,
+        adapt_rate=True, broadcast=True,
+    )
+    calls = {"n": 0}
+
+    def fake_backlog(ws):
+        calls["n"] += 1
+        return 10**9 if calls["n"] == 3 else 0
+
+    server._backlog = fake_backlog
+    monkeypatch.setattr(
+        Session,
+        "renegotiate_wire",
+        lambda self, cfg: (_ for _ in ()).throw(
+            RuntimeError("fx_enc_open failed")
+        ),
+    )
+
+    client = FoveaxClient(
+        f"ws://127.0.0.1:{port}",
+        video="synthetic://96x64@30/60",
+        config=CFG,
+        gaze_source=lambda i: (0.5, 0.5),
+        frame_sink=lambda f, meta: None,
+        max_frames=40,
+    )
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(client.run(), timeout=60)
+
+    stats = asyncio.run(main())
+    assert stats.frames < 40
