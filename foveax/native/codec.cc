@@ -476,7 +476,28 @@ int fx_dec_decode(void* dec, const uint8_t* data, int len, uint8_t* out,
   av_packet_unref(d->pkt);
   if (rc < 0) return -1000003;
 
-  // Oldest drained frame first; frames still inside the codec are newer.
+  // Latest-wins: the only caller is the streaming wire decoder
+  // (foveax/io/wirecodec.py), whose client pairs each returned frame
+  // with the metadata of the packet it just fed.  Returning a stale
+  // queued frame here would shift that pairing for every later frame
+  // (gaze echo newer than the pixels) until a flush — so when the
+  // drain queued extras, drop all but the newest and prefer a frame
+  // the codec can emit for THIS packet.  (fx_dec_flush still drains
+  // the queue in order: at end of stream nothing newer is coming.)
+  while (d->pending.size() > 1) {
+    AVFrame* f = d->pending.front();
+    d->pending.pop_front();
+    av_frame_free(&f);
+  }
+  rc = avcodec_receive_frame(d->ctx, d->frame);
+  if (rc == 0) {
+    if (!d->pending.empty()) {
+      AVFrame* f = d->pending.front();
+      d->pending.pop_front();
+      av_frame_free(&f);
+    }
+    return fx__convert(d, out, cap, out_w, out_h);
+  }
   if (!d->pending.empty()) {
     AVFrame* f = d->pending.front();
     d->pending.pop_front();
@@ -485,7 +506,6 @@ int fx_dec_decode(void* dec, const uint8_t* data, int len, uint8_t* out,
     av_frame_free(&f);
     return fx__convert(d, out, cap, out_w, out_h);
   }
-  rc = avcodec_receive_frame(d->ctx, d->frame);
   if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
   if (rc < 0) return -1000004;
   return fx__convert(d, out, cap, out_w, out_h);

@@ -124,10 +124,13 @@ class Session:
         if dropped:
             self.quality = max(40.0, self.quality * 0.8)
             if self.rate_bps:
-                # Floor never exceeds the configured target: a
-                # sub-250k --wire-bitrate must not be RAISED by the
-                # multiplicative decrease.
-                floor = min(250_000, int(self.server.wire_bitrate))
+                # Floor: 250 kbit/s absolute — except when the configured
+                # target itself is <= 250k, where that floor would make
+                # every decrease a silent no-op and --adapt-rate inert;
+                # there it drops to a quarter of the target so adaptation
+                # still sheds load.
+                target = int(self.server.wire_bitrate)
+                floor = 250_000 if target > 250_000 else max(1, target // 4)
                 new = max(int(self.rate_bps * 0.7), floor)
                 if new != self.rate_bps:
                     self.rate_bps = new
@@ -192,13 +195,21 @@ class Session:
             self.wire = None
 
 
-def _timed_encode(wire, arr):
-    """Run one wire encode and report its wall time — the saturation
-    detector's measurement (runs inside the executor, GIL released by
-    the codec)."""
-    t0 = time.perf_counter()
-    out = wire.encode(arr)
-    return out, time.perf_counter() - t0
+async def _notify_stream_error(ws, text: str) -> None:
+    """Tell a still-healthy client its stream is over and close the
+    socket.  Used when a server-side failure (e.g. encoder reopen during
+    rate renegotiation) ends a stream whose socket is fine — without the
+    close, a headless client would block forever on a silent connection.
+    Send and close are guarded separately: a send failure must not skip
+    the close."""
+    try:
+        await ws.send(protocol.dumps(TextMessage(text)))
+    except Exception:
+        pass
+    try:
+        await ws.close(code=1011, reason="stream error")
+    except Exception:
+        pass
 
 
 class BroadcastChannel:
@@ -290,7 +301,14 @@ class BroadcastChannel:
                 # and resend header state (fresh FragmentWriter, seq 0).
                 session.wire.close()
             self._sent_header.discard(session)
-            session.wire = self.server._make_encoder(cfg)
+            # Honor the session's adapted AIMD rate on rejoin (rate_bps
+            # equals the configured target for fresh sessions): a member
+            # that was struggling before its eviction must not silently
+            # come back at full rate while its controller state still
+            # reads the decreased value.
+            session.wire = self.server._make_encoder(
+                cfg, bitrate=session.rate_bps or None
+            )
             self.members[session] = FragmentWriter(
                 cfg.reduced_width,
                 cfg.reduced_height,
@@ -365,15 +383,16 @@ class BroadcastChannel:
     def _update_decimation(self, n_members: int, tick: float) -> int:
         """Cadence decimation factor for this tick: ceil of (estimated
         full-membership encode batch time / 90% of the tick), clamped to
-        16.  The estimate is the per-encode EMA times members divided by
-        executor workers — decimation-independent, so the factor relaxes
-        automatically as members leave or encodes get cheaper."""
+        16.  The estimate is the measured per-member share of the batch
+        wall time (contention- and pool-sharing-inclusive — see the
+        timing note at the gather) times the full membership; it is
+        decimation-independent, so the factor relaxes automatically as
+        members leave or encodes get cheaper."""
         if self._enc_ema <= 0.0 or n_members == 0:
             self.decimation = 1
             return 1
         budget = 0.9 * tick
-        workers = max(1, self.server.encode_workers)
-        est = self._enc_ema * n_members / workers
+        est = self._enc_ema * n_members
         k_target = max(1, min(16, math.ceil(est / budget)))
         # Hysteresis: raising is immediate (overload protection), but
         # lowering waits for ~half a second of sustained headroom — a
@@ -554,21 +573,16 @@ class BroadcastChannel:
                         log.warning(
                             "member renegotiation failed, evicting: %s", e
                         )
+                        # Notify + close BEFORE leave(): evicting the
+                        # last member cancels THIS task, and the
+                        # CancelledError would fire at the next await —
+                        # aborting the very notify/close that prevents
+                        # the client hang this path exists to fix.
+                        await _notify_stream_error(
+                            session.ws,
+                            f"stream ended: encoder renegotiation failed: {e}",
+                        )
                         self.leave(session)
-                        try:
-                            await session.ws.send(
-                                protocol.dumps(
-                                    TextMessage(
-                                        "stream ended: encoder "
-                                        f"renegotiation failed: {e}"
-                                    )
-                                )
-                            )
-                            await session.ws.close(
-                                code=1011, reason="renegotiation failed"
-                            )
-                        except Exception:
-                            pass
                         continue
                     self.members[session] = mux
                     sent_header.discard(session)
@@ -581,18 +595,22 @@ class BroadcastChannel:
                         mux,
                         centers[i],
                         loop.run_in_executor(
-                            None, _timed_encode, wire, batch_np[i]
+                            None, wire.encode, batch_np[i]
                         ),
                     )
                 )
+            # Saturation measurement: wall time of the whole gathered
+            # batch, normalized per member.  Timing individual encodes
+            # would double-count parallelism (each encode's wall time
+            # already includes contention from its pool-mates, and the
+            # pool is shared with read/build/sample jobs) — the batch
+            # window is what actually has to fit inside a tick.
+            t_batch = time.perf_counter()
             results = await asyncio.gather(
                 *(job[3] for job in encode_jobs), return_exceptions=True
             )
-            dts = [
-                r[1] for r in results if not isinstance(r, BaseException)
-            ]
-            if dts:
-                d = float(np.mean(dts))
+            if encode_jobs:
+                d = (time.perf_counter() - t_batch) / len(encode_jobs)
                 self._enc_ema = (
                     d if self._enc_ema == 0.0
                     else 0.7 * self._enc_ema + 0.3 * d
@@ -601,7 +619,7 @@ class BroadcastChannel:
                 try:
                     if isinstance(result, BaseException):
                         raise result
-                    (sample, is_key), _dt = result
+                    sample, is_key = result
                     if session not in sent_header:
                         await session.ws.send(
                             self.server._stream_info(
@@ -1009,19 +1027,10 @@ class FoveaxServer:
                                 "renegotiation failed, closing session: %s",
                                 e,
                             )
-                            try:
-                                await ws.send(
-                                    protocol.dumps(
-                                        TextMessage(
-                                            "stream ended: encoder "
-                                            f"renegotiation failed: {e}"
-                                        )
-                                    )
-                                )
-                            except Exception:
-                                pass
-                            await ws.close(
-                                code=1011, reason="renegotiation failed"
+                            await _notify_stream_error(
+                                ws,
+                                "stream ended: encoder renegotiation "
+                                f"failed: {e}",
                             )
                             return
                         await ws.send(

@@ -752,7 +752,7 @@ def test_encode_saturation_decimates_cadence():
         def __setattr__(self, name, value):
             setattr(self._inner, name, value)
 
-    server._make_encoder = lambda cfg: SlowWire(real_make(cfg))
+    server._make_encoder = lambda cfg, **kw: SlowWire(real_make(cfg, **kw))
 
     per_client_nums = [[] for _ in range(8)]
     clients = [
@@ -1065,11 +1065,20 @@ def test_aimd_floor_never_exceeds_configured_bitrate():
     server.wire_bitrate = 200_000
     s = Session(ws=None, server=server)
     assert s.rate_bps == 200_000
-    s.on_frame_outcome(True)  # drop: decrease, clamped at the floor
-    assert s.rate_bps <= 200_000, s.rate_bps
-    for _ in range(200):  # sustained clean delivery restores to target
+    s.on_frame_outcome(True)  # drop: a REAL decrease, not a floor no-op
+    assert s.rate_bps < 200_000, s.rate_bps
+    for _ in range(40):  # sustained drops bottom out at target/4
+        s.on_frame_outcome(True)
+    assert s.rate_bps == 50_000, s.rate_bps
+    for _ in range(400):  # sustained clean delivery restores to target
         s.on_frame_outcome(False)
     assert s.rate_bps == 200_000
+    # Large targets keep the 250k absolute floor.
+    server.wire_bitrate = 8_000_000
+    s2 = Session(ws=None, server=server)
+    for _ in range(60):
+        s2.on_frame_outcome(True)
+    assert s2.rate_bps == 250_000, s2.rate_bps
 
 
 @pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
