@@ -121,24 +121,13 @@ def _mm_row_pass(planar, iy_lo, iy_hi, ry):
     slab = jax.vmap(
         lambda b: jax.lax.dynamic_slice(pp, (0, b, 0), (3, _MM_K, wr))
     )(base).astype(dt)                                 # (t, 3, K, wr)
-    # Two dots on ONE slab instead of one dot on a concatenated double
-    # slab: the hi/lo limb weights contract against the same source
-    # window, and XLA materializes the concatenate — at 4K the doubled
-    # (t, 3, 2K, wr) bf16 slab was the pass's dominant HBM traffic.
-    # Bit-identical (each output sums the same <= 4 exact f32 products;
-    # the f32 additions commute within the 2^-24 regime, far below the
-    # 0.0025 epsilon the rounding bias absorbs); measured 1.97 -> 1.11
-    # ms for the full mm unwarp at 4K.
+    slab2 = jnp.concatenate([slab, slab], axis=2)
+    wcat = jnp.concatenate([w_hi, w_lo], axis=1)       # (t, 2K, L)
     # + 0.51: fast's 0.5 rounding plus an epsilon exceeding the 0.0025
     # limb-dot error bound, so exact-integer and exact-half blends (the
     # common cases: ratio 0, ratio 1/2) round identically to the f32 path.
-    out_t = (
-        jnp.einsum(
-            "tckw,tkl->ctlw", slab, w_hi, preferred_element_type=jnp.float32
-        )
-        + jnp.einsum(
-            "tckw,tkl->ctlw", slab, w_lo, preferred_element_type=jnp.float32
-        )
+    out_t = jnp.einsum(
+        "tckw,tkl->ctlw", slab2, wcat, preferred_element_type=jnp.float32
     ) + 0.51
     return out_t.astype(jnp.uint8).reshape(3, t * _MM_L, wr)[:, :ho, :]
 
@@ -154,20 +143,15 @@ def _mm_col_pass(yb, ix_lo, ix_hi, rx):
     slab = jax.vmap(
         lambda b: jax.lax.dynamic_slice(ybp, (0, 0, b), (3, ho, _MM_K))
     )(base).astype(dt)                                 # (t, 3, Ho, K)
-    # Two dots on one slab (see _mm_row_pass): bit-identical to the
-    # concatenated-slab formulation at half its slab traffic.
+    slab2 = jnp.concatenate([slab, slab], axis=3)
+    wcat = jnp.concatenate([w_hi, w_lo], axis=1)
     # "chtl" output ordering makes the (3, Ho, W) reshape free.  + 0.01
     # biases the truncation so exact-integer blends (ratio 0 — the entire
     # fovea) survive the ~0.0025 limb-dot error; deviations vs the f32
     # blend are confined to values within the epsilon of a boundary,
     # where both candidates are within 1 LSB of the exact path.
-    out_t = (
-        jnp.einsum(
-            "tchk,tkl->chtl", slab, w_hi, preferred_element_type=jnp.float32
-        )
-        + jnp.einsum(
-            "tchk,tkl->chtl", slab, w_lo, preferred_element_type=jnp.float32
-        )
+    out_t = jnp.einsum(
+        "tchk,tkl->chtl", slab2, wcat, preferred_element_type=jnp.float32
     ) + 0.01
     out = out_t.reshape(3, ho, t * _MM_L)[:, :, :w_out].astype(jnp.uint8)
 
