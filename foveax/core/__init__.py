@@ -9,6 +9,7 @@ from foveax.core.logrect import (
     make_grid,
     make_point_grid,
 )
+from foveax.core.direct import sample_rect_direct
 from foveax.core.sat import build_sat, decode_sat
 from foveax.core.sample import (
     expand_sampled_rect,

@@ -1,0 +1,197 @@
+"""SAT-free direct sampler: bit-equality vs the SAT path + static-band
+soundness invariants.
+
+The direct sampler's regional decomposition (crop band + windowed matmul
+bands, foveax/core/direct.py) is exact only while two statically-sized
+guarantees hold for every integer gaze: the crop band's positional map
+disagrees with the elementwise taps on at most ``_FIX_K`` rows/columns,
+and every matmul band's tap intervals land inside its static window.
+Both are swept here in vectorized NumPy over ALL integer gazes at the
+production grid sizes — the same methodology that pins the shared-tap
+sampler's fixup bound (tests/test_sample.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foveax.core.direct import _FIX_K, _axis_bands, sample_rect_direct
+from foveax.core.logrect import _grid_axis, make_grid
+from foveax.core.sample import sample_rect_from_sat
+from foveax.core.sat import build_sat
+
+SRC_W, SRC_H, OUT_W, OUT_H = 256, 192, 144, 112
+
+CENTERS = [
+    (0.5, 0.5),
+    (0.1, 0.2),
+    (0.9, 0.8),
+    (0.02, 0.5),
+    (0.98, 0.5),
+    (0.0, 0.0),
+    (1.0, 1.0),
+    (0.5, 0.02),
+    (0.5, 0.98),
+    (0.0, 1.0),
+    (1.0, 0.0),
+]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, (SRC_H, SRC_W, 3), np.uint8)
+    grid = make_grid(OUT_W, OUT_H, SRC_W, SRC_H)
+    sat = build_sat(jnp.asarray(frame))
+    fr = jnp.asarray(frame.transpose(2, 0, 1))
+    f_ref = jax.jit(
+        lambda c, w: sample_rect_from_sat(sat, grid, c, wrap_x=w),
+        static_argnums=1,
+    )
+    f_got = jax.jit(
+        lambda c, w: sample_rect_direct(fr, grid, c, wrap_x=w),
+        static_argnums=1,
+    )
+    return frame, grid, fr, sat, f_ref, f_got
+
+
+@pytest.mark.parametrize("center", CENTERS)
+@pytest.mark.parametrize("wrap", [True, False])
+def test_matches_sat_path(setup, center, wrap):
+    _, _, _, _, f_ref, f_got = setup
+    c = jnp.asarray(center, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(f_ref(c, wrap)), np.asarray(f_got(c, wrap))
+    )
+
+
+def test_matches_sat_path_every_integer_x_gaze(setup):
+    """Every integer cx (all seam straddle and clamp phases) at one cy."""
+    _, _, _, _, f_ref, f_got = setup
+    for cxi in range(SRC_W + 1):
+        c = jnp.asarray((cxi / SRC_W, 0.3), jnp.float32)
+        assert np.array_equal(
+            np.asarray(f_ref(c, True)), np.asarray(f_got(c, True))
+        ), f"cx={cxi}"
+
+
+def test_matches_sat_path_every_integer_y_gaze(setup):
+    _, _, _, _, f_ref, f_got = setup
+    for cyi in range(SRC_H + 1):
+        c = jnp.asarray((0.4, cyi / SRC_H), jnp.float32)
+        assert np.array_equal(
+            np.asarray(f_ref(c, True)), np.asarray(f_got(c, True))
+        ), f"cy={cyi}"
+
+
+def test_layouts_agree(setup):
+    frame, grid, fr, _, _, _ = setup
+    c = jnp.asarray((0.3, 0.6), jnp.float32)
+    chw = np.asarray(sample_rect_direct(fr, grid, c, out_layout="chw"))
+    hwc = np.asarray(
+        sample_rect_direct(jnp.asarray(frame), grid, c, in_layout="hwc")
+    )
+    np.testing.assert_array_equal(chw.transpose(1, 2, 0), hwc)
+
+
+def test_gaze_does_not_recompile(setup):
+    _, grid, fr, _, _, _ = setup
+    fn = jax.jit(lambda c: sample_rect_direct(fr, grid, c))
+    fn(jnp.asarray((0.5, 0.5), jnp.float32))
+    n0 = fn._cache_size()
+    for c in [(0.1, 0.9), (0.77, 0.23), (0.0, 1.0)]:
+        fn(jnp.asarray(c, jnp.float32))
+    assert fn._cache_size() == n0
+
+
+def test_fovea_region_is_identity(setup):
+    frame, grid, fr, _, _, _ = setup
+    c = jnp.asarray((0.5, 0.5), jnp.float32)
+    red = np.asarray(sample_rect_direct(fr, grid, c))
+    # Output cell (OUT_H//2 + dy, OUT_W//2 + dx) maps 1:1 near the gaze.
+    cy, cx = SRC_H // 2, SRC_W // 2
+    oy, ox = OUT_H // 2, OUT_W // 2
+    for dy in range(-4, 4):
+        for dx in range(-4, 4):
+            np.testing.assert_array_equal(
+                red[oy + dy, ox + dx], frame[cy + dy, cx + dx]
+            )
+
+
+def _sweep_axis(out_dim: int, dim: int, wrap: bool, chunk: int = 512):
+    """All-integer-gaze invariant sweep for one axis (vectorized).
+
+    Returns (max fixup count, max window violations) across gazes.
+    """
+    g = _grid_axis(out_dim, dim).astype(np.int64)
+    ab = _axis_bands(g.tobytes(), dim)
+    crop = next((b for b in ab.bands if b.kind == "crop"), None)
+    total = ab.pad_lo + dim + ab.pad_hi
+    worst_fix = 0
+    worst_viol = 0
+    for lo0 in range(0, dim + 1, chunk):
+        cs = np.arange(lo0, min(lo0 + chunk, dim + 1))[:, None]
+        p = cs + g[None, :]
+        hi, lo = p[:, 1:], p[:, :-1]
+        if wrap:
+            wh = (hi >= dim) & (lo >= dim)
+            wl = (hi < 0) & (lo < 0)
+            sh = np.where(wh, -dim, np.where(wl, dim, 0))
+            hi = hi + sh
+            lo = lo + sh
+        valid = ((hi >= 0) & (hi < dim)) | ((lo >= 0) & (lo < dim))
+        pc = np.clip(hi, 1, dim - 1)
+        pmc = np.clip(lo, 0, pc - 1)
+        if crop is not None:
+            s = slice(crop.start, crop.end)
+            if wrap:
+                expect = np.mod(cs + g[None, crop.start : crop.end] + 1, dim)
+            else:
+                base = np.clip(
+                    cs[:, 0] + g[crop.start] + 1 + ab.pad_lo,
+                    0,
+                    total - crop.win,
+                )
+                expect = (base[:, None] - ab.pad_lo) + np.arange(
+                    crop.end - crop.start
+                )
+            bad = valid[:, s] & (
+                (pc[:, s] != expect) | ((pc - pmc)[:, s] != 1)
+            )
+            worst_fix = max(worst_fix, int(bad.sum(axis=1).max()))
+        for b in ab.bands:
+            if b.kind != "mm":
+                continue
+            base = pmc[:, b.start] + 1 + ab.pad_lo
+            if wrap:
+                base = np.mod(base, dim)
+                rl = np.mod(pmc + 1 + ab.pad_lo - base[:, None], dim)
+            else:
+                rl = pmc + 1 + ab.pad_lo - base[:, None]
+            rh = rl + (pc - pmc)
+            s = slice(b.start, b.end)
+            bad = valid[:, s] & ~((rl[:, s] >= 0) & (rh[:, s] <= b.win))
+            worst_viol = max(worst_viol, int(bad.sum()))
+    return worst_fix, worst_viol
+
+
+@pytest.mark.parametrize(
+    "dims",
+    [
+        (1072, 608, 1920, 1080),
+        (2144, 1200, 3840, 2160),
+        (4272, 2400, 7680, 4320),
+        (8544, 4800, 15360, 8640),
+        (OUT_W, OUT_H, SRC_W, SRC_H),
+    ],
+    ids=["1080p", "4k", "8k", "16k", "testsize"],
+)
+def test_band_invariants_all_integer_gazes(dims):
+    out_w, out_h, src_w, src_h = dims
+    fx, vx = _sweep_axis(out_w, src_w, wrap=True)
+    assert vx == 0, "x matmul-band window violated"
+    assert fx <= _FIX_K, f"x crop fixups {fx} > {_FIX_K}"
+    fy, vy = _sweep_axis(out_h, src_h, wrap=False)
+    assert vy == 0, "y matmul-band window violated"
+    assert fy <= _FIX_K, f"y crop fixups {fy} > {_FIX_K}"
