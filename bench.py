@@ -1,10 +1,14 @@
 """Headline benchmark: 4K foveated full-path frames/sec on one chip.
 
-Measures the complete device compute path per frame — uint32 SAT build over
-a 3840x2160 equirect frame, gaze-centered log-rectilinear 4-tap SAT sample
-down to the reduced frame (16*ceil(dim/1.8/16) rule), and the inverse
-bilinear unwarp back to 4K — with the gaze moving every frame (no
-recompilation).  Frames are pre-staged in HBM; host video decode is a
+Measures the complete device compute path per frame — gaze-centered
+log-rectilinear box-filter downsample of a 3840x2160 equirect frame to the
+reduced frame (16*ceil(dim/1.8/16) rule) and the inverse bilinear unwarp
+back to 4K — with the gaze moving every frame (no recompilation).  The
+downsample is the SAT-free direct sampler (foveax/core/direct.py): bit-
+identical to the SAT path but ~1.5x faster end-to-end at 4K on this chip
+(462 vs 319 fps same-window; the uint32 SAT build it removes is the
+dominant byte traffic).  The SAT path remains the multi-gaze serving
+amortization and the 8K+ choice (BENCHMARKS.md "Stage costs").  Frames are pre-staged in HBM; host video decode is a
 separate, overlappable pipeline stage (see foveax.pipeline.runner) exactly
 as in the reference, where decode runs on the host while the GPU builds the
 SAT (reference: src/video_server.cc:287-335).
@@ -31,10 +35,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from foveax.config import FoveaxConfig, reduced_dim
+    from foveax.core.direct import sample_rect_direct
     from foveax.core.logrect import make_grid
-    from foveax.core.sample import sample_rect_from_sat
     from foveax.core.unwarp import unwarp_rect
-    from foveax.kernels.scan2d import build_sat_pallas as build_sat
 
     src_w, src_h = 3840, 2160
     red_w, red_h = reduced_dim(src_w), reduced_dim(src_h)
@@ -53,8 +56,7 @@ def main() -> None:
         # are device-resident planar; production ingest (H2D + one layout
         # transpose per decoded frame) overlaps device compute via async
         # dispatch (see foveax.pipeline.runner).
-        sat = build_sat(frame_chw, in_layout="chw")
-        reduced = sample_rect_from_sat(sat, grid, center, out_layout="chw")
+        reduced = sample_rect_direct(frame_chw, grid, center, out_layout="chw")
         # precision="auto" -> "mm" on the TPU backend: slab-DMA + MXU-dot
         # unwarp (no gather engine); bounded at 1 LSB deviation from the
         # exact path — within the project target (see core/unwarp.py).

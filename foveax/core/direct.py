@@ -15,35 +15,41 @@ identity map) and the rest live in two static exponential-periphery runs
 with steps <= 23 (every supported resolution; pinned by tests).  Per axis
 the output splits into at most three STATIC bands:
 
-- the ``step == 1`` run: source positions are consecutive, so the whole
-  band is a contiguous window of the frame — a ``dynamic_slice``, pure
-  DMA, zero arithmetic (box = one pixel, rect = 1);
-- up to two periphery runs: box sums become one-hot-interval MXU matmuls
-  over a gaze-windowed slab, ``box = slab @ W`` with ``W[s, o] = 1 iff
-  s`` lies in output cell ``o``'s tap interval.  The weights are built
-  from the exact per-element clamped/wrapped tap vectors (the same
-  ``_axis_taps`` as the SAT path), so clamp and 360-wrap semantics hold
-  elementwise — no fixups in these bands.
+- the ``step == 1`` run ("crop"): box extent is exactly 1 on that axis
+  even under clamping (``pc = clip(p+1, 1, dim-1)`` and ``pmc = clip(p,
+  0, pc-1)`` collapse to adjacent values), so the band is a gather of
+  source rows / a window slice of columns — no arithmetic (a fovea box
+  is one pixel);
+- up to two periphery runs ("mm"): box sums become tiled one-hot MXU
+  matmuls, the same slab pattern as the mm unwarp (core/unwarp.py): each
+  tile of ``_T_L`` output cells contracts a ``K``-wide source slab
+  (``K`` = the tile's static worst-case tap span + clamp slack) against
+  0/1 interval weights built from the exact per-element clamped/wrapped
+  tap vectors (the same ``_axis_taps`` as the SAT path) — clamp and
+  360-wrap semantics hold elementwise, no fixups in these bands.  Edge
+  tiles clip their slab base at the frame boundary and the weights
+  (built from the clipped bases) absorb the shift.
+
+The pipeline is y-stage then x-stage per y-band:
+  crop rows -> row gather (box height 1) -> x-stage on raw uint8 rows
+  mm rows   -> tiled y-dots over the full width -> x-stage on row sums
+with the x-stage being a window slice for the x-crop band (the y-stage
+rows are wrap-padded on the right by a few hundred columns, turning
+mod-W window positions into plain offsets) and tiled x-dots for the
+x-mm bands.
 
 Operand exactness on the MXU (which truncates operands to bf16): uint8
 pixels (<= 255) and 0/1 weights are bf16-exact; products accumulate in
 f32 (exact for integer sums < 2^24; the largest box is 255*23*23 =
-134,895).  The corner regions contract twice, so the intermediate
-(<= 255*23 = 5,865, not bf16-exact) is split into two exact <=8-bit limb
-planes first — the same trick as the scan kernel's chunk-offset matmul.
+134,895).  The y-stage box-row sums (<= 255*23 = 5,865, not bf16-exact)
+are split into two exact <=8-bit limb planes before the x-dots — the
+same trick as the scan kernel's chunk-offset matmul.
 
 The crop band's positional map disagrees with the elementwise tap rules
 only at frame-edge clamps and the 360 seam (<= ``_FIX_K`` rows/columns
 per axis over all integer gazes — swept in tests, same methodology as the
 shared-tap sampler); those rows/columns are recomputed exactly from 1-D
-prefix sums and scattered over the result.  In the step-1 bands every
-box has extent 1 on that axis even under clamping (``pyc = clip(p+1, 1,
-dim-1)`` and ``pymc = clip(p, 0, pyc-1)`` collapse to adjacent values),
-which the fixup paths rely on.
-
-The x-axis 360 wrap is handled by slicing from a frame padded with
-wrap-copied columns (mod-W positions become plain window offsets); the
-y axis pads with zeros (out-of-range rows are invalid or clamp-fixed).
+prefix sums and scattered over the result.
 """
 
 from __future__ import annotations
@@ -62,25 +68,32 @@ from foveax.core.sample import _FIX_K, _axis_taps, _exact_box_div
 # frames) fall back to matmul bands, which are exact at any size.
 _MIN_CROP = 16
 
+# Output cells per matmul tile (the dots' lane dim; same scale as the mm
+# unwarp's _MM_L).  _T_SLACK covers clamp displacement of a tile's base
+# tap (a seam/edge straddle moves it by at most the max grid step, 23 at
+# production sizes; swept in tests).
+_T_L = 120
+_T_SLACK = 26
+
 
 @dataclasses.dataclass(frozen=True)
 class _Band:
     kind: str  # "crop" | "mm"
     start: int  # first output cell (inclusive)
     end: int  # last output cell (exclusive)
-    win: int  # source-window width (static)
+    k: int  # mm: static slab width per tile (0 for crop)
 
+    @property
+    def n(self) -> int:
+        return self.end - self.start
 
-@dataclasses.dataclass(frozen=True)
-class _AxisBands:
-    bands: tuple[_Band, ...]
-    pad_lo: int  # source padding before index 0
-    pad_hi: int  # source padding after index dim-1
-    crop_g0: int  # grid value at the crop band's first lo tap (0 if none)
+    @property
+    def tiles(self) -> int:
+        return -(-self.n // _T_L)
 
 
 @functools.lru_cache(maxsize=64)
-def _axis_bands(g_bytes: bytes, dim: int) -> _AxisBands:
+def _axis_bands(g_bytes: bytes, dim: int) -> tuple[_Band, ...]:
     """Static band split for one axis from its grid vector ``g`` (N+1,)."""
     g = np.frombuffer(g_bytes, dtype=np.int64)
     d = np.diff(g)
@@ -98,24 +111,22 @@ def _axis_bands(g_bytes: bytes, dim: int) -> _AxisBands:
             run = 0
     c0, c1 = best
 
-    bands: list[_Band] = []
+    def mm(start: int, end: int) -> _Band:
+        spans = [
+            int(g[min(ts + _T_L, end)] - g[ts])
+            for ts in range(start, end, _T_L)
+        ]
+        return _Band("mm", start, end, min(max(spans) + _T_SLACK, dim))
+
     if c1 - c0 >= _MIN_CROP and g[c0] < 0:
+        bands = []
         if c0 > 0:
-            span = int(g[c0] - g[0])
-            bands.append(_Band("mm", 0, c0, min(span + 26, dim)))
-        bands.append(_Band("crop", c0, c1, c1 - c0))
+            bands.append(mm(0, c0))
+        bands.append(_Band("crop", c0, c1, 0))
         if c1 < n:
-            span = int(g[n] - g[c1])
-            bands.append(_Band("mm", c1, n, min(span + 26, dim)))
-        crop_g0 = int(g[c0])
-        pad_lo = max(0, -(crop_g0 + 1))
-    else:
-        span = int(g[n] - g[0])
-        bands.append(_Band("mm", 0, n, min(span + 26, dim)))
-        crop_g0 = 0
-        pad_lo = 0
-    pad_hi = max(b.win for b in bands) + 1
-    return _AxisBands(tuple(bands), pad_lo, pad_hi, crop_g0)
+            bands.append(mm(c1, n))
+        return tuple(bands)
+    return (mm(0, n),)
 
 
 def _mm_dt():
@@ -124,22 +135,79 @@ def _mm_dt():
     return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
 
-def _mm_weights(band: _Band, rel_lo, rel_hi, dt):
-    """(win, n_out) one-hot interval weights, 0/1 in ``dt``.
+def _tile_geometry(band: _Band, lo1, hi1, src_dim: int, wrap: bool):
+    """Traced slab bases (t,) and 0/1 weights (t, K, _T_L) for one band.
 
-    Out-of-window intervals (invalid cells at extreme gazes) simply get
-    all-zero columns — their outputs are masked by ``valid`` anyway.
+    ``lo1``/``hi1`` are the +1-shifted exact tap vectors (box = source
+    interval [lo1, hi1); SAT differences are (tap, tap'] boxes).  Pad
+    cells beyond the band get zero-width intervals (all-zero columns).
     """
-    s = jnp.arange(band.win, dtype=jnp.int32)[:, None]
-    lo = rel_lo[band.start : band.end][None, :]
-    hi = rel_hi[band.start : band.end][None, :]
-    return ((s >= lo) & (s < hi)).astype(dt)
+    t = band.tiles
+    pad = t * _T_L - band.n
+    lo_b = jnp.pad(lo1[band.start : band.end], (0, pad), mode="edge")
+    hi_b = jnp.pad(hi1[band.start : band.end], (0, pad), mode="edge")
+    if pad:
+        hi_b = hi_b.at[band.n :].set(lo_b[band.n :])  # zero-width pads
+    lo_t = lo_b.reshape(t, _T_L)
+    hi_t = hi_b.reshape(t, _T_L)
+    if wrap:
+        base = jnp.mod(lo_t[:, 0], src_dim)
+        rel_lo = jnp.mod(lo_t - base[:, None], src_dim)
+    else:
+        base = jnp.clip(lo_t[:, 0], 0, max(src_dim - band.k, 0))
+        rel_lo = lo_t - base[:, None]
+    rel_hi = rel_lo + (hi_t - lo_t)
+    k_iota = jnp.arange(band.k, dtype=jnp.int32)[None, :, None]
+    w = (k_iota >= rel_lo[:, None, :]) & (k_iota < rel_hi[:, None, :])
+    return base, w.astype(_mm_dt())
 
 
-def _limb_split(a):
-    """f32 integer array (< 2^16) -> two bf16-exact <=8-bit limb planes."""
-    hi = jnp.floor(a * (1.0 / 256.0))
-    return hi, a - 256.0 * hi
+def _y_band_dot(src, band: _Band, base, w):
+    """Tiled y-contraction: (3, H, W) u8 -> (3, n_out, W) f32 row sums.
+
+    Slab windows clip at the frame edges (see _tile_geometry); weights
+    absorb the shift, so the frame needs no y padding.
+    """
+    _, _, wsrc = src.shape
+    dt = _mm_dt()
+    slab = jax.vmap(
+        lambda b: jax.lax.dynamic_slice(src, (0, b, 0), (3, band.k, wsrc))
+    )(base).astype(dt)  # (t, 3, K, W)
+    a = jnp.einsum(
+        "tckw,tkl->ctlw", slab, w, preferred_element_type=jnp.float32
+    )
+    return a.reshape(3, band.tiles * _T_L, wsrc)[:, : band.n, :]
+
+
+def _x_band_dot(rows_pad, band: _Band, base, w, limb: bool):
+    """Tiled x-contraction: (3, ny, Wp) -> (3, ny, n_out) f32.
+
+    ``rows_pad`` (uint8 for the y-crop band, f32 row sums for mm bands)
+    is wrap-padded on the right by >= band.k columns, so windows anchored
+    at mod-W bases never clip.  Slabs are sliced in the source dtype and
+    cast (or limb-split: the f32 row sums are integers < 2^16, not
+    bf16-exact) per slab, keeping the sliced traffic narrow.
+    """
+    _, h, _ = rows_pad.shape
+    dt = _mm_dt()
+    slab = jax.vmap(
+        lambda b: jax.lax.dynamic_slice(rows_pad, (0, 0, b), (3, h, band.k))
+    )(base)  # (t, 3, H, K) in source dtype
+
+    def dot(plane):
+        return jnp.einsum(
+            "tchk,tkl->chtl",
+            plane.astype(dt),
+            w,
+            preferred_element_type=jnp.float32,
+        )
+
+    if limb:
+        hi = jnp.floor(slab * (1.0 / 256.0))
+        out = 256.0 * dot(hi) + dot(slab - 256.0 * hi)
+    else:
+        out = dot(slab)
+    return out.reshape(3, h, band.tiles * _T_L)[:, :, : band.n]
 
 
 def sample_rect_direct(
@@ -167,113 +235,104 @@ def sample_rect_direct(
 
     pxc, pxmc, valid_x, _, _ = _axis_taps(grid.gx, cx, ws, wrap=wrap_x)
     pyc, pymc, valid_y, _, _ = _axis_taps(grid.gy, cy, hs, wrap=False)
+    # Box = source interval [tap_lo+1, tap_hi+1) per axis (SAT diffs are
+    # (lo, hi] boxes).
+    ylo1, yhi1 = pymc + 1, pyc + 1
+    xlo1, xhi1 = pxmc + 1, pxc + 1
 
     gx = np.asarray(grid.gx, dtype=np.int64)
     gy = np.asarray(grid.gy, dtype=np.int64)
-    abx = _axis_bands(gx.tobytes(), ws)
-    aby = _axis_bands(gy.tobytes(), hs)
-    dt = _mm_dt()
+    xbands = _axis_bands(gx.tobytes(), ws)
+    ybands = _axis_bands(gy.tobytes(), hs)
+    xcrop = next((b for b in xbands if b.kind == "crop"), None)
+    ycrop = next((b for b in ybands if b.kind == "crop"), None)
 
-    # Padded frame: y pads are zeros (out-of-range rows are invalid or
-    # clamp-fixed); x pads are wrap copies when wrap_x (mod-W positions
-    # become plain window offsets), zeros otherwise.
-    fp = jnp.pad(frame, ((0, 0), (aby.pad_lo, aby.pad_hi), (0, 0)))
-    if wrap_x and (abx.pad_lo or abx.pad_hi):
-        left = fp[:, :, ws - abx.pad_lo :] if abx.pad_lo else fp[:, :, :0]
-        fp = jnp.concatenate([left, fp, fp[:, :, : abx.pad_hi]], axis=2)
-    elif not wrap_x:
-        fp = jnp.pad(fp, ((0, 0), (0, 0), (abx.pad_lo, abx.pad_hi)))
-    hp = aby.pad_lo + hs + aby.pad_hi
-    wp = abx.pad_lo + ws + abx.pad_hi
+    # Right pad for the x-stage: the x-crop window and every x-mm slab
+    # must fit past a mod-W base.  Wrap copies when wrap_x (mod-W window
+    # positions become plain offsets), zeros otherwise (clamped cells in
+    # the pad region are invalid or fixups).
+    xpad = max([b.k for b in xbands] + [xcrop.n + 1 if xcrop else 1])
 
-    def band_base(ab, band, lo_taps, c, g, dim, wrap, total):
-        """Traced padded-coordinate window base for one band."""
-        p_start = c + jnp.int32(int(g[band.start])) + 1
-        if band.kind == "crop":
-            base = p_start + ab.pad_lo
-            if wrap:
-                return jnp.mod(base, dim)  # end fits: win <= pad_lo+pad_hi
-            return jnp.clip(base, 0, total - band.win)
-        # mm windows anchor on the band's ACTUAL first (clamped) lo tap:
-        # a seam-straddle clamp can displace it by up to the max grid step
-        # from the raw position (hence the window slack), and anchoring on
-        # the raw position would wrap the base away from the clamped tap.
-        base = lo_taps[band.start] + 1 + ab.pad_lo
-        if wrap:
-            return jnp.mod(base, dim)
-        return base
+    def pad_right(rows):
+        if wrap_x:
+            return jnp.concatenate([rows, rows[:, :, :xpad]], axis=2)
+        return jnp.pad(rows, ((0, 0), (0, 0), (0, xpad)))
 
-    ybase = {
-        b: band_base(aby, b, pymc, cy, gy, hs, False, hp) for b in aby.bands
-    }
-    xbase = {
-        b: band_base(abx, b, pxmc, cx, gx, ws, wrap_x, wp) for b in abx.bands
+    if xcrop is not None:
+        if wrap_x:
+            bx = cx + jnp.int32(int(gx[xcrop.start])) + 1
+            xcrop_base = jnp.mod(bx, ws)
+        else:
+            # Without wrap a clipped window base would shift the whole
+            # band's content (unbounded mismatches); gather the exact
+            # hi-tap columns instead (clipped cells are invalid/fixups).
+            xcrop_idx = jnp.clip(
+                cx
+                + jnp.asarray(gx[xcrop.start + 1 : xcrop.end + 1], jnp.int32),
+                0,
+                ws - 1,
+            )
+    xgeo = {
+        b: _tile_geometry(b, xlo1, xhi1, ws, wrap_x)
+        for b in xbands
+        if b.kind == "mm"
     }
 
     rect = ((pyc - pymc)[:, None] * (pxc - pxmc)[None, :]).astype(jnp.uint32)
 
-    row_blocks = []
-    for yb in aby.bands:
-        if yb.kind == "mm":
-            rl = pymc + 1 + aby.pad_lo - ybase[yb]
-            wy = _mm_weights(yb, rl, rl + (pyc - pymc), dt)  # (win_y, ny)
-        col_blocks = []
-        for xb in abx.bands:
-            slab = jax.lax.dynamic_slice(
-                fp, (jnp.int32(0), ybase[yb], xbase[xb]), (3, yb.win, xb.win)
-            )
-            if xb.kind == "mm":
-                if wrap_x:
-                    cl = jnp.mod(pxmc + 1 + abx.pad_lo - xbase[xb], ws)
-                else:
-                    cl = pxmc + 1 + abx.pad_lo - xbase[xb]
-                wx = _mm_weights(xb, cl, cl + (pxc - pxmc), dt)  # (win_x, nx)
+    def x_stage(rows, yb: _Band, limb: bool):
+        """Apply the x bands to one y-band's rows.
 
-            if yb.kind == "crop" and xb.kind == "crop":
-                col_blocks.append(slab)  # box == pixel, rect == 1
-                continue
-            if yb.kind == "crop":
-                box = jnp.einsum(
-                    "chs,sn->chn",
-                    slab.astype(dt),
-                    wx,
-                    preferred_element_type=jnp.float32,
-                )
-            elif xb.kind == "crop":
-                box = jnp.einsum(
-                    "csw,sn->cnw",
-                    slab.astype(dt),
-                    wy,
-                    preferred_element_type=jnp.float32,
-                )
+        ``rows``: (3, ny, W) — uint8 source rows for the y-crop band
+        (boxes are single pixels on y), f32 box-row sums for mm bands.
+        Returns the assembled uint8 output block (3, ny, n_total_x).
+        """
+        rows_pad = pad_right(rows)
+        blocks = []
+        for xb in xbands:
+            if xb.kind == "crop":
+                if wrap_x:
+                    box = jax.lax.dynamic_slice(
+                        rows_pad,
+                        (jnp.int32(0), jnp.int32(0), xcrop_base),
+                        (3, rows.shape[1], xb.n),
+                    )
+                else:
+                    box = jnp.take(rows, xcrop_idx, axis=2)
+                if yb.kind == "crop":
+                    blocks.append(box)  # box == pixel, rect == 1
+                    continue
             else:
-                a = jnp.einsum(
-                    "csw,sn->cnw",
-                    slab.astype(dt),
-                    wy,
-                    preferred_element_type=jnp.float32,
-                )
-                hi, lo = _limb_split(a)
-                box = 256.0 * jnp.einsum(
-                    "cns,st->cnt",
-                    hi.astype(dt),
-                    wx,
-                    preferred_element_type=jnp.float32,
-                ) + jnp.einsum(
-                    "cns,st->cnt",
-                    lo.astype(dt),
-                    wx,
-                    preferred_element_type=jnp.float32,
-                )
+                base, w = xgeo[xb]
+                box = _x_band_dot(rows_pad, xb, base, w, limb)
             r = rect[yb.start : yb.end, xb.start : xb.end][None]
-            col_blocks.append(
+            blocks.append(
                 _exact_box_div(box.astype(jnp.uint32), r).astype(jnp.uint8)
             )
-        row_blocks.append(
-            col_blocks[0]
-            if len(col_blocks) == 1
-            else jnp.concatenate(col_blocks, axis=2)
+        return (
+            blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=2)
         )
+
+    row_blocks = []
+    for yb in ybands:
+        if yb.kind == "crop":
+            # Box height is 1 and the band's source rows are CONSECUTIVE
+            # (hi taps step by 1): one dynamic_slice, shift-corrected by
+            # a traced roll when the window clips at a frame edge (u8 row
+            # gathers are element-rate-bound on the gather engine — 15x
+            # slower than this slice+roll at 8K).  Rolled-in rows are
+            # garbage only where cells are invalid or clamp fixups.
+            raw = cy + jnp.int32(int(gy[yb.start + 1]))
+            clipped = jnp.clip(raw, 0, max(hs - yb.n, 0))
+            rows = jax.lax.dynamic_slice(
+                frame, (jnp.int32(0), clipped, jnp.int32(0)), (3, yb.n, ws)
+            )
+            rows = jnp.roll(rows, clipped - raw, axis=1)
+            row_blocks.append(x_stage(rows, yb, limb=False))
+        else:
+            base, w = _tile_geometry(yb, ylo1, yhi1, hs, wrap=False)
+            a = _y_band_dot(frame, yb, base, w)  # (3, ny, W) f32
+            row_blocks.append(x_stage(a, yb, limb=True))
     out = (
         row_blocks[0]
         if len(row_blocks) == 1
@@ -282,33 +341,22 @@ def sample_rect_direct(
 
     # Crop-band fixups: rows/columns where the positional map disagrees
     # with the elementwise clamp/wrap taps (frame edges, 360 seam).
-    ycrop = next((b for b in aby.bands if b.kind == "crop"), None)
-    xcrop = next((b for b in abx.bands if b.kind == "crop"), None)
-
     if ycrop is not None:
         jj = jnp.arange(ycrop.start, ycrop.end, dtype=jnp.int32)
-        # What the crop actually read (self-consistent with base clipping).
-        expect = (ybase[ycrop] - aby.pad_lo) + (jj - ycrop.start)
-        sl = slice(ycrop.start, ycrop.end)
-        bad = valid_y[sl] & (
-            (pyc[sl] != expect) | ((pyc - pymc)[sl] != 1)
+        expect = cy + jnp.asarray(
+            gy[ycrop.start + 1 : ycrop.end + 1], jnp.int32
         )
+        sl = slice(ycrop.start, ycrop.end)
+        bad = valid_y[sl] & ((pyc[sl] != expect) | ((pyc - pymc)[sl] != 1))
         fy = jax.lax.top_k(jnp.where(bad, jj, jnp.int32(-1)), _FIX_K)[0]
         out = _fix_rows(out, frame, fy, pyc, pxc, pxmc, rect)
 
     if xcrop is not None:
         ii = jnp.arange(xcrop.start, xcrop.end, dtype=jnp.int32)
-        if wrap_x:
-            expect = jnp.mod(
-                cx + jnp.asarray(gx[xcrop.start : xcrop.end], jnp.int32) + 1,
-                ws,
-            )
-        else:
-            expect = (xbase[xcrop] - abx.pad_lo) + (ii - xcrop.start)
+        raw = cx + jnp.asarray(gx[xcrop.start + 1 : xcrop.end + 1], jnp.int32)
+        expect = jnp.mod(raw, ws) if wrap_x else raw
         sl = slice(xcrop.start, xcrop.end)
-        bad = valid_x[sl] & (
-            (pxc[sl] != expect) | ((pxc - pxmc)[sl] != 1)
-        )
+        bad = valid_x[sl] & ((pxc[sl] != expect) | ((pxc - pxmc)[sl] != 1))
         fx = jax.lax.top_k(jnp.where(bad, ii, jnp.int32(-1)), _FIX_K)[0]
         out = _fix_cols(out, frame, fx, pyc, pymc, pxc, rect)
 
@@ -323,9 +371,10 @@ def _fix_rows(out, frame, fy, pyc, pxc, pxmc, rect):
     """Recompute <= _FIX_K full output rows exactly via 1-D x prefixes.
 
     Fixed rows all have box height 1 (step-1 band; clamps collapse to
-    height 1), so each box is an interval sum of one frame row:
-    prefix-sum the gathered rows and difference at the exact elementwise
-    taps (wrapped taps land in-range, so plain differences cover them).
+    height 1), so each box is an interval sum of one frame row (the hi
+    tap row): prefix-sum the gathered rows and difference at the exact
+    elementwise taps (wrapped taps land in-range, so plain differences
+    cover them too).
     """
     ho = out.shape[1]
     safe = jnp.maximum(fy, 0)
@@ -340,10 +389,10 @@ def _fix_rows(out, frame, fy, pyc, pxc, pxmc, rect):
 def _fix_cols(out, frame, fx, pyc, pymc, pxc, rect):
     """Recompute <= _FIX_K full output columns exactly via 1-D y prefixes.
 
-    Fixed columns have box width 1; each box is an interval sum of one
-    frame column, differenced at the exact y taps.  Runs after
-    ``_fix_rows``; both recompute from the frame with exact taps on both
-    axes, so the overlap cells agree.
+    Fixed columns have box width 1 (the hi tap column); each box is an
+    interval sum of one frame column, differenced at the exact y taps.
+    Runs after ``_fix_rows``; both recompute from the frame with exact
+    taps on both axes, so the overlap cells agree.
     """
     wo = out.shape[2]
     safe = jnp.maximum(fx, 0)

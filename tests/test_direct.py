@@ -119,17 +119,21 @@ def test_fovea_region_is_identity(setup):
             )
 
 
-def _sweep_axis(out_dim: int, dim: int, wrap: bool, chunk: int = 512):
+def _sweep_axis(out_dim: int, dim: int, wrap: bool, chunk: int = 1024):
     """All-integer-gaze invariant sweep for one axis (vectorized).
 
-    Returns (max fixup count, max window violations) across gazes.
+    Returns (max crop-fixup count, total mm tile-window violations)
+    across gazes.  Mirrors the v2 tiled geometry of foveax.core.direct:
+    crop bands are positional gathers at the hi taps; mm bands tile into
+    _T_L-cell slabs whose K-windows anchor on the (clipped / mod-W) tile
+    base tap.
     """
+    from foveax.core.direct import _T_L
+
     g = _grid_axis(out_dim, dim).astype(np.int64)
-    ab = _axis_bands(g.tobytes(), dim)
-    crop = next((b for b in ab.bands if b.kind == "crop"), None)
-    total = ab.pad_lo + dim + ab.pad_hi
+    bands = _axis_bands(g.tobytes(), dim)
     worst_fix = 0
-    worst_viol = 0
+    viol = 0
     for lo0 in range(0, dim + 1, chunk):
         cs = np.arange(lo0, min(lo0 + chunk, dim + 1))[:, None]
         p = cs + g[None, :]
@@ -143,37 +147,29 @@ def _sweep_axis(out_dim: int, dim: int, wrap: bool, chunk: int = 512):
         valid = ((hi >= 0) & (hi < dim)) | ((lo >= 0) & (lo < dim))
         pc = np.clip(hi, 1, dim - 1)
         pmc = np.clip(lo, 0, pc - 1)
-        if crop is not None:
-            s = slice(crop.start, crop.end)
-            if wrap:
-                expect = np.mod(cs + g[None, crop.start : crop.end] + 1, dim)
-            else:
-                base = np.clip(
-                    cs[:, 0] + g[crop.start] + 1 + ab.pad_lo,
-                    0,
-                    total - crop.win,
-                )
-                expect = (base[:, None] - ab.pad_lo) + np.arange(
-                    crop.end - crop.start
-                )
-            bad = valid[:, s] & (
-                (pc[:, s] != expect) | ((pc - pmc)[:, s] != 1)
-            )
-            worst_fix = max(worst_fix, int(bad.sum(axis=1).max()))
-        for b in ab.bands:
-            if b.kind != "mm":
-                continue
-            base = pmc[:, b.start] + 1 + ab.pad_lo
-            if wrap:
-                base = np.mod(base, dim)
-                rl = np.mod(pmc + 1 + ab.pad_lo - base[:, None], dim)
-            else:
-                rl = pmc + 1 + ab.pad_lo - base[:, None]
-            rh = rl + (pc - pmc)
+        lo1, hi1 = pmc + 1, pc + 1
+        for b in bands:
             s = slice(b.start, b.end)
-            bad = valid[:, s] & ~((rl[:, s] >= 0) & (rh[:, s] <= b.win))
-            worst_viol = max(worst_viol, int(bad.sum()))
-    return worst_fix, worst_viol
+            if b.kind == "crop":
+                raw = cs + g[None, b.start + 1 : b.end + 1]
+                expect = np.mod(raw, dim) if wrap else raw
+                bad = valid[:, s] & (
+                    (pc[:, s] != expect) | ((pc - pmc)[:, s] != 1)
+                )
+                worst_fix = max(worst_fix, int(bad.sum(axis=1).max()))
+                continue
+            for ts in range(b.start, b.end, _T_L):
+                te = min(ts + _T_L, b.end)
+                if wrap:
+                    base = np.mod(lo1[:, ts], dim)
+                    rl = np.mod(lo1[:, ts:te] - base[:, None], dim)
+                else:
+                    base = np.clip(lo1[:, ts], 0, max(dim - b.k, 0))
+                    rl = lo1[:, ts:te] - base[:, None]
+                rh = rl + (hi1 - lo1)[:, ts:te]
+                bad = valid[:, ts:te] & ~((rl >= 0) & (rh <= b.k))
+                viol += int(bad.sum())
+    return worst_fix, viol
 
 
 @pytest.mark.parametrize(
