@@ -825,6 +825,7 @@ def cmd_perf(args) -> int:
     import jax.numpy as jnp
 
     from foveax.config import FoveaxConfig, reduced_dim
+    from foveax.core.direct import sample_rect_direct
     from foveax.core.logrect import make_grid
     from foveax.core.sample import sample_rect_from_sat
     from foveax.core.unwarp import unwarp_rect
@@ -856,10 +857,23 @@ def cmd_perf(args) -> int:
         else:
             build_fn = lambda f: build_xla(f.transpose(1, 2, 0))
 
+        # Single-gaze sampler: the SAT-free direct path wins <= 4K on
+        # TPU, the SAT path above (BENCHMARKS.md "SAT-free direct
+        # sampler" crossover table); batch steps always amortize a SAT.
+        use_direct = args.sampler == "direct" or (
+            args.sampler == "auto"
+            and jax.default_backend() != "cpu"
+            and w <= 3840
+        )
+
         @jax.jit
-        def step(f, c, build_fn=build_fn, grid=grid, w=w, h=h):
-            sat = build_fn(f)
-            red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
+        def step(f, c, build_fn=build_fn, grid=grid, w=w, h=h,
+                 use_direct=use_direct):
+            if use_direct:
+                red = sample_rect_direct(f, grid, c, out_layout="chw")
+            else:
+                sat = build_fn(f)
+                red = sample_rect_from_sat(sat, grid, c, out_layout="chw")
             return unwarp_rect(
                 red, w, h, c, in_layout="chw", out_layout="chw",
                 precision=args.precision,
@@ -1113,6 +1127,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_ladder)
 
     p = sub.add_parser("perf", help="device-path fps across resolutions")
+    p.add_argument(
+        "--sampler",
+        choices=["auto", "sat", "direct"],
+        default="auto",
+        help="single-gaze downsampler: SAT 4-tap vs SAT-free direct "
+        "(auto = direct <= 4K on TPU, the measured crossover)",
+    )
     p.add_argument(
         "--resolutions", nargs="*", choices=["1080p", "4k", "8k", "16k"], default=None
     )

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from foveax.config import FoveaxConfig
+from foveax.core.direct import sample_rect_direct
 from foveax.core.logrect import LogRectGrid, make_grid
 from foveax.core.sample import sample_rect_from_sat
 from foveax.core.sat import build_sat
@@ -49,7 +50,15 @@ class FoveationPipeline:
         *,
         wrap_x: bool = True,
         use_pallas: bool | None = None,
+        sampler: str = "auto",
     ):
+        """``sampler``: "sat" (build SAT then 4-tap sample), "direct"
+        (SAT-free banded sampler, foveax/core/direct.py), or "auto" —
+        direct for single-gaze foveation at <= 4K on the TPU backend
+        (measured crossover: direct wins 1.9x at 1080p and 1.4x at 4K,
+        loses above — BENCHMARKS.md "SAT-free direct sampler"), SAT
+        otherwise.  Both are bit-identical; batch (multi-gaze) paths
+        always amortize one SAT."""
         self.config = config or FoveaxConfig()
         cfg = self.config
         self.grid: LogRectGrid = make_grid(
@@ -71,13 +80,31 @@ class FoveationPipeline:
             from foveax.kernels.scan2d import build_sat_pallas
 
             _build = build_sat_pallas
+
+            def _build_chw(frame_chw):
+                return build_sat_pallas(frame_chw, in_layout="chw")
         else:
             _build = build_sat
+
+            def _build_chw(frame_chw):
+                return build_sat(frame_chw.transpose(1, 2, 0))
 
         def _sample(sat, center):
             return sample_rect_from_sat(sat, grid, center, wrap_x=wrap_x)
 
+        if sampler == "auto":
+            sampler = (
+                "direct"
+                if jax.default_backend() != "cpu" and sw <= 3840
+                else "sat"
+            )
+        self.sampler = sampler
+
         def _foveate(frame, center):
+            if sampler == "direct":
+                return sample_rect_direct(
+                    frame, grid, center, wrap_x=wrap_x, in_layout="hwc"
+                )
             return _sample(_build(frame), center)
 
         def _unwarp(reduced, center):
@@ -103,7 +130,13 @@ class FoveationPipeline:
             )
 
         def _foveate_chw(frame, center):
-            return _sample_chw(_build(frame), center)
+            # frame is channel-planar (3, H, W) here — the builders'
+            # default hwc layout would silently mis-read it.
+            if sampler == "direct":
+                return sample_rect_direct(
+                    frame, grid, center, wrap_x=wrap_x, out_layout="chw"
+                )
+            return _sample_chw(_build_chw(frame), center)
 
         def _unwarp_chw(reduced_chw, center):
             return unwarp_rect(

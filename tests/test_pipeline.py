@@ -55,3 +55,23 @@ def test_no_recompile_across_gazes(small_frame):
     for c in [(0.1, 0.1), (0.9, 0.9), (0.33, 0.66)]:
         p.roundtrip(frame, p.center(*c))
     assert p.roundtrip._cache_size() == n0
+
+
+def test_direct_sampler_pipeline_matches_sat(small_frame):
+    """sampler="direct" is bit-identical to the SAT pipeline (the TPU
+    auto-selection at <= 4K must be behavior-invisible)."""
+    import numpy as np
+
+    p_sat = FoveationPipeline(CFG, sampler="sat")
+    p_dir = FoveationPipeline(CFG, sampler="direct")
+    frame = jnp.asarray(small_frame)
+    for c in [(0.5, 0.5), (0.03, 0.9), (1.0, 0.0)]:
+        cj = p_sat.center(*c)
+        np.testing.assert_array_equal(
+            np.asarray(p_sat.foveate(frame, cj)),
+            np.asarray(p_dir.foveate(frame, cj)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p_sat.foveate_chw(frame.transpose(2, 0, 1), cj)),
+            np.asarray(p_dir.foveate_chw(frame.transpose(2, 0, 1), cj)),
+        )
