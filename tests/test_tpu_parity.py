@@ -390,3 +390,21 @@ def test_svd_create_sample_on_device(frame, grids):
     a = out[40:-40, 60:-60].astype(np.int32)
     b = direct[40:-40, 60:-60].astype(np.int32)
     assert np.abs(a - b).max() <= 1
+
+
+def test_direct_sampler_matches_golden_on_device(frame, grids):
+    """SAT-free direct sampler on the chip: the periphery box sums ride
+    real bf16 MXU dots with f32 accumulation and the 8-bit limb split for
+    the second contraction — the exactness argument (operands <= 255 and
+    0/1 weights are bf16-exact; integer f32 sums < 2^24) must hold on the
+    hardware MXU, not just the CPU f32 fallback the default suite uses."""
+    from foveax.core.direct import sample_rect_direct
+
+    gj, dense = grids
+    sat_np = golden.build_sat(frame)
+    fr = jnp.asarray(frame.transpose(2, 0, 1))
+    fn = jax.jit(lambda c: sample_rect_direct(fr, gj, c))
+    for center in [(0.5, 0.5), (0.03, 0.4), (0.97, 0.6), (0.0, 1.0)]:
+        want = golden.sample_rect(sat_np, dense, center)
+        got = np.asarray(fn(jnp.asarray(center, jnp.float32)))
+        np.testing.assert_array_equal(got, want)
