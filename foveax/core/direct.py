@@ -120,12 +120,15 @@ def _axis_bands(g_bytes: bytes, dim: int) -> tuple[_Band, ...]:
         cuts sum(tiles * K), the dots' byte/FLOP driver, by 30-50% at
         production sizes."""
         tiles = list(range(start, end, _T_L))
+        # Coarser buckets at large dims bound the sub-band count (each
+        # sub-band is one einsum + slab stack in the compiled graph).
+        gran = 128 if dim <= 4096 else 256
         ks = [
             min(
                 -(
-                    -(int(g[min(ts + _T_L, end)] - g[ts]) + _T_SLACK) // 128
+                    -(int(g[min(ts + _T_L, end)] - g[ts]) + _T_SLACK) // gran
                 )
-                * 128,
+                * gran,
                 dim,
             )
             for ts in tiles
