@@ -191,3 +191,30 @@ def test_band_invariants_all_integer_gazes(dims):
     fy, vy = _sweep_axis(out_h, src_h, wrap=False)
     assert vy == 0, "y matmul-band window violated"
     assert fy <= _FIX_K, f"y crop fixups {fy} > {_FIX_K}"
+
+
+def test_matches_sat_path_flagship_1080p():
+    """Flagship 1920x1080 -> 1072x608: the production grid splits each
+    periphery into MULTIPLE bucketed mm sub-bands (the 256-cell test size
+    yields one band per side, leaving the bucket-grouped assembly
+    uncovered there)."""
+    rng = np.random.default_rng(11)
+    src_w, src_h, out_w, out_h = 1920, 1080, 1072, 608
+    frame = rng.integers(0, 256, (src_h, src_w, 3), np.uint8)
+    grid = make_grid(out_w, out_h, src_w, src_h)
+    from foveax.core.direct import _axis_bands
+
+    gx = np.asarray(grid.gx, np.int64)
+    n_mm = sum(
+        1 for b in _axis_bands(gx.tobytes(), src_w) if b.kind == "mm"
+    )
+    assert n_mm >= 3, "expected bucketed sub-bands at 1080p"
+
+    sat = build_sat(jnp.asarray(frame))
+    fr = jnp.asarray(frame.transpose(2, 0, 1))
+    for c in [(0.5, 0.5), (0.98, 0.03), (0.0, 1.0)]:
+        cj = jnp.asarray(c, jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(sample_rect_from_sat(sat, grid, cj)),
+            np.asarray(sample_rect_direct(fr, grid, cj)),
+        )
