@@ -218,3 +218,20 @@ def test_matches_sat_path_flagship_1080p():
             np.asarray(sample_rect_from_sat(sat, grid, cj)),
             np.asarray(sample_rect_direct(fr, grid, cj)),
         )
+
+
+def test_vmap_batch_matches_loop(setup):
+    """vmap-ability: batched gazes through the direct sampler must match
+    per-gaze calls (the serving tick may batch small unicast groups).
+    Note the production multi-gaze path amortizes one SAT instead — this
+    pins correctness, not a perf recommendation."""
+    _, grid, fr, _, _, _ = setup
+    centers = jnp.asarray(
+        [[0.5, 0.5], [0.2, 0.3], [0.97, 0.9], [0.03, 0.5]], jnp.float32
+    )
+    batch = np.asarray(
+        jax.jit(jax.vmap(lambda c: sample_rect_direct(fr, grid, c)))(centers)
+    )
+    for i in range(centers.shape[0]):
+        single = np.asarray(sample_rect_direct(fr, grid, centers[i]))
+        np.testing.assert_array_equal(batch[i], single)
