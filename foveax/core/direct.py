@@ -99,17 +99,9 @@ def _axis_bands(g_bytes: bytes, dim: int) -> tuple[_Band, ...]:
     d = np.diff(g)
     n = d.shape[0]
 
-    # Longest contiguous run of step == 1.
-    best = (0, 0)
-    run = 0
-    for i in range(n + 1):
-        if i < n and d[i] == 1:
-            run += 1
-        else:
-            if run > best[1] - best[0]:
-                best = (i - run, i)
-            run = 0
-    c0, c1 = best
+    from foveax.core.sample import longest_run
+
+    c0, c1 = longest_run(d == 1)
 
     def mm(start: int, end: int) -> list[_Band]:
         """Split [start, end) into mm sub-bands at tile boundaries,
@@ -257,6 +249,12 @@ def sample_rect_direct(
     planar layout) or (Hs, Ws, 3) (``"hwc"``).  ``center``: traced f32
     (2,).  See module docstring for the algorithm.
     """
+    if isinstance(grid.gx, jax.core.Tracer):
+        raise TypeError(
+            "sample_rect_direct needs a CONCRETE grid (its band geometry "
+            "is host-computed from the grid vectors); close over the grid "
+            "instead of passing it through jit/vmap as a traced argument"
+        )
     if in_layout == "hwc":
         frame = frame.transpose(2, 0, 1)
     _, hs, ws = frame.shape
@@ -284,9 +282,11 @@ def sample_rect_direct(
     xpad = max([b.k for b in xbands] + [xcrop.n + 1 if xcrop else 1])
 
     def pad_right(rows):
+        # Without wrap nothing reads past ws: mm bases clip to
+        # [0, ws - k] and the x-crop band gathers — skip the pad copy.
         if wrap_x:
             return jnp.concatenate([rows, rows[:, :, :xpad]], axis=2)
-        return jnp.pad(rows, ((0, 0), (0, 0), (0, xpad)))
+        return rows
 
     if xcrop is not None:
         if wrap_x:

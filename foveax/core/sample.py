@@ -62,6 +62,26 @@ def _exact_box_div(box: jax.Array, rect: jax.Array) -> jax.Array:
 _FIX_K = 8
 
 
+def longest_run(mask) -> tuple[int, int]:
+    """[start, end) of the longest contiguous True run in a bool array.
+
+    Shared by the u16-band finder below and the direct sampler's band
+    split (foveax/core/direct.py) — the trailing-run handling is easy to
+    get wrong twice."""
+    best = (0, 0)
+    start = None
+    n = len(mask)
+    for j in range(n + 1):
+        if j < n and mask[j]:
+            if start is None:
+                start = j
+        else:
+            if start is not None and j - start > best[1] - best[0]:
+                best = (start, j)
+            start = None
+    return best
+
+
 @functools.lru_cache(maxsize=64)
 def _u16_row_bands(
     out_width: int, out_height: int, source_width: int, source_height: int
@@ -81,16 +101,9 @@ def _u16_row_bands(
     dx = np.diff(_grid_axis(out_width, source_width).astype(np.int64))
     dy = np.diff(_grid_axis(out_height, source_height).astype(np.int64))
     unsafe = 255 * dy * int(dx.max()) >= 65536
-    best = (out_height, out_height)
-    run_start = None
-    for j in range(out_height + 1):
-        if j < out_height and not unsafe[j]:
-            if run_start is None:
-                run_start = j
-        else:
-            if run_start is not None and j - run_start > best[1] - best[0]:
-                best = (run_start, j)
-            run_start = None
+    best = longest_run(~unsafe)
+    if best == (0, 0) and (unsafe.all() or out_height == 0):
+        return (out_height, out_height)  # no safe middle
     return best
 
 

@@ -188,6 +188,11 @@ def test_band_invariants_all_integer_gazes(dims):
     fx, vx = _sweep_axis(out_w, src_w, wrap=True)
     assert vx == 0, "x matmul-band window violated"
     assert fx <= _FIX_K, f"x crop fixups {fx} > {_FIX_K}"
+    # wrap_x=False is public API: the x grid must also satisfy the
+    # non-wrap (clip-base) geometry.
+    fxn, vxn = _sweep_axis(out_w, src_w, wrap=False)
+    assert vxn == 0, "x (no-wrap) matmul-band window violated"
+    assert fxn <= _FIX_K, f"x (no-wrap) crop fixups {fxn} > {_FIX_K}"
     fy, vy = _sweep_axis(out_h, src_h, wrap=False)
     assert vy == 0, "y matmul-band window violated"
     assert fy <= _FIX_K, f"y crop fixups {fy} > {_FIX_K}"
