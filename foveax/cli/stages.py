@@ -225,6 +225,46 @@ def stage5_batched_clients(n_clients: int = 8) -> bool:
     return _result("stage5 8-gaze batched launch", ok, detail, partial=True)
 
 
+def stage6_direct_sampler() -> bool:
+    """SAT-free direct sampler (the <= 4K hot path): bit-equality vs the
+    SAT path on the live backend at 4K, two gazes."""
+    import jax
+    import jax.numpy as jnp
+
+    from foveax.config import reduced_dim
+    from foveax.core.direct import sample_rect_direct
+    from foveax.core.logrect import make_grid
+    from foveax.core.sample import sample_rect_from_sat
+    from foveax.core.sat import build_sat
+
+    w, h = 3840, 2160
+    grid = make_grid(reduced_dim(w), reduced_dim(h), w, h)
+    rng = np.random.default_rng(6)
+    frame = jax.device_put(rng.integers(0, 256, (3, h, w), np.uint8))
+
+    sat_fn = jax.jit(
+        lambda f, c: sample_rect_from_sat(
+            build_sat(f.transpose(1, 2, 0)), grid, c, out_layout="chw"
+        )
+    )
+    dir_fn = jax.jit(
+        lambda f, c: sample_rect_direct(f, grid, c, out_layout="chw")
+    )
+    ok = True
+    for cxy in [(0.5, 0.5), (0.97, 0.06)]:
+        c = jnp.asarray(cxy, jnp.float32)
+        a = np.asarray(sat_fn(frame, c))
+        b = np.asarray(dir_fn(frame, c))
+        if not np.array_equal(a, b):
+            ok = False
+            break
+    return _result(
+        "stage6 direct sampler == SAT path (4K, on device)",
+        ok,
+        "bit-identical" if ok else "MISMATCH",
+    )
+
+
 def run_all() -> int:
     results = [
         stage1_single_frame_warp(),
@@ -232,6 +272,7 @@ def run_all() -> int:
         stage3_streaming_dynamic_gaze(),
         stage4_4k_full_path(),
         stage5_batched_clients(),
+        stage6_direct_sampler(),
     ]
-    print(f"{sum(results)}/5 stages passed")
+    print(f"{sum(results)}/{len(results)} stages passed")
     return 0 if all(results) else 1
