@@ -1,0 +1,439 @@
+"""Fused gaze-windowed segment-reduce sampling kernels (SAT-free).
+
+The BENCHMARKS.md "16K roofline" showed that >= 30 fps at 16K requires
+not materializing the 1.6 GB uint32 SAT; the XLA direct sampler
+(foveax/core/direct.py) removed the SAT but pays for slab-stack
+materialization + operand conversion around every one-hot dot, and its
+dot FLOPs hit this environment's delivered XLA matmul rate at >= 8K.
+These Pallas kernels fuse the reduction: the frame is DMA'd from HBM in
+gaze-positioned windows straight into VMEM, the one-hot interval dot
+runs on in-VMEM data, and only the reduced rows (y pass, uint16) reach
+HBM.
+
+Same box semantics as the SAT path (reference:
+src/sat_decoder_sample_rect_kernel.cl:138-241): per output cell the box
+is the source interval (tap_lo, tap_hi] per axis, taps from the exact
+elementwise clamp/wrap rules (foveax.core.sample._axis_taps).  Output
+cells tile into blocks of ``_S`` cells; each block's source window is a
+statically-sized slab (the block's worst-case tap span, bucketed per
+band like the direct sampler) whose traced base comes in via scalar
+prefetch.  Edge blocks clip their base and the in-window offsets (VMEM
+inputs) absorb the shift, so every cell's interval lands inside the
+slab — the same invariant the direct sampler's tests sweep over all
+integer gazes.
+
+MXU exactness: uint8 pixels and 0/1 weights are bf16-exact and the f32
+accumulation of integer products stays exact below 2^24 (max y-segment
+sum 255*23 = 5,865; max box 255*23*23 = 134,895).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Output cells per block of the y pass (the dots' M dim and the output
+# block's sublane count; uint16 tiles need multiples of 16).
+_S = 32
+# Output cells per block of the x pass (the result's LANE dim: uint8
+# blocks tile at 128 lanes).
+_SX = 128
+# Slack on each band's slab width: a seam/edge straddle clamp displaces
+# a block's base tap by at most the max grid step (23 at production
+# sizes; swept in tests).
+_SLACK = 32
+
+
+def _wb(w: int) -> int:
+    """Width-block: largest 128-multiple divisor of ``w`` up to 2048
+    (every production width divides by 1920)."""
+    for d in (2048, 1920, 1536, 1280, 1024, 768, 640, 512, 384, 256, 128):
+        if w % d == 0:
+            return d
+    raise ValueError(f"width {w} not a multiple of 128")
+
+
+@dataclasses.dataclass(frozen=True)
+class _KBand:
+    start: int  # first output cell
+    end: int  # last output cell (exclusive)
+    k: int  # static slab width per cell block
+
+    def blocks(self, s_cells: int) -> int:
+        return -(-(self.end - self.start) // s_cells)
+
+
+@functools.lru_cache(maxsize=64)
+def _kernel_bands(
+    g_bytes: bytes, dim: int, s_cells: int, quantum: int = 8
+) -> tuple[_KBand, ...]:
+    """Static band split (blocks of ``s_cells``) with per-band slab widths.
+
+    Blocks are bucketed by their 64-rounded worst-case span (consecutive
+    equal buckets merge into one band), so foveal blocks (span ==
+    s_cells) never pay for the exponential periphery's windows.
+    ``quantum`` extends each window for base-alignment slack: DMA window
+    starts quantize down to tile boundaries (8 sublanes for the y pass's
+    row windows, 128 lanes for the x pass's column windows).
+    """
+    g = np.frombuffer(g_bytes, dtype=np.int64)
+    n = g.shape[0] - 1
+    blocks = list(range(0, n, s_cells))
+    # k must be a quantum multiple so the non-wrap clip bound
+    # (src_dim - k) stays base-aligned — otherwise an edge block's
+    # quantized base falls short of covering the last cells.
+    gran = max(64, quantum)
+    ks = []
+    for bs in blocks:
+        span = int(g[min(bs + s_cells, n)] - g[bs])
+        ks.append(min(-(-(span + _SLACK + quantum) // gran) * gran, dim))
+    bands = []
+    gs = 0
+    for i in range(1, len(blocks) + 1):
+        if i == len(blocks) or ks[i] != ks[gs]:
+            end = blocks[i] if i < len(blocks) else n
+            bands.append(_KBand(blocks[gs], end, ks[gs]))
+            gs = i
+    return tuple(bands)
+
+
+def _block_geometry(
+    band: _KBand, lo1, hi1, src_dim: int, wrap: bool, s_cells: int,
+    quantum: int = 8,
+):
+    """Traced geometry for one band: bases (nb,), rel_lo/rel_hi (nb, S).
+
+    Cells are the +1-shifted tap intervals [lo1, hi1); the last block's
+    pad cells get zero-width intervals.  Bases quantize DOWN to
+    ``quantum`` so the kernels' DMA windows start on tile boundaries
+    (the band k carries matching slack).
+    """
+    nb = band.blocks(s_cells)
+    pad = nb * s_cells - (band.end - band.start)
+    lo = jnp.pad(lo1[band.start : band.end], (0, pad), mode="edge")
+    hi = jnp.pad(hi1[band.start : band.end], (0, pad), mode="edge")
+    if pad:
+        hi = hi.at[band.end - band.start :].set(lo[band.end - band.start :])
+    lo = lo.reshape(nb, s_cells)
+    hi = hi.reshape(nb, s_cells)
+    if wrap:
+        base = (jnp.mod(lo[:, 0], src_dim) // quantum) * quantum
+        rel_lo = jnp.mod(lo - base[:, None], src_dim)
+    else:
+        base = jnp.clip(lo[:, 0], 0, max(src_dim - band.k, 0))
+        base = (base // quantum) * quantum
+        rel_lo = lo - base[:, None]
+    return (
+        base.astype(jnp.int32),
+        rel_lo.astype(jnp.int32),
+        (rel_lo + (hi - lo)).astype(jnp.int32),
+    )
+
+
+def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *, k, wb, w):
+    """One (row-block, width-block) step: DMA the (3, k, wb) source
+    window, one-hot dot the rows into _S segment sums, emit uint16.
+
+    Width blocks past w/wb wrap to the frame's left edge ((j*wb) % w) —
+    they write the 360 wrap pad the x pass's windows read through."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    col = jax.lax.rem(j * wb, w)
+    dma = pltpu.make_async_copy(
+        frame_hbm.at[:, pl.ds(base_ref[i], k), pl.ds(col, wb)],
+        slab,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    # One-hot interval weights: oh[s, r] = 1 iff slab row r lies in cell
+    # s's interval.  Zero-width pad cells give all-zero rows.
+    ks = jax.lax.broadcasted_iota(jnp.int32, (_S, k), 1)
+    lo = lo_ref[0, :][:, None]
+    hi = hi_ref[0, :][:, None]
+    oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)  # (_S, k)
+    outs = []
+    for c in range(3):
+        x = slab[c, :, :].astype(jnp.int32).astype(jnp.float32)  # (k, wb)
+        y = jax.lax.dot_general(
+            oh,
+            x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (_S, wb)
+        outs.append(y.astype(jnp.int32).astype(jnp.uint16))
+    out_ref[...] = jnp.stack(outs)
+
+
+def y_segment_reduce(
+    frame: jax.Array,
+    lo1: jax.Array,
+    hi1: jax.Array,
+    grid_g: np.ndarray,
+    *,
+    pad_blocks: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """(3, H, W) uint8 + exact y tap intervals -> uint16 segment rows
+    (3, Hr, W + pad_blocks*wb).
+
+    Row j of the result is the sum of frame rows [lo1[j], hi1[j]) — the
+    y half of the 4-tap box filter (height-1 intervals pass raw pixel
+    rows through, so the foveal crop needs no special case).  With
+    ``pad_blocks`` extra width blocks, the columns past W repeat the
+    frame's left edge — the 360 wrap pad for the x pass, written as
+    fresh kernel output instead of a post-hoc XLA concat copy.
+
+    ``grid_g`` is the CONCRETE int64 grid vector (band geometry is
+    host-computed); ``lo1``/``hi1`` are traced.
+    """
+    _, hs, ws = frame.shape
+    wb = _wb(ws)
+    n = grid_g.shape[0] - 1
+    bands = _kernel_bands(grid_g.tobytes(), hs, _S, 8)
+    nwb = ws // wb + pad_blocks
+    outs = []
+    for band in bands:
+        base, rel_lo, rel_hi = _block_geometry(
+            band, lo1, hi1, hs, wrap=False, s_cells=_S, quantum=8
+        )
+        nb = band.blocks(_S)
+        out = pl.pallas_call(
+            functools.partial(_y_kernel, k=band.k, wb=wb, w=ws),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb, nwb),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, _S), lambda i, j, base_ref: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, _S), lambda i, j, base_ref: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (3, _S, wb),
+                    lambda i, j, base_ref: (0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((3, band.k, wb), jnp.uint8),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((3, nb * _S, nwb * wb), jnp.uint16),
+            interpret=interpret,
+        )(base, rel_lo, rel_hi, frame)
+        outs.append(out[:, : band.end - band.start, :])
+    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return full[:, :n, :]
+
+
+def _hb(hr: int) -> int:
+    """Row-block of the x pass: largest 8-multiple divisor of Hr <= 256."""
+    for d in range(256, 7, -8):
+        if hr % d == 0:
+            return d
+    if hr <= 512:
+        return hr
+    raise ValueError(f"height {hr} has no 8-multiple row-block divisor")
+
+
+def _x_kernel(
+    base_ref, lo_ref, hi_ref, vx_ref, rows_hbm, dy_ref, vy_ref, out_ref,
+    slab, sem, *, k, hb
+):
+    """One (cell-block, row-block) step: DMA the (3, hb, k) segment-row
+    window, limb-split one-hot dots into _SX box sums, divide exactly by
+    the rect, mask validity, emit uint8."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        rows_hbm.at[:, pl.ds(j * hb, hb), pl.ds(base_ref[i], k)], slab, sem
+    )
+    dma.start()
+    dma.wait()
+    lo = lo_ref[0, :][None, :]  # (1, _SX)
+    hi = hi_ref[0, :][None, :]
+    ks = jax.lax.broadcasted_iota(jnp.int32, (k, _SX), 0)
+    oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)  # (k, _SX)
+
+    # rect = dy * dx; dx is each cell's interval width.  Validity masks
+    # come in as int32 (Mosaic-friendly); invalid texels emit 0.
+    dx = (hi - lo).astype(jnp.float32)  # (1, _SX)
+    dy = dy_ref[:, 0][:, None].astype(jnp.float32)  # (hb, 1)
+    rect_f = dy * dx
+    rect_u = rect_f.astype(jnp.int32).astype(jnp.uint32)
+    valid = (vy_ref[:, 0][:, None] > 0) & (vx_ref[0, :][None, :] > 0)
+
+    outs = []
+    for c in range(3):
+        x = slab[c, :, :].astype(jnp.int32).astype(jnp.float32)  # (hb, k)
+        # uint16 segment sums exceed bf16's exact integers (the MXU
+        # truncates f32 operands to bf16): two <=8-bit limb dots, exact.
+        xhi = jnp.floor(x * (1.0 / 256.0))
+        xlo = x - 256.0 * xhi
+
+        def dot(a):
+            return jax.lax.dot_general(
+                a,
+                oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        box_f = 256.0 * dot(xhi) + dot(xlo)  # (hb, _SX), exact < 2^24
+        box_u = box_f.astype(jnp.int32).astype(jnp.uint32)
+        # Exact box/rect division: f32 quotient estimate + one-step
+        # wraparound fixup (foveax.core.sample._exact_box_div).
+        q0 = (box_f / rect_f).astype(jnp.int32).astype(jnp.uint32)
+        rem = box_u - q0 * rect_u
+        wrapped = rem >= jnp.uint32(0x80000000)
+        over = (~wrapped) & (rem >= rect_u)
+        q = q0 + over.astype(jnp.uint32) - wrapped.astype(jnp.uint32)
+        q = jnp.where(valid, q, jnp.uint32(0))
+        outs.append(q.astype(jnp.int32).astype(jnp.uint8))
+    out_ref[...] = jnp.stack(outs)
+
+
+def x_segment_reduce(
+    rows: jax.Array,
+    lo1: jax.Array,
+    hi1: jax.Array,
+    valid_x: jax.Array,
+    valid_y: jax.Array,
+    dy: jax.Array,
+    grid_g: np.ndarray,
+    src_w: int,
+    *,
+    wrap: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """(3, Hr, Wp) uint16 segment rows -> (3, Hr, Wr) uint8 reduced frame.
+
+    Column i of the result is the box mean over row-sum columns
+    [lo1[i], hi1[i]) divided by the exact rect, with the validity mask
+    applied — the x half of the 4-tap box filter plus the output stage.
+    ``rows`` must carry a wrap pad of at least the largest band window
+    when ``wrap`` (y_segment_reduce's ``pad_blocks``).
+    """
+    _, hr, _ = rows.shape
+    hb = _hb(hr)
+    n = grid_g.shape[0] - 1
+    bands = _kernel_bands(grid_g.tobytes(), src_w, _SX, 128)
+    dy2 = dy.astype(jnp.int32).reshape(hr, 1)
+    vy2 = valid_y.astype(jnp.int32).reshape(hr, 1)
+    outs = []
+    for band in bands:
+        base, rel_lo, rel_hi = _block_geometry(
+            band, lo1, hi1, src_w, wrap=wrap, s_cells=_SX, quantum=128
+        )
+        nb = band.blocks(_SX)
+        pad = nb * _SX - (band.end - band.start)
+        vx = jnp.pad(
+            valid_x[band.start : band.end].astype(jnp.int32), (0, pad)
+        ).reshape(nb, _SX)
+        out = pl.pallas_call(
+            functools.partial(_x_kernel, k=band.k, hb=hb),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb, hr // hb),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, _SX), lambda i, j, base_ref: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, _SX), lambda i, j, base_ref: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, _SX), lambda i, j, base_ref: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(
+                        (hb, 1), lambda i, j, base_ref: (j, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (hb, 1), lambda i, j, base_ref: (j, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (3, hb, _SX),
+                    lambda i, j, base_ref: (0, j, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((3, hb, band.k), jnp.uint16),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((3, hr, nb * _SX), jnp.uint8),
+            interpret=interpret,
+        )(base, rel_lo, rel_hi, vx, rows, dy2, vy2)
+        outs.append(out[:, :, : band.end - band.start])
+    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+    return full[:, :, :n]
+
+
+def sample_rect_fused(
+    frame: jax.Array,
+    grid,
+    center: jax.Array,
+    *,
+    wrap_x: bool = True,
+    in_layout: str = "chw",
+    out_layout: str = "hwc",
+    interpret: bool = False,
+) -> jax.Array:
+    """Foveate via the fused Pallas pipeline: bit-identical to
+    ``sample_rect_from_sat(build_sat(frame), grid, center)`` for centers
+    in [0, 1]^2 (the exact elementwise taps drive the kernels' one-hot
+    weights, so clamp/wrap semantics hold per cell with no fixups).
+    """
+    from foveax.core.sample import _axis_taps
+
+    if in_layout == "hwc":
+        frame = frame.transpose(2, 0, 1)
+    _, hs, ws = frame.shape
+    cx = (center[0] * jnp.float32(ws)).astype(jnp.int32)
+    cy = (center[1] * jnp.float32(hs)).astype(jnp.int32)
+    pxc, pxmc, valid_x, _, _ = _axis_taps(grid.gx, cx, ws, wrap=wrap_x)
+    pyc, pymc, valid_y, _, _ = _axis_taps(grid.gy, cy, hs, wrap=False)
+    gx = np.asarray(grid.gx, dtype=np.int64)
+    gy = np.asarray(grid.gy, dtype=np.int64)
+
+    wb = _wb(ws)
+    maxk = max(b.k for b in _kernel_bands(gx.tobytes(), ws, _SX, 128))
+    pad_blocks = -(-maxk // wb) if wrap_x else 0
+    rows = y_segment_reduce(
+        frame, pymc + 1, pyc + 1, gy, pad_blocks=pad_blocks,
+        interpret=interpret,
+    )
+    out = x_segment_reduce(
+        rows,
+        pxmc + 1,
+        pxc + 1,
+        valid_x,
+        valid_y,
+        pyc - pymc,
+        gx,
+        ws,
+        wrap=wrap_x,
+        interpret=interpret,
+    )
+    if out_layout == "chw":
+        return out
+    return out.transpose(1, 2, 0)

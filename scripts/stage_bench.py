@@ -40,9 +40,10 @@ def main() -> int:
         "--stages",
         nargs="*",
         default=["sat", "sample", "unwarp"],
-        choices=["sat", "sample", "unwarp", "direct"],
+        choices=["sat", "sample", "unwarp", "direct", "fused"],
         help="subset to time (each stage loop costs one remote compile); "
-        "'direct' is the SAT-free sampler (replaces sat+sample)",
+        "'direct' is the SAT-free XLA sampler, 'fused' the Pallas "
+        "segment-reduce pipeline (each replaces sat+sample)",
     )
     args = ap.parse_args()
 
@@ -54,6 +55,7 @@ def main() -> int:
     from foveax.core.sample import sample_rect_from_sat
     from foveax.core.direct import sample_rect_direct
     from foveax.core.unwarp import unwarp_rect
+    from foveax.kernels.segreduce import sample_rect_fused
     from foveax.kernels.scan2d import build_sat_pallas as build_sat
 
     rng = np.random.default_rng(0)
@@ -121,6 +123,15 @@ def main() -> int:
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
         @jax.jit
+        def fused_loop(frame):
+            def body(i, acc):
+                c = centers[i] + acc * jnp.float32(1e-30)
+                red = sample_rect_fused(frame, grid, c, out_layout="chw")
+                return acc + red[0, 0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        @jax.jit
         def unwarp_loop(red):
             def body(i, acc):
                 c = centers[i] + acc * jnp.float32(1e-30)
@@ -147,6 +158,7 @@ def main() -> int:
             "sat": ("sat_build", sat_loop, frame),
             "sample": ("gaze_sample", sample_loop, sat),
             "direct": ("direct_sample", direct_loop, frame),
+            "fused": ("fused_sample", fused_loop, frame),
             "unwarp": (f"unwarp_{args.precision}", unwarp_loop, red),
         }
         for name, fn, x in (stages[s] for s in args.stages):

@@ -1,0 +1,142 @@
+"""Fused Pallas segment-reduce sampler: interpret-mode bit-equality vs
+the SAT path + static window invariants at production sizes.
+
+The kernels' correctness rests on the same statically-sized guarantee as
+the direct sampler: every cell's (exact, elementwise clamped/wrapped)
+tap interval must land inside its block's quantized, clipped slab
+window.  The sweep below checks that over ALL integer gazes per axis at
+the production grids for the kernel geometry (_S=32/q=8 rows,
+_SX=128/q=128 columns, both wrap modes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foveax.core.logrect import _grid_axis, make_grid
+from foveax.core.sample import sample_rect_from_sat
+from foveax.core.sat import build_sat
+from foveax.kernels import segreduce
+from foveax.kernels.segreduce import (
+    _SX,
+    _S,
+    _block_geometry,
+    _kernel_bands,
+    sample_rect_fused,
+)
+
+SRC_W, SRC_H, OUT_W, OUT_H = 1920, 512, 1072, 288
+
+CENTERS = [
+    (0.5, 0.5),
+    (0.03, 0.4),
+    (0.97, 0.6),
+    (0.0, 0.0),
+    (1.0, 1.0),
+    (0.31, 0.87),
+    (0.999, 0.001),
+    (0.0, 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (SRC_H, SRC_W, 3), np.uint8)
+    grid = make_grid(OUT_W, OUT_H, SRC_W, SRC_H)
+    sat = build_sat(jnp.asarray(frame))
+    fr = jnp.asarray(frame.transpose(2, 0, 1))
+    return grid, sat, fr
+
+
+@pytest.mark.parametrize("wrap", [True, False])
+@pytest.mark.parametrize("center", CENTERS)
+def test_fused_matches_sat_path(setup, center, wrap):
+    grid, sat, fr = setup
+    c = jnp.asarray(center, jnp.float32)
+    ref = np.asarray(sample_rect_from_sat(sat, grid, c, wrap_x=wrap))
+    got = np.asarray(
+        sample_rect_fused(fr, grid, c, wrap_x=wrap, interpret=True)
+    )
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_fused_chw_layout(setup):
+    grid, sat, fr = setup
+    c = jnp.asarray((0.4, 0.7), jnp.float32)
+    hwc = np.asarray(sample_rect_fused(fr, grid, c, interpret=True))
+    chw = np.asarray(
+        sample_rect_fused(fr, grid, c, out_layout="chw", interpret=True)
+    )
+    np.testing.assert_array_equal(hwc, chw.transpose(1, 2, 0))
+
+
+def _sweep_axis(out_dim, dim, wrap, s_cells, quantum, chunk=1024):
+    """Max window violations over all integer gazes for one axis."""
+    g = _grid_axis(out_dim, dim).astype(np.int64)
+    bands = _kernel_bands(g.tobytes(), dim, s_cells, quantum)
+    viol = 0
+    for lo0 in range(0, dim + 1, chunk):
+        cs = np.arange(lo0, min(lo0 + chunk, dim + 1))[:, None]
+        p = cs + g[None, :]
+        hi, lo = p[:, 1:], p[:, :-1]
+        if wrap:
+            wh = (hi >= dim) & (lo >= dim)
+            wl = (hi < 0) & (lo < 0)
+            sh = np.where(wh, -dim, np.where(wl, dim, 0))
+            hi = hi + sh
+            lo = lo + sh
+        valid = ((hi >= 0) & (hi < dim)) | ((lo >= 0) & (lo < dim))
+        pc = np.clip(hi, 1, dim - 1)
+        pmc = np.clip(lo, 0, pc - 1)
+        lo1, hi1 = pmc + 1, pc + 1
+        for b in bands:
+            for bs in range(b.start, b.end, s_cells):
+                be = min(bs + s_cells, b.end)
+                if wrap:
+                    base = (np.mod(lo1[:, bs], dim) // quantum) * quantum
+                    rl = np.mod(lo1[:, bs:be] - base[:, None], dim)
+                else:
+                    base = np.clip(lo1[:, bs], 0, max(dim - b.k, 0))
+                    base = (base // quantum) * quantum
+                    rl = lo1[:, bs:be] - base[:, None]
+                rh = rl + (hi1 - lo1)[:, bs:be]
+                bad = valid[:, bs:be] & ~((rl >= 0) & (rh <= b.k))
+                viol += int(bad.sum())
+                if not wrap:
+                    # DMA bound: window must stay inside the source.
+                    viol += int((base + b.k > dim).sum())
+    return viol
+
+
+@pytest.mark.parametrize(
+    "dims",
+    [
+        (1072, 608, 1920, 1080),
+        (2144, 1200, 3840, 2160),
+        (4272, 2400, 7680, 4320),
+        (8544, 4800, 15360, 8640),
+        (OUT_W, OUT_H, SRC_W, SRC_H),
+    ],
+    ids=["1080p", "4k", "8k", "16k", "testsize"],
+)
+def test_kernel_window_invariants_all_integer_gazes(dims):
+    out_w, out_h, src_w, src_h = dims
+    assert _sweep_axis(out_h, src_h, False, _S, 8) == 0
+    assert _sweep_axis(out_w, src_w, True, _SX, 128) == 0
+    assert _sweep_axis(out_w, src_w, False, _SX, 128) == 0
+
+
+def test_wrap_pad_covers_every_window():
+    """The y pass's wrap pad must cover the largest x window past any
+    quantized base (base <= W - 128, so pad >= maxk - 128 suffices; the
+    orchestrator allocates ceil(maxk / wb) blocks >= maxk)."""
+    for src_w, out_w in [(1920, 1072), (3840, 2144), (15360, 8544)]:
+        g = _grid_axis(out_w, src_w).astype(np.int64)
+        maxk = max(
+            b.k for b in _kernel_bands(g.tobytes(), src_w, _SX, 128)
+        )
+        wb = segreduce._wb(src_w)
+        pad = -(-maxk // wb) * wb
+        assert (src_w - 128) + maxk <= src_w + pad
