@@ -1,0 +1,15 @@
+#!/bin/bash
+# One-shot measurement batch for a healthy tunnel window (round 3):
+# fused/direct/SAT stage timings at every resolution, the headline
+# bench, and the on-chip parity lane. Each python process holds the
+# tunnel alone; run nothing else concurrently.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+timeout 580 python scripts/stage_bench.py --resolutions 4k --iters 20 --stages fused
+timeout 580 python scripts/stage_bench.py --resolutions 8k --iters 12 --stages fused
+timeout 580 python scripts/stage_bench.py --resolutions 16k --iters 8 --stages fused
+timeout 580 python scripts/stage_bench.py --resolutions 1080p --iters 20 --stages fused
+timeout 580 python scripts/stage_bench.py --resolutions 8k --iters 12 --stages direct
+timeout 580 python scripts/stage_bench.py --resolutions 16k --iters 8 --stages direct
+timeout 580 python bench.py
