@@ -408,3 +408,21 @@ def test_direct_sampler_matches_golden_on_device(frame, grids):
         want = golden.sample_rect(sat_np, dense, center)
         got = np.asarray(fn(jnp.asarray(center, jnp.float32)))
         np.testing.assert_array_equal(got, want)
+
+
+def test_fused_sampler_matches_golden_on_device(frame, grids):
+    """Pallas segment-reduce sampler on the chip: gaze-windowed HBM->VMEM
+    DMAs with scalar-prefetched bases, in-VMEM one-hot dots, and the
+    fused exact division must reproduce the float64 golden bit-for-bit
+    (Mosaic lowering, not the interpret-mode emulation the CPU suite
+    uses)."""
+    from foveax.kernels.segreduce import sample_rect_fused
+
+    gj, dense = grids
+    sat_np = golden.build_sat(frame)
+    fr = jnp.asarray(frame.transpose(2, 0, 1))
+    fn = jax.jit(lambda c: sample_rect_fused(fr, gj, c))
+    for center in [(0.5, 0.5), (0.03, 0.4), (0.97, 0.6), (1.0, 0.0)]:
+        want = golden.sample_rect(sat_np, dense, center)
+        got = np.asarray(fn(jnp.asarray(center, jnp.float32)))
+        np.testing.assert_array_equal(got, want)
