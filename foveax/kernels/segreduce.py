@@ -83,22 +83,31 @@ def _kernel_bands(
     row windows, 128 lanes for the x pass's column windows).
     """
     g = np.frombuffer(g_bytes, dtype=np.int64)
+    d = np.diff(g)
     n = g.shape[0] - 1
     blocks = list(range(0, n, s_cells))
-    # k must be a quantum multiple so the non-wrap clip bound
-    # (src_dim - k) stays base-aligned — otherwise an edge block's
-    # quantized base falls short of covering the last cells.
-    gran = max(64, quantum)
+    # Per-block slack: a straddle clamp displaces the base tap by at
+    # most the block's OWN max step (not the global 23 — foveal blocks
+    # need 1), plus quantum-1 for base alignment.  k must stay a quantum
+    # multiple so the non-wrap clip bound (src_dim - k) remains
+    # base-aligned — otherwise an edge block's quantized base falls
+    # short of covering the last cells.
     ks = []
     for bs in blocks:
-        span = int(g[min(bs + s_cells, n)] - g[bs])
-        ks.append(min(-(-(span + _SLACK + quantum) // gran) * gran, dim))
+        be = min(bs + s_cells, n)
+        span = int(g[be] - g[bs])
+        step = int(d[bs:be].max())
+        need = span + step + quantum - 1 + 1
+        ks.append(min(-(-need // quantum) * quantum, dim))
+    # Bucket for band grouping (coarse key keeps the band count small);
+    # each band's k is the exact max within its group.
+    keys = [-(-k // 64) * 64 for k in ks]
     bands = []
     gs = 0
     for i in range(1, len(blocks) + 1):
-        if i == len(blocks) or ks[i] != ks[gs]:
+        if i == len(blocks) or keys[i] != keys[gs]:
             end = blocks[i] if i < len(blocks) else n
-            bands.append(_KBand(blocks[gs], end, ks[gs]))
+            bands.append(_KBand(blocks[gs], end, max(ks[gs:i])))
             gs = i
     return tuple(bands)
 
