@@ -865,11 +865,20 @@ def cmd_perf(args) -> int:
             and jax.default_backend() != "cpu"
             and w <= 3840
         )
+        use_fused = args.sampler == "fused"
+        if use_fused:
+            from foveax.kernels.segreduce import sample_rect_fused
+
+            fused_interp = jax.default_backend() == "cpu"
 
         @jax.jit
         def step(f, c, build_fn=build_fn, grid=grid, w=w, h=h,
-                 use_direct=use_direct):
-            if use_direct:
+                 use_direct=use_direct, use_fused=use_fused):
+            if use_fused:
+                red = sample_rect_fused(
+                    f, grid, c, out_layout="chw", interpret=fused_interp
+                )
+            elif use_direct:
                 red = sample_rect_direct(f, grid, c, out_layout="chw")
             else:
                 sat = build_fn(f)
@@ -1129,9 +1138,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("perf", help="device-path fps across resolutions")
     p.add_argument(
         "--sampler",
-        choices=["auto", "sat", "direct"],
+        choices=["auto", "sat", "direct", "fused"],
         default="auto",
-        help="single-gaze downsampler: SAT 4-tap vs SAT-free direct "
+        help="single-gaze downsampler: SAT 4-tap, SAT-free direct, or "
+        "fused Pallas segment-reduce "
         "(auto = direct <= 4K on TPU, the measured crossover)",
     )
     p.add_argument(

@@ -53,11 +53,13 @@ class FoveationPipeline:
         sampler: str = "auto",
     ):
         """``sampler``: "sat" (build SAT then 4-tap sample), "direct"
-        (SAT-free banded sampler, foveax/core/direct.py), or "auto" —
+        (SAT-free banded sampler, foveax/core/direct.py), "fused"
+        (SAT-free Pallas segment-reduce kernels,
+        foveax/kernels/segreduce.py; interpret-mode on CPU), or "auto" —
         direct for single-gaze foveation at <= 4K on the TPU backend
         (measured crossover: direct wins 1.9x at 1080p and 1.4x at 4K,
         loses above — BENCHMARKS.md "SAT-free direct sampler"), SAT
-        otherwise.  Both are bit-identical; batch (multi-gaze) paths
+        otherwise.  All are bit-identical; batch (multi-gaze) paths
         always amortize one SAT."""
         self.config = config or FoveaxConfig()
         cfg = self.config
@@ -99,11 +101,22 @@ class FoveationPipeline:
                 else "sat"
             )
         self.sampler = sampler
+        if sampler == "fused":
+            from foveax.kernels.segreduce import sample_rect_fused
+
+            # Mosaic lowering needs the real TPU backend; the CPU
+            # backend runs the kernels in interpret mode (tests).
+            _fused_interpret = jax.default_backend() == "cpu"
 
         def _foveate(frame, center):
             if sampler == "direct":
                 return sample_rect_direct(
                     frame, grid, center, wrap_x=wrap_x, in_layout="hwc"
+                )
+            if sampler == "fused":
+                return sample_rect_fused(
+                    frame, grid, center, wrap_x=wrap_x, in_layout="hwc",
+                    interpret=_fused_interpret,
                 )
             return _sample(_build(frame), center)
 
@@ -135,6 +148,11 @@ class FoveationPipeline:
             if sampler == "direct":
                 return sample_rect_direct(
                     frame, grid, center, wrap_x=wrap_x, out_layout="chw"
+                )
+            if sampler == "fused":
+                return sample_rect_fused(
+                    frame, grid, center, wrap_x=wrap_x, out_layout="chw",
+                    interpret=_fused_interpret,
                 )
             return _sample_chw(_build_chw(frame), center)
 

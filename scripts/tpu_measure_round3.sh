@@ -12,4 +12,5 @@ timeout 580 python scripts/stage_bench.py --resolutions 16k --iters 8 --stages f
 timeout 580 python scripts/stage_bench.py --resolutions 1080p --iters 20 --stages fused
 timeout 580 python scripts/stage_bench.py --resolutions 8k --iters 12 --stages direct
 timeout 580 python scripts/stage_bench.py --resolutions 16k --iters 8 --stages direct
+FOVEAX_TPU_TESTS=1 timeout 3000 python -m pytest -m tpu tests/ -q
 timeout 580 python bench.py

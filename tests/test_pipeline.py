@@ -57,6 +57,29 @@ def test_no_recompile_across_gazes(small_frame):
     assert p.roundtrip._cache_size() == n0
 
 
+def test_fused_sampler_pipeline_matches_sat():
+    """sampler="fused" (Pallas segment-reduce, interpret-mode on CPU) is
+    bit-identical to the SAT pipeline.  Needs a lane-aligned source width
+    (the kernels' width-block rule), hence a separate config."""
+    cfg = FoveaxConfig(
+        source_width=256, source_height=64, reduced_width=128, reduced_height=32
+    )
+    rng = np.random.default_rng(11)
+    frame = jnp.asarray(rng.integers(0, 256, (64, 256, 3), np.uint8))
+    p_sat = FoveationPipeline(cfg, sampler="sat")
+    p_fus = FoveationPipeline(cfg, sampler="fused")
+    for c in [(0.5, 0.5), (0.03, 0.9), (1.0, 0.0)]:
+        cj = p_sat.center(*c)
+        np.testing.assert_array_equal(
+            np.asarray(p_sat.foveate(frame, cj)),
+            np.asarray(p_fus.foveate(frame, cj)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p_sat.foveate_chw(frame.transpose(2, 0, 1), cj)),
+            np.asarray(p_fus.foveate_chw(frame.transpose(2, 0, 1), cj)),
+        )
+
+
 def test_direct_sampler_pipeline_matches_sat(small_frame):
     """sampler="direct" is bit-identical to the SAT pipeline (the TPU
     auto-selection at <= 4K must be behavior-invisible)."""
