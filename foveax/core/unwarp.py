@@ -56,46 +56,44 @@ _MM_K = 128
 _MM_FIX_K = 128
 
 
-def _round_bf16_f32(w: jax.Array) -> jax.Array:
-    """Round f32 to the nearest bf16 value, RETURNED AS f32.
-
-    Computed with integer bit ops because XLA's bf16-conversion folding
-    elides convert(convert(w, bf16), f32) chains feeding dots (the MXU
-    truncates operands to bf16 anyway) — which would silently zero the
-    compensating low limb in :func:`_mm_limb_weights`.  Finite inputs
-    only (blend weights are in [0, 1])."""
-    b = jax.lax.bitcast_convert_type(w, jnp.uint32)
-    rounded = (b + 0x7FFF + ((b >> 16) & 1)) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(rounded, jnp.float32)
-
-
-def _mm_limb_weights(k_iota, o, s, r, dt):
-    """Bilinear blend weights (1-r at o, r at o+s) split into two
-    exact-sum limbs so one bf16 dot reproduces the f32 blend to ~2^-17
-    (vs bf16's 2^-9 — a single-limb dot deviates by up to 0.5 LSB more,
-    which breaks the <= 1 LSB envelope when composed with the row pass).
-    When s == 0 (edge-collapsed cell) both terms land on the same k and
-    sum to exactly 1."""
-    w = jnp.where(k_iota == o, 1.0 - r, 0.0) + jnp.where(k_iota == o + s, r, 0.0)
-    w_hi_f32 = _round_bf16_f32(w)
-    w_hi = w_hi_f32.astype(dt)
-    w_lo = (w - w_hi_f32).astype(dt)
-    return w_hi, w_lo
-
-
 def _mm_dtype():
     # CPU XLA lacks the bf16 dot kernels (and has no MXU to feed); the
     # f32 fallback keeps the code path testable in the CPU-only suite.
     return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
 
-def _mm_tiles(idx_lo, idx_hi, ratio, out_dim):
-    """Per-tile slab bases and limb weights for one axis."""
+def _mm_int_weights(k_iota, o, s, num, den, maxstep: int):
+    """Integer bilinear weights: den-num at o, num at o+s — the blend
+    lo + (hi-lo)*num/den scaled by den, so ONE dot computes the exact
+    integer numerator and an elementwise divide by den finishes the
+    blend.  All quantities are exact on the MXU: pixels <= 255 and
+    weights <= den <= maxstep are bf16-exact when maxstep <= 255 (true
+    at every production size — delta-LUT steps peak at ~23), products
+    and <= 2-term sums stay below 2^24 (f32-exact).  When s == 0
+    (edge-collapsed cell) both terms land on the same k and sum to
+    exactly den, so collapsed cells pass the pixel through bit-exactly.
+
+    Returns a list of weight tensors: one when maxstep <= 255; for
+    larger (non-production) grids, two exact 8-bit limb planes
+    (w = 256*w_hi8 + w_lo8, each bf16-exact) keep the same contract."""
+    dt = _mm_dtype()
+    w = jnp.where(k_iota == o, den - num, 0) + jnp.where(k_iota == o + s, num, 0)
+    if maxstep <= 255 or dt == jnp.float32:
+        return [w.astype(dt)], 1
+    hi8 = w // 256
+    return [(w - 256 * hi8).astype(dt), hi8.astype(dt)], 256
+
+
+def _mm_tiles(idx_lo, idx_hi, num, den, out_dim, maxstep: int):
+    """Per-tile slab bases, integer blend weights, and denominators for
+    one axis.  Pad cells get (num, den) = (0, 1): a weight-1 passthrough
+    of the base row/column, sliced off after the dot."""
     t = -(-out_dim // _MM_L)
     pad = t * _MM_L - out_dim
     lo_p = jnp.pad(idx_lo, (0, pad), mode="edge")
     s_p = jnp.pad(idx_hi - idx_lo, (0, pad))           # steps in {0, 1}
-    r_p = jnp.pad(ratio, (0, pad))
+    n_p = jnp.pad(num, (0, pad))
+    d_p = jnp.pad(den, (0, pad), constant_values=1)
     lo_t = lo_p.reshape(t, _MM_L)
     base = lo_t.min(axis=1)                            # (t,) traced
     off = lo_t - base[:, None]
@@ -103,67 +101,76 @@ def _mm_tiles(idx_lo, idx_hi, ratio, out_dim):
     k_iota = jnp.arange(_MM_K, dtype=jnp.int32)[None, :, None]
     o = jnp.where(bad, 0, off)[:, None, :]
     s = s_p.reshape(t, _MM_L)[:, None, :]
-    r = r_p.reshape(t, _MM_L)[:, None, :].astype(jnp.float32)
-    w_hi, w_lo = _mm_limb_weights(k_iota, o, s, r, _mm_dtype())
-    return t, base, bad, w_hi, w_lo
+    n = n_p.reshape(t, _MM_L)[:, None, :]
+    d = d_p.reshape(t, _MM_L)[:, None, :]
+    ws, scale = _mm_int_weights(k_iota, o, s, n, d, maxstep)
+    den_t = d_p.reshape(t, _MM_L).astype(jnp.float32)  # (t, L)
+    return t, base, bad, ws, scale, den_t
 
 
-def _mm_row_pass(planar, iy_lo, iy_hi, ry):
+def _mm_dot(slab, ws, scale: int, spec: str):
+    """Sum of limb einsums (usually one) in exact f32 accumulation."""
+    acc = jnp.einsum(spec, slab, ws[0], preferred_element_type=jnp.float32)
+    if len(ws) > 1:
+        acc = acc + scale * jnp.einsum(
+            spec, slab, ws[1], preferred_element_type=jnp.float32
+        )
+    return acc
+
+
+def _mm_row_pass(planar, iy_lo, iy_hi, ny, dy, maxstep: int):
     """(3, hr, Wr) u8 -> (3, Ho, Wr) u8 quantized vertical blend via
     row slabs + one MXU dot.  iy is strictly monotone (no wrap on y; steps
     {0, 1} verified over all integer gazes), so no fixup is needed."""
     _, hr, wr = planar.shape
     ho = iy_lo.shape[0]
-    ry0 = jnp.where(iy_hi == iy_lo, jnp.float32(0), ry)
-    t, base, _bad, w_hi, w_lo = _mm_tiles(iy_lo, iy_hi, ry0, ho)
+    t, base, _bad, ws, scale, den_t = _mm_tiles(iy_lo, iy_hi, ny, dy, ho, maxstep)
     dt = _mm_dtype()
     pp = jnp.pad(planar, ((0, 0), (0, _MM_K), (0, 0)))
     slab = jax.vmap(
         lambda b: jax.lax.dynamic_slice(pp, (0, b, 0), (3, _MM_K, wr))
     )(base).astype(dt)                                 # (t, 3, K, wr)
-    slab2 = jnp.concatenate([slab, slab], axis=2)
-    wcat = jnp.concatenate([w_hi, w_lo], axis=1)       # (t, 2K, L)
-    # + 0.51: fast's 0.5 rounding plus an epsilon exceeding the 0.0025
-    # limb-dot error bound, so exact-integer and exact-half blends (the
-    # common cases: ratio 0, ratio 1/2) round identically to the f32 path.
-    out_t = jnp.einsum(
-        "tckw,tkl->ctlw", slab2, wcat, preferred_element_type=jnp.float32
-    ) + 0.51
+    # Exact numerator dot, then divide by the per-pixel denominator and
+    # round half-up (the fast path's 0.5 rounding).  NUM and den are
+    # exact integers, NUM/den is correctly rounded, and true quotients
+    # sit >= 1/den from integer boundaries, so the rounding decision
+    # matches the true rational blend exactly.
+    num_t = _mm_dot(slab, ws, scale, "tckw,tkl->ctlw")  # (3, t, L, wr)
+    out_t = num_t / den_t[None, :, :, None] + 0.5
     return out_t.astype(jnp.uint8).reshape(3, t * _MM_L, wr)[:, :ho, :]
 
 
-def _mm_col_pass(yb, ix_lo, ix_hi, rx):
+def _mm_col_pass(yb, ix_lo, ix_hi, nx, dx, maxstep: int):
     """(3, Ho, Wr) u8 -> (3, Ho, W) u8 horizontal blend via column slabs
     + one MXU dot, with the jump-tile top_k fixup."""
     _, ho, _wr = yb.shape
     w_out = ix_lo.shape[0]
-    t, base, bad, w_hi, w_lo = _mm_tiles(ix_lo, ix_hi, rx, w_out)
+    t, base, bad, ws, scale, den_t = _mm_tiles(ix_lo, ix_hi, nx, dx, w_out, maxstep)
     dt = _mm_dtype()
     ybp = jnp.pad(yb, ((0, 0), (0, 0), (0, _MM_K)))
     slab = jax.vmap(
         lambda b: jax.lax.dynamic_slice(ybp, (0, 0, b), (3, ho, _MM_K))
     )(base).astype(dt)                                 # (t, 3, Ho, K)
-    slab2 = jnp.concatenate([slab, slab], axis=3)
-    wcat = jnp.concatenate([w_hi, w_lo], axis=1)
-    # "chtl" output ordering makes the (3, Ho, W) reshape free.  + 0.01
-    # biases the truncation so exact-integer blends (ratio 0 — the entire
-    # fovea) survive the ~0.0025 limb-dot error; deviations vs the f32
-    # blend are confined to values within the epsilon of a boundary,
-    # where both candidates are within 1 LSB of the exact path.
-    out_t = jnp.einsum(
-        "tchk,tkl->chtl", slab2, wcat, preferred_element_type=jnp.float32
-    ) + 0.01
+    # "chtl" output ordering makes the (3, Ho, W) reshape free.  The
+    # numerator/denominator divide truncates like the exact path; exact
+    # integer quotients (ratio 0 — the entire fovea) are exact in f32,
+    # so no truncation bias is needed.
+    num_t = _mm_dot(slab, ws, scale, "tchk,tkl->chtl")  # (3, Ho, t, L)
+    out_t = num_t / den_t[None, None, :, :]
     out = out_t.reshape(3, ho, t * _MM_L)[:, :, :w_out].astype(jnp.uint8)
 
     # Jump-tile columns: direct gathers for the <= _MM_FIX_K overflowing
-    # columns, scattered over the dot's placeholder values.
+    # columns, scattered over the dot's placeholder values — the same
+    # exact numerator/denominator blend the dot computes.
     badf = bad.reshape(-1)[:w_out]
     scores = jnp.where(badf, jnp.arange(w_out, dtype=jnp.int32), -1)
     fix = jax.lax.top_k(scores, min(_MM_FIX_K, w_out))[0]  # -1 padded
     safe = jnp.maximum(fix, 0)
     left = jnp.take(yb, ix_lo[safe], axis=2).astype(jnp.float32)
     right = jnp.take(yb, ix_hi[safe], axis=2).astype(jnp.float32)
-    vals = (left + (right - left) * rx[safe][None, None, :]).astype(jnp.uint8)
+    nf = nx[safe].astype(jnp.float32)[None, None, :]
+    df = dx[safe].astype(jnp.float32)[None, None, :]
+    vals = ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
     idx = jnp.where(fix < 0, w_out, fix)               # pads dropped
     return out.at[:, :, idx].set(vals, mode="drop")
 
@@ -177,9 +184,12 @@ def _axis_vectors(
 ):
     """Per-axis 1-D quantities for the unwarp.
 
-    Returns (idx_lo, idx_hi, ratio), each of shape (out_dim,): clamped
-    reduced-frame indices of the two enclosing log cells and the blend
-    factor in [0, 1].
+    Returns (idx_lo, idx_hi, ratio, num, den, maxstep): clamped
+    reduced-frame indices of the two enclosing log cells (shape
+    (out_dim,)), the blend factor in [0, 1], its exact integer
+    numerator/denominator (ratio == num/den bitwise; den >= 1), and the
+    static LUT step bound den never exceeds (drives the mm passes'
+    single-dot-vs-limb choice).
     """
     lam_out = _lam(out_dim)
     cp = center_scaled  # int32 scalar: trunc(center * out_dim)
@@ -193,7 +203,9 @@ def _axis_vectors(
     u_off = reduced_dim // 2 + 2
     # The unwarp's forward deltas use lambda derived from the *output* dim
     # (reference: src/sat_decoder_interpolate_kernel.cl:11-12).
-    lut = jnp.asarray(delta_table(-u_off, u_off, reduced_dim, out_dim))
+    lut_np = delta_table(-u_off, u_off, reduced_dim, out_dim)
+    maxstep = int(np.abs(np.diff(lut_np.astype(np.int64))).max())
+    lut = jnp.asarray(lut_np)
 
     # 360-degree wrap relative to the gaze (reference kernel :27-33).
     half = out_dim // 2
@@ -238,19 +250,18 @@ def _axis_vectors(
         u_lo2 = jnp.where(lo < 0, u_hi, u_lo)
         u_hi2 = jnp.where(hi >= out_dim, u_lo2, u_hi)
 
-    ratio = jnp.where(
-        hi == lo,
-        jnp.float32(0.0),
-        jnp.clip(
-            (pw - lo).astype(jnp.float32) / (hi - lo).astype(jnp.float32),
-            0.0,
-            1.0,
-        ),
-    )
+    # Exact integer blend fraction: num/den == the clamped ratio bitwise
+    # (both correctly-rounded f32 of the same rational).  Zero-width
+    # cells (hi == lo) force num = 0 — the reference blends toward the
+    # lo tap there — giving 0/1.  The integer pair feeds the mm passes'
+    # exact numerator dots; ratio keeps the gather paths unchanged.
+    den = jnp.maximum(hi - lo, 1)
+    num = jnp.where(hi == lo, 0, jnp.clip(pw - lo, 0, den))
+    ratio = num.astype(jnp.float32) / den.astype(jnp.float32)
 
     half_r = reduced_dim // 2
     clampr = lambda v: jnp.clip(v + half_r, 0, reduced_dim - 1)
-    return clampr(u_lo2), clampr(u_hi2), ratio
+    return clampr(u_lo2), clampr(u_hi2), ratio, num, den, maxstep
 
 
 def unwarp_rect(
@@ -289,12 +300,16 @@ def unwarp_rect(
           advances 0-or-1 per output pixel, so each 120-wide output tile
           reads a contiguous 128-wide source window (slab DMA) and the
           per-pixel tap selection + bilinear blend become one tiny MXU
-          dot per axis, weights carried in two exact-sum bf16 limbs
-          (see _mm_row_pass/_mm_col_pass).  <= 1 LSB of "exact",
-          device-validated across 32-gaze sweeps at 1080p/4K/8K
-          (tests/test_tpu_parity.py).  Measured: 1.70/2.47/3.83 ms at
-          1080p/4K/8K — 1.8x faster than "fast" at 8K, where the column
-          gather was the full path's dominant stage.
+          dot per axis.  The dot computes the blend's exact INTEGER
+          numerator (weights den-num/num are small bf16-exact integers,
+          see _mm_int_weights) and an elementwise divide by den finishes
+          — one dot where the earlier bf16-limb formulation needed a
+          doubled slab and two weight planes, at the same <= 1 LSB
+          contract (device-validated across 32-gaze sweeps at
+          1080p/4K/8K, tests/test_tpu_parity.py).  Limb-era timings
+          1.70/2.47/3.83 ms at 1080p/4K/8K — 1.8x faster than "fast" at
+          8K; the single-dot rewrite halves the dot FLOPs and slab bytes
+          on top.
       "auto"  — "mm" on accelerator backends, "fast" on CPU (CPU XLA
           has no MXU; its dot kernels lose to the gather formulation).
     """
@@ -308,15 +323,15 @@ def unwarp_rect(
     cx = (center[0] * jnp.float32(out_width)).astype(jnp.int32)
     cy = (center[1] * jnp.float32(out_height)).astype(jnp.int32)
 
-    ix_lo, ix_hi, rx = _axis_vectors(out_width, wr, cx, wrap=True)
-    iy_lo, iy_hi, ry = _axis_vectors(out_height, hr, cy, wrap=False)
+    ix_lo, ix_hi, rx, nx, dx, msx = _axis_vectors(out_width, wr, cx, wrap=True)
+    iy_lo, iy_hi, ry, ny, dy, msy = _axis_vectors(out_height, hr, cy, wrap=False)
 
     ry2 = ry[None, :, None]
     rx2 = rx[None, None, :]
 
     if precision == "mm":
-        yb = _mm_row_pass(planar, iy_lo, iy_hi, ry)
-        out = _mm_col_pass(yb, ix_lo, ix_hi, rx)
+        yb = _mm_row_pass(planar, iy_lo, iy_hi, ny, dy, msy)
+        out = _mm_col_pass(yb, ix_lo, ix_hi, nx, dx, msx)
     elif precision == "fast":
         # Pair-u16 gathers: idx_hi is always idx_lo or idx_lo + 1 (the
         # cell construction in _axis_vectors takes min/max of u and u+du

@@ -117,11 +117,11 @@ def test_fast_unwarp_within_one_lsb_on_device(frame, grids):
 
 
 def test_mm_unwarp_within_one_lsb_on_device(frame, grids):
-    """precision="mm" (slab + bf16-limb MXU dots) vs the exact path ON
-    THE DEVICE — this is where the bf16 weight-limb numerics (and XLA's
-    bf16 convert-folding hazard, see core/unwarp._round_bf16_f32) are
-    actually exercised; the CPU suite runs the f32 fallback.  Two gazes:
-    centered, and near the seam so the jump-tile fixup engages."""
+    """precision="mm" (slab + integer-numerator MXU dots) vs the exact
+    path ON THE DEVICE — this is where the bf16-exactness of the integer
+    weights (core/unwarp._mm_int_weights) is actually exercised; the CPU
+    suite runs the f32 fallback.  Two gazes: centered, and near the seam
+    so the jump-tile fixup engages."""
     gj, dense = grids
     sat_np = golden.build_sat(frame)
 

@@ -184,6 +184,29 @@ def test_mm_fovea_identity(rng):
     )
 
 
+def test_mm_limb_fallback_within_one_lsb(rng, monkeypatch):
+    """Non-production grids whose delta-LUT steps exceed 255 take the
+    two-limb integer weight branch (weights no longer bf16-exact in one
+    plane).  Force the bf16 dtype on CPU so the branch actually runs and
+    pin it to the same <= 1 LSB contract.  (96-wide output over a
+    16-wide reduced frame has max step ~365, asserted below so the test
+    keeps testing the branch if grid math changes.)"""
+    from foveax.core import unwarp as U
+
+    hr, wr = 16, 16
+    out_w, out_h = 96, 96
+    ms = U._axis_vectors(out_w, wr, jnp.int32(48), wrap=True)[5]
+    assert ms > 255, "grid no longer exercises the limb branch"
+    monkeypatch.setattr(U, "_mm_dtype", lambda: jnp.bfloat16)
+    reduced = jnp.asarray(rng.integers(0, 256, size=(hr, wr, 3), dtype=np.uint8))
+    for center in [(0.5, 0.5), (0.05, 0.8)]:
+        c = jnp.asarray(center, dtype=jnp.float32)
+        exact = np.asarray(unwarp_rect(reduced, out_w, out_h, c))
+        mm = np.asarray(unwarp_rect(reduced, out_w, out_h, c, precision="mm"))
+        d = np.abs(exact.astype(np.int32) - mm.astype(np.int32))
+        assert d.max() <= 1, d.max()
+
+
 def test_mm_tile_window_precondition():
     """The mm path's slab-window correctness rests on a structural property
     of the inverse map: per 120-column output tile, ix_lo spans at most
