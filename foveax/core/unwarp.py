@@ -310,11 +310,30 @@ def unwarp_rect(
           1.70/2.47/3.83 ms at 1080p/4K/8K — 1.8x faster than "fast" at
           8K; the single-dot rewrite halves the dot FLOPs and slab bytes
           on top.
+      "fused" — the mm math moved into Pallas kernels
+          (foveax/kernels/unwarp_pl.py): gaze-windowed slabs DMA
+          HBM->VMEM and the integer-numerator dots run kernel-resident,
+          removing the mm path's materialized slab traffic.  Same
+          <= 1 LSB contract; interpret-mode on the CPU backend.
+          Requires production-like shapes (raises ValueError otherwise —
+          fall back to "mm").
       "auto"  — "mm" on accelerator backends, "fast" on CPU (CPU XLA
           has no MXU; its dot kernels lose to the gather formulation).
     """
     if precision == "auto":
         precision = "mm" if jax.default_backend() != "cpu" else "fast"
+    if precision == "fused":
+        from foveax.kernels.unwarp_pl import unwarp_rect_fused
+
+        return unwarp_rect_fused(
+            reduced,
+            out_width,
+            out_height,
+            center,
+            in_layout=in_layout,
+            out_layout=out_layout,
+            interpret=jax.default_backend() == "cpu",
+        )
     if in_layout == "hwc":
         planar = reduced.transpose(2, 0, 1)
     else:

@@ -1,0 +1,284 @@
+"""Fused Pallas unwarp kernels (slab-DMA + in-VMEM integer-weight dots).
+
+The XLA "mm" unwarp (foveax/core/unwarp.py) replaced the gather engine
+with slab dynamic-slices + MXU dots, but those slabs are materialized
+through HBM — ~850 MB of bf16 per 16K frame for the column pass alone.
+These kernels keep the same math (one exact integer-numerator dot per
+axis, divide by the cell width) but DMA each gaze-positioned window
+straight from HBM into VMEM and run the dot kernel-resident, so the only
+full-size HBM traffic is the read of the y-blended intermediate and the
+write of the output.  Same structure as the fused sampler
+(foveax/kernels/segreduce.py); reference semantics are the inverse
+bilinear unwarp of src/sat_decoder_interpolate_kernel.cl:1-151.
+
+Geometry: the inverse log map's cell index advances 0-or-1 per output
+pixel, so 128 consecutive output pixels span <= 129 source cells —
+circularly contiguous across the 360 seam (the wrap jump lands exactly
+at the frame boundary), which an input-side circular pad of the SMALL
+reduced frame absorbs.  Per block the traced base (scalar prefetch)
+anchors a statically-sized window; rare edge-collapse columns that
+escape the window (the same jump/collapse cases the mm path repairs)
+are fixed up post-kernel by the identical top_k scatter.
+
+MXU exactness: pixels <= 255 and integer weights <= den <= 255 are
+bf16-exact (the MXU truncates f32 operands to bf16), products and
+2-term sums stay below 2^24, so the numerator dot is exact; the f32
+divide is within 1 ulp and true quotients sit >= 1/den from integer
+boundaries, keeping the <= 1 LSB contract of the mm path.  The column
+pass adds +0.01 before truncation so a 1-ulp-low device divide cannot
+truncate an exact integer quotient (the fovea) down.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Output cells per block: x blocks are the result's LANE dim (u8 tiles
+# at 128 lanes), y blocks its SUBLANE dim (u8 tiles at 32 sublanes).
+_LX = 128
+_SY = 32
+# DMA base quantum per axis (window starts snap down to this).
+_QX = 8
+_QY = 8
+# Static slab widths: quantum-1 slack + max span (cells advance 0/1 per
+# output pixel: 129 for x blocks, 33 for y blocks) + the hi tap + 1,
+# rounded up to 8.
+_KX = 144
+_KY = 48
+# Post-kernel fixup capacity for x columns that escape their window
+# (edge-collapse cases; the all-integer-gaze sweep in tests pins the
+# actual worst case far below this).
+_FIX_K = 128
+
+
+def _hb(ho: int) -> int:
+    """Row-block of the x pass: the whole height when VMEM allows (a
+    block spanning the full dim needs no tile alignment), else the
+    largest 32-multiple divisor (u8 sublane tiling)."""
+    if ho <= 4320:
+        return ho
+    for d in range(4320, 31, -32):
+        if ho % d == 0:
+            return d
+    return ho
+
+
+def _block_geom(idx_lo, idx_hi, num, den, s_cells: int, src_dim: int,
+                k: int, q: int, wrap: bool):
+    """Per-block traced geometry: bases (nb,), rel/step/num/den (nb, S),
+    plus the flat out-of-window mask (for the x fixup).
+
+    Pad cells get (num, den) = (0, 1) weight-1 passthroughs.  Bases snap
+    down to ``q``; out-of-window cells are neutralized in-kernel (rel 0,
+    step 0) and repaired by the caller's fixup."""
+    n = idx_lo.shape[0]
+    nb = -(-n // s_cells)
+    pad = nb * s_cells - n
+    lo = jnp.pad(idx_lo, (0, pad), mode="edge").reshape(nb, s_cells)
+    s = jnp.pad(idx_hi - idx_lo, (0, pad)).reshape(nb, s_cells)
+    nm = jnp.pad(num, (0, pad)).reshape(nb, s_cells)
+    dn = jnp.pad(den, (0, pad), constant_values=1).reshape(nb, s_cells)
+    if wrap:
+        base = (lo[:, 0] // q) * q
+        rel = jnp.mod(lo - base[:, None], src_dim)
+    else:
+        base = jnp.clip(lo[:, 0], 0, max(src_dim - k, 0))
+        base = (base // q) * q
+        rel = lo - base[:, None]
+    # In-window iff both taps fit: rel + s <= k - 1 (s = 0 at collapsed
+    # edge cells, so rel = k - 1 alone is still valid).
+    bad = (rel < 0) | (rel + s > k - 1)
+    rel = jnp.where(bad, 0, rel)
+    s = jnp.where(bad, 0, s)
+    badf = bad.reshape(-1)[:n]
+    return (base.astype(jnp.int32), rel.astype(jnp.int32),
+            s.astype(jnp.int32), nm.astype(jnp.int32),
+            dn.astype(jnp.int32), badf)
+
+
+def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
+              slab, sem, *, k):
+    """One 32-row output block: DMA the (3, k, Wp) source row window,
+    blend via one exact integer-numerator dot per channel, divide by the
+    cell width, round half-up, emit uint8."""
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        frame_hbm.at[:, pl.ds(base_ref[i], k), :], slab, sem
+    )
+    dma.start()
+    dma.wait()
+    lo = lo_ref[0, :][:, None]
+    s = s_ref[0, :][:, None]
+    nm = n_ref[0, :][:, None].astype(jnp.float32)
+    dn = d_ref[0, :][:, None].astype(jnp.float32)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (_SY, k), 1)
+    oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
+    outs = []
+    for c in range(3):
+        x = slab[c, :, :].astype(jnp.int32).astype(jnp.float32)  # (k, Wp)
+        numdot = jax.lax.dot_general(
+            oh, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (_SY, Wp)
+        outs.append((numdot / dn + 0.5).astype(jnp.int32).astype(jnp.uint8))
+    out_ref[...] = jnp.stack(outs)
+
+
+def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
+              slab, sem, *, k, hb):
+    """One (col-block, row-block) step: DMA the (3, hb, k) window of the
+    y-blended intermediate, one integer-numerator dot per channel,
+    divide, truncate (+0.01 guards exact-integer quotients against a
+    1-ulp-low device divide), emit uint8."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        rows_hbm.at[:, pl.ds(j * hb, hb), pl.ds(base_ref[i], k)], slab, sem
+    )
+    dma.start()
+    dma.wait()
+    lo = lo_ref[0, :][None, :]
+    s = s_ref[0, :][None, :]
+    nm = n_ref[0, :][None, :].astype(jnp.float32)
+    dn = d_ref[0, :][None, :].astype(jnp.float32)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (k, _LX), 0)
+    oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
+    outs = []
+    for c in range(3):
+        x = slab[c, :, :].astype(jnp.int32).astype(jnp.float32)  # (hb, k)
+        numdot = jax.lax.dot_general(
+            x, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (hb, _LX)
+        outs.append((numdot / dn + 0.01).astype(jnp.int32).astype(jnp.uint8))
+    out_ref[...] = jnp.stack(outs)
+
+
+def _vec_spec(s_cells):
+    return pl.BlockSpec(
+        (1, s_cells), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _vec_spec2(s_cells):
+    return pl.BlockSpec(
+        (1, s_cells), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def unwarp_rect_fused(
+    reduced: jax.Array,
+    out_width: int,
+    out_height: int,
+    center: jax.Array,
+    *,
+    in_layout: str = "hwc",
+    out_layout: str = "hwc",
+    interpret: bool = False,
+) -> jax.Array:
+    """Unwarp a reduced uint8 frame to (out_height, out_width) via the
+    fused Pallas pipeline — within 1 LSB of ``unwarp_rect(precision=
+    "exact")``, fovea bit-exact (same contract as "mm").
+
+    Requires: out_width a multiple of 128, reduced >= (_KY, _KX) and
+    delta-LUT steps <= 255 (all production shapes qualify); raises
+    ValueError otherwise — callers fall back to precision="mm".
+    """
+    from foveax.core.unwarp import _axis_vectors
+
+    planar = reduced.transpose(2, 0, 1) if in_layout == "hwc" else reduced
+    _, hr, wr = planar.shape
+    if out_width % _LX:
+        raise ValueError(f"fused unwarp needs out_width % {_LX} == 0")
+    if hr < _KY or wr < _KX:
+        raise ValueError(f"fused unwarp needs reduced >= ({_KY}, {_KX})")
+    cx = (center[0] * jnp.float32(out_width)).astype(jnp.int32)
+    cy = (center[1] * jnp.float32(out_height)).astype(jnp.int32)
+    ix_lo, ix_hi, _rx, nx, dx, msx = _axis_vectors(out_width, wr, cx, wrap=True)
+    iy_lo, iy_hi, _ry, ny, dy, msy = _axis_vectors(out_height, hr, cy, wrap=False)
+    if max(msx, msy) > 255:
+        raise ValueError("fused unwarp needs delta steps <= 255")
+
+    # --- y pass: (3, hr, Wr) -> (3, Ho_pad32, Wr + _KX) u8 -------------
+    # The input-side circular pad (cheap: the reduced frame is small)
+    # gives the x pass seam-crossing windows; the 32-row output padding
+    # (pad cells replicate edge geometry) is never read by the x pass.
+    wp = wr + _KX
+    pp = jnp.pad(planar, ((0, 0), (0, 0), (0, _KX)), mode="wrap")
+    ho_pad = -(-out_height // _SY) * _SY
+    by, ry_lo, ry_s, ry_n, ry_d, _ = _block_geom(
+        iy_lo, iy_hi, ny, dy, _SY, hr, _KY, _QY, wrap=False
+    )
+    nby = ho_pad // _SY
+    yb = pl.pallas_call(
+        functools.partial(_y_kernel, k=_KY),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nby,),
+            in_specs=[
+                _vec_spec(_SY), _vec_spec(_SY), _vec_spec(_SY),
+                _vec_spec(_SY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, _SY, wp), lambda i, *_: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3, _KY, wp), jnp.uint8),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, ho_pad, wp), jnp.uint8),
+        interpret=interpret,
+    )(by, ry_lo, ry_s, ry_n, ry_d, pp)
+
+    # --- x pass: (3, Ho, W) from gaze-windowed column slabs ------------
+    hb = _hb(out_height)
+    bx, rx_lo, rx_s, rx_n, rx_d, badf = _block_geom(
+        ix_lo, ix_hi, nx, dx, _LX, wr, _KX, _QX, wrap=True
+    )
+    nbx = out_width // _LX
+    out = pl.pallas_call(
+        functools.partial(_x_kernel, k=_KX, hb=hb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nbx, out_height // hb),
+            in_specs=[
+                _vec_spec2(_LX), _vec_spec2(_LX), _vec_spec2(_LX),
+                _vec_spec2(_LX),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, hb, _LX), lambda i, j, *_: (0, j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3, hb, _KX), jnp.uint8),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, out_height, out_width), jnp.uint8),
+        interpret=interpret,
+    )(bx, rx_lo, rx_s, rx_n, rx_d, yb)
+
+    # --- fixup: out-of-window columns (edge-collapse cases), the same
+    # exact blend the kernel computes, scattered over placeholders -----
+    ybv = yb[:, :out_height, :]
+    scores = jnp.where(badf, jnp.arange(out_width, dtype=jnp.int32), -1)
+    fix = jax.lax.top_k(scores, min(_FIX_K, out_width))[0]
+    safe = jnp.maximum(fix, 0)
+    left = jnp.take(ybv, ix_lo[safe], axis=2).astype(jnp.float32)
+    right = jnp.take(ybv, ix_hi[safe], axis=2).astype(jnp.float32)
+    nf = nx[safe].astype(jnp.float32)[None, None, :]
+    df = dx[safe].astype(jnp.float32)[None, None, :]
+    vals = ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
+    idx = jnp.where(fix < 0, out_width, fix)
+    out = out.at[:, :, idx].set(vals, mode="drop")
+
+    return out if out_layout == "chw" else out.transpose(1, 2, 0)

@@ -34,7 +34,8 @@ def main() -> int:
     ap.add_argument("--resolutions", nargs="*", default=["4k", "8k"], choices=RES)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
-        "--precision", default="auto", choices=["exact", "fast", "mm", "auto"]
+        "--precision", default="auto",
+        choices=["exact", "fast", "mm", "fused", "auto"]
     )
     ap.add_argument(
         "--stages",

@@ -15,5 +15,8 @@ timeout 580 python scripts/stage_bench.py --resolutions 16k --iters 8 --stages d
 # Single-dot integer-weight mm unwarp (replaces the bf16-limb pair).
 timeout 580 python scripts/stage_bench.py --resolutions 1080p 4k --iters 20 --stages unwarp --precision mm
 timeout 580 python scripts/stage_bench.py --resolutions 8k 16k --iters 10 --stages unwarp --precision mm
+# Fused Pallas unwarp (kernel-resident slabs, no materialized slab traffic).
+timeout 580 python scripts/stage_bench.py --resolutions 1080p 4k --iters 20 --stages unwarp --precision fused
+timeout 580 python scripts/stage_bench.py --resolutions 8k 16k --iters 10 --stages unwarp --precision fused
 FOVEAX_TPU_TESTS=1 timeout 3000 python -m pytest -m tpu tests/ -q
 timeout 580 python bench.py

@@ -1,0 +1,173 @@
+"""Fused Pallas unwarp: interpret-mode parity vs the exact path + static
+window invariants at production sizes.
+
+The kernels' correctness rests on the slab-window guarantee: every
+output cell's (lo, lo+step) tap pair must land inside its block's
+quantized window, except the edge-collapse columns the post-kernel
+fixup repairs (x axis only, capacity _FIX_K).  The sweeps below check
+that over ALL integer gazes per axis at the production unwarp grids.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foveax.core.unwarp import _axis_vectors, unwarp_rect
+from foveax.kernels.unwarp_pl import (
+    _FIX_K,
+    _KX,
+    _KY,
+    _LX,
+    _QX,
+    _QY,
+    _SY,
+    unwarp_rect_fused,
+)
+
+HR, WR, OUT_H, OUT_W = 64, 160, 128, 256
+
+CENTERS = [
+    (0.5, 0.5),
+    (0.03, 0.4),
+    (0.97, 0.6),
+    (0.0, 0.0),
+    (1.0, 1.0),
+    (0.31, 0.87),
+    (0.999, 0.001),
+]
+
+
+@pytest.fixture(scope="module")
+def reduced(rng_mod=np.random.default_rng(7)):
+    return jnp.asarray(rng_mod.integers(0, 256, (HR, WR, 3), np.uint8))
+
+
+@pytest.mark.parametrize("center", CENTERS)
+def test_fused_within_one_lsb_of_exact(reduced, center):
+    c = jnp.asarray(center, jnp.float32)
+    exact = np.asarray(unwarp_rect(reduced, OUT_W, OUT_H, c))
+    got = np.asarray(
+        unwarp_rect_fused(reduced, OUT_W, OUT_H, c, interpret=True)
+    )
+    d = np.abs(exact.astype(np.int32) - got.astype(np.int32))
+    assert d.max() <= 1, (center, d.max(), (d > 1).sum())
+
+
+def test_fused_via_precision_dispatch(reduced):
+    """unwarp_rect(precision="fused") routes to the kernels (interpret
+    on the CPU backend) and honors layouts."""
+    c = jnp.asarray((0.4, 0.7), jnp.float32)
+    hwc = np.asarray(unwarp_rect(reduced, OUT_W, OUT_H, c, precision="fused"))
+    chw = np.asarray(
+        unwarp_rect(
+            reduced.transpose(2, 0, 1), OUT_W, OUT_H, c,
+            in_layout="chw", out_layout="chw", precision="fused",
+        )
+    )
+    np.testing.assert_array_equal(hwc, chw.transpose(1, 2, 0))
+    exact = np.asarray(unwarp_rect(reduced, OUT_W, OUT_H, c))
+    assert np.abs(exact.astype(np.int32) - hwc.astype(np.int32)).max() <= 1
+
+
+def test_fused_fovea_identity(rng):
+    """The fovea must stay bit-exact (exact integer quotients survive
+    the +0.01-guarded truncation)."""
+    red = rng.integers(0, 256, (HR, WR, 3), np.uint8)
+    out = np.asarray(
+        unwarp_rect_fused(
+            jnp.asarray(red), OUT_W, OUT_H,
+            jnp.asarray([0.5, 0.5], jnp.float32), interpret=True,
+        )
+    )
+    k = 6
+    cx, cy = OUT_W // 2, OUT_H // 2
+    np.testing.assert_array_equal(
+        out[cy - k : cy + k + 1, cx - k : cx + k + 1],
+        red[HR // 2 - k : HR // 2 + k + 1, WR // 2 - k : WR // 2 + k + 1],
+    )
+
+
+def test_fused_flagship_size(rng):
+    """One flagship 1072x608 -> 1920x1080 frame through the kernels in
+    interpret mode: <= 1 LSB of exact, fovea bit-exact."""
+    red = rng.integers(0, 256, (608, 1072, 3), np.uint8)
+    c = jnp.asarray([0.37, 0.62], jnp.float32)
+    got = np.asarray(
+        unwarp_rect_fused(jnp.asarray(red), 1920, 1080, c, interpret=True)
+    )
+    exact = np.asarray(unwarp_rect(jnp.asarray(red), 1920, 1080, c))
+    d = np.abs(exact.astype(np.int32) - got.astype(np.int32))
+    assert d.max() <= 1, (d.max(), (d > 1).sum())
+    cx, cy = int(np.float32(0.37) * 1920), int(np.float32(0.62) * 1080)
+    np.testing.assert_array_equal(
+        got[cy - 3 : cy + 3, cx - 3 : cx + 3],
+        np.asarray(exact)[cy - 3 : cy + 3, cx - 3 : cx + 3],
+    )
+
+
+def _sweep_axis(out_dim, red_dim, wrap, gazes):
+    """(window violations, worst per-gaze fixup load) over given gazes."""
+    s_cells, k, q = (_LX, _KX, _QX) if wrap else (_SY, _KY, _QY)
+    f = jax.jit(lambda cp: _axis_vectors(out_dim, red_dim, cp, wrap=wrap)[:2])
+    viol, worst_bad = 0, 0
+    nb = -(-out_dim // s_cells)
+    pad = nb * s_cells - out_dim
+    for cp in gazes:
+        lo_j, hi_j = f(jnp.int32(cp))
+        lo0 = np.asarray(lo_j).astype(np.int64)
+        s0 = np.asarray(hi_j).astype(np.int64) - lo0
+        lo = np.pad(lo0, (0, pad), mode="edge").reshape(nb, s_cells)
+        s = np.pad(s0, (0, pad)).reshape(nb, s_cells)
+        if wrap:
+            base = (lo[:, 0] // q) * q
+            rel = np.mod(lo - base[:, None], red_dim)
+        else:
+            base = np.clip(lo[:, 0], 0, max(red_dim - k, 0))
+            base = (base // q) * q
+            rel = lo - base[:, None]
+        bad = (rel < 0) | (rel + s > k - 1)
+        if wrap:
+            worst_bad = max(worst_bad, int(bad.sum()))
+        else:
+            viol += int(bad.sum())
+            viol += int((base + k > red_dim).sum())
+    return viol, worst_bad
+
+
+@pytest.mark.parametrize(
+    "dims",
+    [
+        (1072, 608, 1920, 1080),
+        (2144, 1200, 3840, 2160),
+        (WR, HR, OUT_W, OUT_H),
+    ],
+    ids=["1080p", "4k", "testsize"],
+)
+def test_kernel_window_invariants_all_integer_gazes(dims):
+    red_w, red_h, out_w, out_h = dims
+    vy, _ = _sweep_axis(out_h, red_h, False, range(0, out_h))
+    assert vy == 0, "y windows must never overflow (no fixup on y)"
+    _, worst = _sweep_axis(out_w, red_w, True, range(0, out_w))
+    assert worst <= _FIX_K, worst
+
+
+def test_kernel_window_invariants_large_strided():
+    """8K/16K grids, strided gazes (dense sweeps are minutes-long)."""
+    for red_w, red_h, out_w, out_h in [
+        (4272, 2400, 7680, 4320),
+        (8544, 4800, 15360, 8640),
+    ]:
+        vy, _ = _sweep_axis(out_h, red_h, False, range(0, out_h, 97))
+        assert vy == 0
+        _, worst = _sweep_axis(out_w, red_w, True, range(0, out_w, 101))
+        assert worst <= _FIX_K, worst
+
+
+def test_fused_rejects_unsupported_shapes(reduced):
+    c = jnp.asarray([0.5, 0.5], jnp.float32)
+    with pytest.raises(ValueError):
+        unwarp_rect_fused(reduced, 250, OUT_H, c, interpret=True)
+    tiny = jnp.zeros((8, 8, 3), jnp.uint8)
+    with pytest.raises(ValueError):
+        unwarp_rect_fused(tiny, OUT_W, OUT_H, c, interpret=True)
