@@ -57,12 +57,13 @@ _FIX_K = 128
 
 
 def _hb(ho: int) -> int:
-    """Row-block of the x pass: the whole height when VMEM allows (a
-    block spanning the full dim needs no tile alignment), else the
-    largest 32-multiple divisor (u8 sublane tiling)."""
-    if ho <= 4320:
+    """Row-block of the x pass: the whole height when VMEM comfortably
+    allows (a block spanning the full dim needs no tile alignment), else
+    the largest 32-multiple divisor (u8 sublane tiling) under the
+    scoped-VMEM budget (slab + f32 casts + accumulator <= ~8 MB)."""
+    if ho <= 3000:
         return ho
-    for d in range(4320, 31, -32):
+    for d in range(2880, 31, -32):
         if ho % d == 0:
             return d
     return ho
@@ -102,16 +103,29 @@ def _block_geom(idx_lo, idx_hi, num, den, s_cells: int, src_dim: int,
 
 
 def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
-              slab, sem, *, k):
-    """One 32-row output block: DMA the (3, k, Wp) source row window,
-    blend via one exact integer-numerator dot per channel, divide by the
-    cell width, round half-up, emit uint8."""
+              slab, sem, *, k, nby):
+    """One 32-row output block: DMA the (3, k, Wp) source row window
+    (double-buffered: block i+1's window streams in behind block i's
+    dots), blend via one exact integer-numerator dot per channel, divide
+    by the cell width, round half-up, emit uint8."""
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        frame_hbm.at[:, pl.ds(base_ref[i], k), :], slab, sem
-    )
-    dma.start()
-    dma.wait()
+    slot = jax.lax.rem(i, 2)
+
+    def copy(ii, sl):
+        return pltpu.make_async_copy(
+            frame_hbm.at[:, pl.ds(base_ref[ii], k), :], slab.at[sl],
+            sem.at[sl],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy(i, slot).start()
+
+    @pl.when(i + 1 < nby)
+    def _():
+        copy(i + 1, 1 - slot).start()
+
+    copy(i, slot).wait()
     lo = lo_ref[0, :][:, None]
     s = s_ref[0, :][:, None]
     nm = n_ref[0, :][:, None].astype(jnp.float32)
@@ -120,7 +134,7 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
     oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
     outs = []
     for c in range(3):
-        x = slab[c, :, :].astype(jnp.int32).astype(jnp.float32)  # (k, Wp)
+        x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
         numdot = jax.lax.dot_general(
             oh, x, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -130,18 +144,35 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
 
 
 def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
-              slab, sem, *, k, hb):
+              slab, sem, *, k, hb, nbx, nrb):
     """One (col-block, row-block) step: DMA the (3, hb, k) window of the
-    y-blended intermediate, one integer-numerator dot per channel,
+    y-blended intermediate (double-buffered ahead of the grid's
+    row-major iteration order), one integer-numerator dot per channel,
     divide, truncate (+0.01 guards exact-integer quotients against a
     1-ulp-low device divide), emit uint8."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        rows_hbm.at[:, pl.ds(j * hb, hb), pl.ds(base_ref[i], k)], slab, sem
-    )
-    dma.start()
-    dma.wait()
+    t = i * nrb + j
+    slot = jax.lax.rem(t, 2)
+
+    def copy(ii, jj, sl):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii], k)],
+            slab.at[sl], sem.at[sl],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        copy(i, j, slot).start()
+
+    jn = jax.lax.rem(j + 1, nrb)
+    i_next = i + (j + 1) // nrb
+
+    @pl.when(i_next < nbx)
+    def _():
+        copy(jnp.minimum(i_next, nbx - 1), jn, 1 - slot).start()
+
+    copy(i, j, slot).wait()
     lo = lo_ref[0, :][None, :]
     s = s_ref[0, :][None, :]
     nm = n_ref[0, :][None, :].astype(jnp.float32)
@@ -150,7 +181,7 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
     oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
     outs = []
     for c in range(3):
-        x = slab[c, :, :].astype(jnp.int32).astype(jnp.float32)  # (hb, k)
+        x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
         numdot = jax.lax.dot_general(
             x, oh, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -216,7 +247,7 @@ def unwarp_rect_fused(
     )
     nby = ho_pad // _SY
     yb = pl.pallas_call(
-        functools.partial(_y_kernel, k=_KY),
+        functools.partial(_y_kernel, k=_KY, nby=nby),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nby,),
@@ -230,8 +261,8 @@ def unwarp_rect_fused(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((3, _KY, wp), jnp.uint8),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, 3, _KY, wp), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((3, ho_pad, wp), jnp.uint8),
@@ -244,11 +275,12 @@ def unwarp_rect_fused(
         ix_lo, ix_hi, nx, dx, _LX, wr, _KX, _QX, wrap=True
     )
     nbx = out_width // _LX
+    nrb = out_height // hb
     out = pl.pallas_call(
-        functools.partial(_x_kernel, k=_KX, hb=hb),
+        functools.partial(_x_kernel, k=_KX, hb=hb, nbx=nbx, nrb=nrb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nbx, out_height // hb),
+            grid=(nbx, nrb),
             in_specs=[
                 _vec_spec2(_LX), _vec_spec2(_LX), _vec_spec2(_LX),
                 _vec_spec2(_LX),
@@ -259,8 +291,8 @@ def unwarp_rect_fused(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((3, hb, _KX), jnp.uint8),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, 3, hb, _KX), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((3, out_height, out_width), jnp.uint8),
