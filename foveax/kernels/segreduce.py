@@ -50,6 +50,14 @@ _SX = 128
 _SLACK = 32
 
 
+def _dbuf_fits(k: int, minor: int, elem_bytes: int = 1) -> bool:
+    """Static check: a double-buffered slab plus the in-kernel f32 cast
+    planes must stay within a conservative ~8 MB scoped-VMEM allowance
+    (the largest periphery bands at 16K exceed it and fall back to a
+    single serial-DMA slab)."""
+    return (6 * elem_bytes + 12) * k * minor <= 8 * 1024 * 1024
+
+
 def _wb(w: int) -> int:
     """Width-block: largest 128-multiple divisor of ``w`` up to 2048
     (every production width divides by 1920)."""
@@ -145,22 +153,47 @@ def _block_geometry(
     )
 
 
-def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *, k, wb, w):
+def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
+              k, wb, w, nb, nwb, dbuf):
     """One (row-block, width-block) step: DMA the (3, k, wb) source
     window, one-hot dot the rows into _S segment sums, emit uint16.
 
     Width blocks past w/wb wrap to the frame's left edge ((j*wb) % w) —
-    they write the 360 wrap pad the x pass's windows read through."""
+    they write the 360 wrap pad the x pass's windows read through.
+    When ``dbuf`` (static, chosen by VMEM budget) the next block's
+    window streams in behind this block's dots (two slab slots)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    col = jax.lax.rem(j * wb, w)
-    dma = pltpu.make_async_copy(
-        frame_hbm.at[:, pl.ds(base_ref[i], k), pl.ds(col, wb)],
-        slab,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+
+    def copy(ii, jj, sl):
+        col = jax.lax.rem(jj * wb, w)
+        return pltpu.make_async_copy(
+            frame_hbm.at[:, pl.ds(base_ref[ii], k), pl.ds(col, wb)],
+            slab.at[sl],
+            sem.at[sl],
+        )
+
+    if dbuf:
+        t = i * nwb + j
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            copy(i, j, slot).start()
+
+        jn = jax.lax.rem(j + 1, nwb)
+        i_next = i + (j + 1) // nwb
+
+        @pl.when(i_next < nb)
+        def _():
+            copy(jnp.minimum(i_next, nb - 1), jn, 1 - slot).start()
+
+        copy(i, j, slot).wait()
+    else:
+        slot = 0
+        dma = copy(i, j, 0)
+        dma.start()
+        dma.wait()
     # One-hot interval weights: oh[s, r] = 1 iff slab row r lies in cell
     # s's interval.  Zero-width pad cells give all-zero rows.
     ks = jax.lax.broadcasted_iota(jnp.int32, (_S, k), 1)
@@ -169,7 +202,7 @@ def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *, k, wb,
     oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)  # (_S, k)
     outs = []
     for c in range(3):
-        x = slab[c, :, :].astype(jnp.int32).astype(jnp.float32)  # (k, wb)
+        x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
         y = jax.lax.dot_general(
             oh,
             x,
@@ -213,8 +246,11 @@ def y_segment_reduce(
             band, lo1, hi1, hs, wrap=False, s_cells=_S, quantum=8
         )
         nb = band.blocks(_S)
+        dbuf = _dbuf_fits(band.k, wb)
         out = pl.pallas_call(
-            functools.partial(_y_kernel, k=band.k, wb=wb, w=ws),
+            functools.partial(
+                _y_kernel, k=band.k, wb=wb, w=ws, nb=nb, nwb=nwb, dbuf=dbuf
+            ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nb, nwb),
@@ -235,8 +271,8 @@ def y_segment_reduce(
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM((3, band.k, wb), jnp.uint8),
-                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.VMEM(((2 if dbuf else 1), 3, band.k, wb), jnp.uint8),
+                    pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((3, nb * _S, nwb * wb), jnp.uint16),
@@ -259,18 +295,43 @@ def _hb(hr: int) -> int:
 
 def _x_kernel(
     base_ref, lo_ref, hi_ref, vx_ref, rows_hbm, dy_ref, vy_ref, out_ref,
-    slab, sem, *, k, hb
+    slab, sem, *, k, hb, nb, nhb, dbuf
 ):
     """One (cell-block, row-block) step: DMA the (3, hb, k) segment-row
-    window, limb-split one-hot dots into _SX box sums, divide exactly by
-    the rect, mask validity, emit uint8."""
+    window (double-buffered when the VMEM budget allows), limb-split
+    one-hot dots into _SX box sums, divide exactly by the rect, mask
+    validity, emit uint8."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        rows_hbm.at[:, pl.ds(j * hb, hb), pl.ds(base_ref[i], k)], slab, sem
-    )
-    dma.start()
-    dma.wait()
+
+    def copy(ii, jj, sl):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii], k)],
+            slab.at[sl],
+            sem.at[sl],
+        )
+
+    if dbuf:
+        t = i * nhb + j
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            copy(i, j, slot).start()
+
+        jn = jax.lax.rem(j + 1, nhb)
+        i_next = i + (j + 1) // nhb
+
+        @pl.when(i_next < nb)
+        def _():
+            copy(jnp.minimum(i_next, nb - 1), jn, 1 - slot).start()
+
+        copy(i, j, slot).wait()
+    else:
+        slot = 0
+        dma = copy(i, j, 0)
+        dma.start()
+        dma.wait()
     lo = lo_ref[0, :][None, :]  # (1, _SX)
     hi = hi_ref[0, :][None, :]
     ks = jax.lax.broadcasted_iota(jnp.int32, (k, _SX), 0)
@@ -286,7 +347,7 @@ def _x_kernel(
 
     outs = []
     for c in range(3):
-        x = slab[c, :, :].astype(jnp.int32).astype(jnp.float32)  # (hb, k)
+        x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
         # uint16 segment sums exceed bf16's exact integers (the MXU
         # truncates f32 operands to bf16): two <=8-bit limb dots, exact.
         xhi = jnp.floor(x * (1.0 / 256.0))
@@ -351,8 +412,11 @@ def x_segment_reduce(
         vx = jnp.pad(
             valid_x[band.start : band.end].astype(jnp.int32), (0, pad)
         ).reshape(nb, _SX)
+        dbuf = _dbuf_fits(band.k, hb, 2)
         out = pl.pallas_call(
-            functools.partial(_x_kernel, k=band.k, hb=hb),
+            functools.partial(
+                _x_kernel, k=band.k, hb=hb, nb=nb, nhb=hr // hb, dbuf=dbuf
+            ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nb, hr // hb),
@@ -385,8 +449,10 @@ def x_segment_reduce(
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM((3, hb, band.k), jnp.uint16),
-                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.VMEM(
+                        ((2 if dbuf else 1), 3, hb, band.k), jnp.uint16
+                    ),
+                    pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((3, hr, nb * _SX), jnp.uint8),
