@@ -108,6 +108,25 @@ def _mm_tiles(idx_lo, idx_hi, num, den, out_dim, maxstep: int):
     return t, base, bad, ws, scale, den_t
 
 
+def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int):
+    """Scatter the exact integer blend over output columns whose taps
+    escaped their tile/slab window (wrap-jump and edge-collapse cases):
+    top_k selects the <= fix_k flagged column indices, direct gathers
+    recompute them, and a drop-mode scatter overwrites the placeholder
+    values.  Shared by the mm col pass and the fused Pallas unwarp."""
+    w_out = badf.shape[0]
+    scores = jnp.where(badf, jnp.arange(w_out, dtype=jnp.int32), -1)
+    fix = jax.lax.top_k(scores, min(fix_k, w_out))[0]  # -1 padded
+    safe = jnp.maximum(fix, 0)
+    left = jnp.take(yb, ix_lo[safe], axis=2).astype(jnp.float32)
+    right = jnp.take(yb, ix_hi[safe], axis=2).astype(jnp.float32)
+    nf = nx[safe].astype(jnp.float32)[None, None, :]
+    df = dx[safe].astype(jnp.float32)[None, None, :]
+    vals = ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
+    idx = jnp.where(fix < 0, w_out, fix)               # pads dropped
+    return out.at[:, :, idx].set(vals, mode="drop")
+
+
 def _mm_dot(slab, ws, scale: int, spec: str):
     """Sum of limb einsums (usually one) in exact f32 accumulation."""
     acc = jnp.einsum(spec, slab, ws[0], preferred_element_type=jnp.float32)
@@ -163,16 +182,7 @@ def _mm_col_pass(yb, ix_lo, ix_hi, nx, dx, maxstep: int):
     # columns, scattered over the dot's placeholder values — the same
     # exact numerator/denominator blend the dot computes.
     badf = bad.reshape(-1)[:w_out]
-    scores = jnp.where(badf, jnp.arange(w_out, dtype=jnp.int32), -1)
-    fix = jax.lax.top_k(scores, min(_MM_FIX_K, w_out))[0]  # -1 padded
-    safe = jnp.maximum(fix, 0)
-    left = jnp.take(yb, ix_lo[safe], axis=2).astype(jnp.float32)
-    right = jnp.take(yb, ix_hi[safe], axis=2).astype(jnp.float32)
-    nf = nx[safe].astype(jnp.float32)[None, None, :]
-    df = dx[safe].astype(jnp.float32)[None, None, :]
-    vals = ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
-    idx = jnp.where(fix < 0, w_out, fix)               # pads dropped
-    return out.at[:, :, idx].set(vals, mode="drop")
+    return _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, _MM_FIX_K)
 
 
 def _axis_vectors(

@@ -38,6 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from foveax.kernels.dbuf import dbuf_slot
+
 # Output cells per block of the y pass (the dots' M dim and the output
 # block's sublane count; uint16 tiles need multiples of 16).
 _S = 32
@@ -165,7 +167,8 @@ def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    def copy(ii, jj, sl):
+    def copy(t2, sl):
+        ii, jj = t2 // nwb, jax.lax.rem(t2, nwb)
         col = jax.lax.rem(jj * wb, w)
         return pltpu.make_async_copy(
             frame_hbm.at[:, pl.ds(base_ref[ii], k), pl.ds(col, wb)],
@@ -174,24 +177,10 @@ def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
         )
 
     if dbuf:
-        t = i * nwb + j
-        slot = jax.lax.rem(t, 2)
-
-        @pl.when(t == 0)
-        def _():
-            copy(i, j, slot).start()
-
-        jn = jax.lax.rem(j + 1, nwb)
-        i_next = i + (j + 1) // nwb
-
-        @pl.when(i_next < nb)
-        def _():
-            copy(jnp.minimum(i_next, nb - 1), jn, 1 - slot).start()
-
-        copy(i, j, slot).wait()
+        slot = dbuf_slot(copy, i * nwb + j, nb * nwb)
     else:
         slot = 0
-        dma = copy(i, j, 0)
+        dma = copy(i * nwb + j, 0)
         dma.start()
         dma.wait()
     # One-hot interval weights: oh[s, r] = 1 iff slab row r lies in cell
@@ -304,7 +293,8 @@ def _x_kernel(
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    def copy(ii, jj, sl):
+    def copy(t2, sl):
+        ii, jj = t2 // nhb, jax.lax.rem(t2, nhb)
         return pltpu.make_async_copy(
             rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii], k)],
             slab.at[sl],
@@ -312,24 +302,10 @@ def _x_kernel(
         )
 
     if dbuf:
-        t = i * nhb + j
-        slot = jax.lax.rem(t, 2)
-
-        @pl.when(t == 0)
-        def _():
-            copy(i, j, slot).start()
-
-        jn = jax.lax.rem(j + 1, nhb)
-        i_next = i + (j + 1) // nhb
-
-        @pl.when(i_next < nb)
-        def _():
-            copy(jnp.minimum(i_next, nb - 1), jn, 1 - slot).start()
-
-        copy(i, j, slot).wait()
+        slot = dbuf_slot(copy, i * nhb + j, nb * nhb)
     else:
         slot = 0
-        dma = copy(i, j, 0)
+        dma = copy(i * nhb + j, 0)
         dma.start()
         dma.wait()
     lo = lo_ref[0, :][None, :]  # (1, _SX)

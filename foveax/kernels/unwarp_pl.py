@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from foveax.kernels.dbuf import dbuf_slot
+
 # Output cells per block: x blocks are the result's LANE dim (u8 tiles
 # at 128 lanes), y blocks its SUBLANE dim (u8 tiles at 32 sublanes).
 _LX = 128
@@ -51,9 +53,11 @@ _QY = 8
 _KX = 144
 _KY = 48
 # Post-kernel fixup capacity for x columns that escape their window
-# (edge-collapse cases; the all-integer-gaze sweep in tests pins the
-# actual worst case far below this).
-_FIX_K = 128
+# (wrap-jump and edge-collapse cases).  Dense all-integer-gaze sweeps
+# measure a worst case of 127 columns per gaze at 8K/16K — a full jump
+# block — so 128 would leave a margin of one; 256 keeps headroom for
+# geometry changes, and the invariant tests assert <= _FIX_K // 2.
+_FIX_K = 256
 
 
 def _hb(ho: int) -> int:
@@ -109,23 +113,14 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
     dots), blend via one exact integer-numerator dot per channel, divide
     by the cell width, round half-up, emit uint8."""
     i = pl.program_id(0)
-    slot = jax.lax.rem(i, 2)
 
-    def copy(ii, sl):
+    def copy(t2, sl):
         return pltpu.make_async_copy(
-            frame_hbm.at[:, pl.ds(base_ref[ii], k), :], slab.at[sl],
+            frame_hbm.at[:, pl.ds(base_ref[t2], k), :], slab.at[sl],
             sem.at[sl],
         )
 
-    @pl.when(i == 0)
-    def _():
-        copy(i, slot).start()
-
-    @pl.when(i + 1 < nby)
-    def _():
-        copy(i + 1, 1 - slot).start()
-
-    copy(i, slot).wait()
+    slot = dbuf_slot(copy, i, nby)
     lo = lo_ref[0, :][:, None]
     s = s_ref[0, :][:, None]
     nm = n_ref[0, :][:, None].astype(jnp.float32)
@@ -152,27 +147,15 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
     1-ulp-low device divide), emit uint8."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    t = i * nrb + j
-    slot = jax.lax.rem(t, 2)
 
-    def copy(ii, jj, sl):
+    def copy(t2, sl):
+        ii, jj = t2 // nrb, jax.lax.rem(t2, nrb)
         return pltpu.make_async_copy(
             rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii], k)],
             slab.at[sl], sem.at[sl],
         )
 
-    @pl.when(t == 0)
-    def _():
-        copy(i, j, slot).start()
-
-    jn = jax.lax.rem(j + 1, nrb)
-    i_next = i + (j + 1) // nrb
-
-    @pl.when(i_next < nbx)
-    def _():
-        copy(jnp.minimum(i_next, nbx - 1), jn, 1 - slot).start()
-
-    copy(i, j, slot).wait()
+    slot = dbuf_slot(copy, i * nrb + j, nbx * nrb)
     lo = lo_ref[0, :][None, :]
     s = s_ref[0, :][None, :]
     nm = n_ref[0, :][None, :].astype(jnp.float32)
@@ -191,14 +174,10 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
 
 
 def _vec_spec(s_cells):
+    """Per-block (1, S) scalar-vector spec, indexed by the first grid
+    dim (``*_`` absorbs any further grid indices + prefetch refs)."""
     return pl.BlockSpec(
         (1, s_cells), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-    )
-
-
-def _vec_spec2(s_cells):
-    return pl.BlockSpec(
-        (1, s_cells), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -228,6 +207,14 @@ def unwarp_rect_fused(
         raise ValueError(f"fused unwarp needs out_width % {_LX} == 0")
     if hr < _KY or wr < _KX:
         raise ValueError(f"fused unwarp needs reduced >= ({_KY}, {_KX})")
+    if _hb(out_height) > 3000:
+        # No 32-multiple row-block divisor under the VMEM budget — fail
+        # loudly here (the documented fall-back-to-"mm" contract) rather
+        # than deep inside Mosaic compilation.
+        raise ValueError(
+            f"fused unwarp needs out_height <= 3000 or a 32-multiple "
+            f"divisor <= 2880 (got {out_height})"
+        )
     cx = (center[0] * jnp.float32(out_width)).astype(jnp.int32)
     cy = (center[1] * jnp.float32(out_height)).astype(jnp.int32)
     ix_lo, ix_hi, _rx, nx, dx, msx = _axis_vectors(out_width, wr, cx, wrap=True)
@@ -282,8 +269,8 @@ def unwarp_rect_fused(
             num_scalar_prefetch=1,
             grid=(nbx, nrb),
             in_specs=[
-                _vec_spec2(_LX), _vec_spec2(_LX), _vec_spec2(_LX),
-                _vec_spec2(_LX),
+                _vec_spec(_LX), _vec_spec(_LX), _vec_spec(_LX),
+                _vec_spec(_LX),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(
@@ -299,18 +286,11 @@ def unwarp_rect_fused(
         interpret=interpret,
     )(bx, rx_lo, rx_s, rx_n, rx_d, yb)
 
-    # --- fixup: out-of-window columns (edge-collapse cases), the same
-    # exact blend the kernel computes, scattered over placeholders -----
+    # --- fixup: out-of-window columns (wrap-jump/edge-collapse cases),
+    # the same exact blend the kernel computes, over placeholders ------
+    from foveax.core.unwarp import _jump_fixup
+
     ybv = yb[:, :out_height, :]
-    scores = jnp.where(badf, jnp.arange(out_width, dtype=jnp.int32), -1)
-    fix = jax.lax.top_k(scores, min(_FIX_K, out_width))[0]
-    safe = jnp.maximum(fix, 0)
-    left = jnp.take(ybv, ix_lo[safe], axis=2).astype(jnp.float32)
-    right = jnp.take(ybv, ix_hi[safe], axis=2).astype(jnp.float32)
-    nf = nx[safe].astype(jnp.float32)[None, None, :]
-    df = dx[safe].astype(jnp.float32)[None, None, :]
-    vals = ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
-    idx = jnp.where(fix < 0, out_width, fix)
-    out = out.at[:, :, idx].set(vals, mode="drop")
+    out = _jump_fixup(out, ybv, badf, ix_lo, ix_hi, nx, dx, _FIX_K)
 
     return out if out_layout == "chw" else out.transpose(1, 2, 0)

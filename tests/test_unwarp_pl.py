@@ -107,30 +107,29 @@ def test_fused_flagship_size(rng):
 
 
 def _sweep_axis(out_dim, red_dim, wrap, gazes):
-    """(window violations, worst per-gaze fixup load) over given gazes."""
+    """(window violations, worst per-gaze fixup load) over given gazes —
+    computed by the REAL kernel geometry (_block_geom), not a
+    transcription, so the sweep can't drift from the implementation."""
+    from foveax.kernels.unwarp_pl import _block_geom
+
     s_cells, k, q = (_LX, _KX, _QX) if wrap else (_SY, _KY, _QY)
-    f = jax.jit(lambda cp: _axis_vectors(out_dim, red_dim, cp, wrap=wrap)[:2])
+
+    def geom(cp):
+        lo, hi, _r, nm, dn, _ms = _axis_vectors(
+            out_dim, red_dim, cp, wrap=wrap
+        )
+        return _block_geom(lo, hi, nm, dn, s_cells, red_dim, k, q, wrap=wrap)
+
+    f = jax.jit(geom)
     viol, worst_bad = 0, 0
-    nb = -(-out_dim // s_cells)
-    pad = nb * s_cells - out_dim
     for cp in gazes:
-        lo_j, hi_j = f(jnp.int32(cp))
-        lo0 = np.asarray(lo_j).astype(np.int64)
-        s0 = np.asarray(hi_j).astype(np.int64) - lo0
-        lo = np.pad(lo0, (0, pad), mode="edge").reshape(nb, s_cells)
-        s = np.pad(s0, (0, pad)).reshape(nb, s_cells)
+        base, rel, s, _nm, _dn, badf = (np.asarray(a) for a in f(jnp.int32(cp)))
+        # Neutralized cells stay in-slab even before the fixup.
+        viol += int(((rel < 0) | (rel + s > k - 1)).sum())
         if wrap:
-            base = (lo[:, 0] // q) * q
-            rel = np.mod(lo - base[:, None], red_dim)
+            worst_bad = max(worst_bad, int(badf.sum()))
         else:
-            base = np.clip(lo[:, 0], 0, max(red_dim - k, 0))
-            base = (base // q) * q
-            rel = lo - base[:, None]
-        bad = (rel < 0) | (rel + s > k - 1)
-        if wrap:
-            worst_bad = max(worst_bad, int(bad.sum()))
-        else:
-            viol += int(bad.sum())
+            viol += int(badf.sum())
             viol += int((base + k > red_dim).sum())
     return viol, worst_bad
 
@@ -146,22 +145,25 @@ def _sweep_axis(out_dim, red_dim, wrap, gazes):
 )
 def test_kernel_window_invariants_all_integer_gazes(dims):
     red_w, red_h, out_w, out_h = dims
-    vy, _ = _sweep_axis(out_h, red_h, False, range(0, out_h))
+    vy, _ = _sweep_axis(out_h, red_h, False, range(0, out_h + 1))
     assert vy == 0, "y windows must never overflow (no fixup on y)"
-    _, worst = _sweep_axis(out_w, red_w, True, range(0, out_w))
-    assert worst <= _FIX_K, worst
+    _, worst = _sweep_axis(out_w, red_w, True, range(0, out_w + 1))
+    # Half-capacity margin: a dense 8K/16K sweep measures 127 (one full
+    # jump block), so demand fix_k headroom rather than a margin of one.
+    assert worst <= _FIX_K // 2, worst
 
 
 def test_kernel_window_invariants_large_strided():
-    """8K/16K grids, strided gazes (dense sweeps are minutes-long)."""
+    """8K/16K grids, strided gazes + the worst-case jump-block gazes a
+    dense offline sweep identified (dense sweeps are minutes-long)."""
     for red_w, red_h, out_w, out_h in [
         (4272, 2400, 7680, 4320),
         (8544, 4800, 15360, 8640),
     ]:
-        vy, _ = _sweep_axis(out_h, red_h, False, range(0, out_h, 97))
+        vy, _ = _sweep_axis(out_h, red_h, False, range(0, out_h + 1, 97))
         assert vy == 0
-        _, worst = _sweep_axis(out_w, red_w, True, range(0, out_w, 101))
-        assert worst <= _FIX_K, worst
+        _, worst = _sweep_axis(out_w, red_w, True, range(0, out_w + 1, 101))
+        assert worst <= _FIX_K // 2, worst
 
 
 def test_fused_rejects_unsupported_shapes(reduced):
@@ -171,3 +173,7 @@ def test_fused_rejects_unsupported_shapes(reduced):
     tiny = jnp.zeros((8, 8, 3), jnp.uint8)
     with pytest.raises(ValueError):
         unwarp_rect_fused(tiny, OUT_W, OUT_H, c, interpret=True)
+    with pytest.raises(ValueError):
+        # > 3000 with no 32-multiple row-block divisor: must fail loudly
+        # here, not deep inside Mosaic compilation.
+        unwarp_rect_fused(reduced, OUT_W, 4322, c, interpret=True)
