@@ -1155,9 +1155,11 @@ def build_parser() -> argparse.ArgumentParser:
         "marginal-cost knee",
     )
     p.add_argument(
-        "--precision", choices=["exact", "fast", "mm", "auto"], default="auto",
-        help="fast = rounded vertical blend halves the unwarp's column "
-        "gathers (<=1 LSB deviation; faster at every resolution)",
+        "--precision",
+        choices=["exact", "fast", "mm", "fused", "auto"], default="auto",
+        help="unwarp path: fast = rounded vertical blend + pair-u16 "
+        "gathers; mm = slab + integer-numerator MXU dots; fused = the "
+        "mm math in Pallas kernels (all <=1 LSB of exact)",
     )
     p.set_defaults(fn=cmd_perf)
 

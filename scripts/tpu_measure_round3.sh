@@ -18,5 +18,8 @@ timeout 580 python scripts/stage_bench.py --resolutions 8k 16k --iters 10 --stag
 # Fused Pallas unwarp (kernel-resident slabs, no materialized slab traffic).
 timeout 580 python scripts/stage_bench.py --resolutions 1080p 4k --iters 20 --stages unwarp --precision fused
 timeout 580 python scripts/stage_bench.py --resolutions 8k 16k --iters 10 --stages unwarp --precision fused
+# Composed full fused path (fused sampler + fused unwarp) vs current auto.
+timeout 580 python -m foveax.cli.main perf --resolutions 1080p 4k --frames 20 --sampler fused --precision fused
+timeout 580 python -m foveax.cli.main perf --resolutions 8k 16k --frames 10 --sampler fused --precision fused
 FOVEAX_TPU_TESTS=1 timeout 3000 python -m pytest -m tpu tests/ -q
 timeout 580 python bench.py
