@@ -426,3 +426,36 @@ def test_fused_sampler_matches_golden_on_device(frame, grids):
         want = golden.sample_rect(sat_np, dense, center)
         got = np.asarray(fn(jnp.asarray(center, jnp.float32)))
         np.testing.assert_array_equal(got, want)
+
+
+def test_fused_unwarp_within_one_lsb_on_device(frame, grids):
+    """Pallas fused unwarp on the chip: double-buffered slab DMAs with
+    8-quantized (sub-tile) window bases, in-kernel integer-numerator
+    dots, and the Mosaic f32 divide must hold the <= 1 LSB contract
+    against the exact gather path, with the fovea bit-exact — the
+    lane-misaligned DMA starts and device divide rounding are exactly
+    what interpret mode cannot exercise."""
+    from foveax.kernels.unwarp_pl import unwarp_rect_fused
+
+    gj, dense = grids
+    sat_np = golden.build_sat(frame)
+    fn = jax.jit(
+        lambda r, cc: (
+            unwarp_rect(r, W, H, cc).astype(jnp.int32),
+            unwarp_rect_fused(r, W, H, cc).astype(jnp.int32),
+        )
+    )
+    for center in ((0.5, 0.5), (0.03, 0.5)):
+        reduced = golden.sample_rect(sat_np, dense, center)
+        exact, fused = fn(
+            jnp.asarray(reduced), jnp.asarray(center, jnp.float32)
+        )
+        exact, fused = np.asarray(exact), np.asarray(fused)
+        d = np.abs(exact - fused)
+        assert d.max() <= 1, (center, d.max())
+        cx = int(np.float32(center[0]) * W)
+        cy = int(np.float32(center[1]) * H)
+        np.testing.assert_array_equal(
+            fused[cy - 3 : cy + 3, cx - 3 : cx + 3],
+            exact[cy - 3 : cy + 3, cx - 3 : cx + 3],
+        )
