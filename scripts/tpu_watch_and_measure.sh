@@ -7,7 +7,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/tpu_watch.log
 : > "$LOG"
-for i in $(seq 1 60); do
+for i in $(seq 1 "${FOVEAX_WATCH_PROBES:-60}"); do
   echo "[watch] probe $i $(date -u +%H:%M:%S)" >> "$LOG"
   if timeout 120 python -c "
 import jax, jax.numpy as jnp
