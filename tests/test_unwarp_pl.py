@@ -70,6 +70,19 @@ def test_fused_via_precision_dispatch(reduced):
     assert np.abs(exact.astype(np.int32) - hwc.astype(np.int32)).max() <= 1
 
 
+def test_fused_no_recompile_on_gaze(reduced):
+    """Gaze is a traced array end-to-end: the kernels' bases/weights are
+    scalar-prefetched traced values, so moving the gaze never recompiles
+    (the project-wide invariant, CLAUDE.md)."""
+    fn = jax.jit(
+        lambda c: unwarp_rect_fused(reduced, OUT_W, OUT_H, c, interpret=True)
+    )
+    fn(jnp.asarray([0.5, 0.5], jnp.float32))
+    n0 = fn._cache_size()
+    fn(jnp.asarray([0.13, 0.88], jnp.float32))
+    assert fn._cache_size() == n0
+
+
 def test_fused_fovea_identity(rng):
     """The fovea must stay bit-exact (exact integer quotients survive
     the +0.01-guarded truncation)."""
