@@ -3,15 +3,18 @@
 Measures the complete device compute path per frame — gaze-centered
 log-rectilinear box-filter downsample of a 3840x2160 equirect frame to the
 reduced frame (16*ceil(dim/1.8/16) rule) and the inverse bilinear unwarp
-back to 4K — with the gaze moving every frame (no recompilation).  The
-downsample is the SAT-free direct sampler (foveax/core/direct.py): bit-
-identical to the SAT path but ~1.5x faster end-to-end at 4K on this chip
-(462 vs 319 fps same-window; the uint32 SAT build it removes is the
-dominant byte traffic).  The SAT path remains the multi-gaze serving
-amortization and the 8K+ choice (BENCHMARKS.md "Stage costs").  Frames are pre-staged in HBM; host video decode is a
-separate, overlappable pipeline stage (see foveax.pipeline.runner) exactly
-as in the reference, where decode runs on the host while the GPU builds the
-SAT (reference: src/video_server.cc:287-335).
+back to 4K — with the gaze moving every frame (no recompilation).  Two
+bit-compatible configurations are measured and the better one reported:
+(a) the SAT-free direct XLA sampler (foveax/core/direct.py; bit-identical
+to the SAT path, ~1.5x faster end-to-end at 4K — 462 vs 319 fps
+same-window) + the integer-numerator mm unwarp, and (b) the kernel-
+resident Pallas pair (segment-reduce sampler + fused unwarp), guarded so
+a lowering failure falls back to (a).  The SAT path remains the
+multi-gaze serving amortization (BENCHMARKS.md "Stage costs").  Frames
+are pre-staged in HBM; host video decode is a separate, overlappable
+pipeline stage (see foveax.pipeline.runner) exactly as in the reference,
+where decode runs on the host while the GPU builds the SAT (reference:
+src/video_server.cc:287-335).
 
 Baseline: the reference server is hard-paced at 30 fps at 1080p on a
 desktop GPU (reference: src/video_server.cc:314); the rebuild target is
@@ -49,17 +52,17 @@ def main() -> None:
     )
     grid = make_grid(red_w, red_h, src_w, src_h)
 
+    # Channel-planar end-to-end: the size-3 channel axis never lands on
+    # the vector lanes, and no transposes sit between stages.  Frames
+    # are device-resident planar; production ingest (H2D + one layout
+    # transpose per decoded frame) overlaps device compute via async
+    # dispatch (see foveax.pipeline.runner).
     @jax.jit
-    def step(frame_chw, center):
-        # Channel-planar end-to-end: the size-3 channel axis never lands on
-        # the vector lanes, and no transposes sit between stages.  Frames
-        # are device-resident planar; production ingest (H2D + one layout
-        # transpose per decoded frame) overlaps device compute via async
-        # dispatch (see foveax.pipeline.runner).
+    def step_direct_mm(frame_chw, center):
         reduced = sample_rect_direct(frame_chw, grid, center, out_layout="chw")
-        # precision="auto" -> "mm" on the TPU backend: slab-DMA + MXU-dot
-        # unwarp (no gather engine); bounded at 1 LSB deviation from the
-        # exact path — within the project target (see core/unwarp.py).
+        # precision="auto" -> "mm" on the TPU backend: slab-DMA +
+        # integer-numerator MXU-dot unwarp (no gather engine); bounded at
+        # 1 LSB deviation from the exact path (see core/unwarp.py).
         restored = unwarp_rect(
             reduced,
             src_w,
@@ -68,6 +71,21 @@ def main() -> None:
             in_layout="chw",
             out_layout="chw",
             precision="auto",
+        )
+        return reduced, restored
+
+    @jax.jit
+    def step_fused(frame_chw, center):
+        # Kernel-resident candidate: Pallas segment-reduce sampler + fused
+        # unwarp (foveax/kernels/segreduce.py, unwarp_pl.py) — sampler
+        # bit-identical to the path above, unwarp <= 1 LSB of exact.
+        from foveax.kernels.segreduce import sample_rect_fused
+        from foveax.kernels.unwarp_pl import unwarp_rect_fused
+
+        reduced = sample_rect_fused(frame_chw, grid, center, out_layout="chw")
+        restored = unwarp_rect_fused(
+            reduced, src_w, src_h, center,
+            in_layout="chw", out_layout="chw",
         )
         return reduced, restored
 
@@ -90,7 +108,7 @@ def main() -> None:
     # readback.  Plain block_until_ready is not a reliable fence through
     # remote-attached device transports, so async-loop timings can under-
     # report; the dependency chain bounds true serialized device time.
-    def run_chain(n: int) -> float:
+    def run_chain(step, n: int) -> float:
         y = frame
         t0 = time.perf_counter()
         for i in range(n):
@@ -98,11 +116,21 @@ def main() -> None:
         float(jnp.sum(y.astype(jnp.uint32)))
         return time.perf_counter() - t0
 
-    run_chain(2)  # warm-up / compile
-    base = run_chain(2)
-    total = run_chain(n_iters + 2)
-    dt = max(total - base, 1e-9)
-    fps = n_iters / dt
+    def measure(step) -> float:
+        run_chain(step, 2)  # warm-up / compile
+        base = run_chain(step, 2)
+        total = run_chain(step, n_iters + 2)
+        dt = max(total - base, 1e-9)
+        return n_iters / dt
+
+    # The known-good XLA path is the floor; the Pallas candidate may beat
+    # it but must never cost the headline (a Mosaic lowering failure on a
+    # changed toolchain falls back silently to the floor).
+    fps = measure(step_direct_mm)
+    try:
+        fps = max(fps, measure(step_fused))
+    except Exception as e:  # pragma: no cover - device/toolchain dependent
+        print(f"# fused candidate unavailable: {e!r}"[:160], file=sys.stderr)
 
     print(
         json.dumps(
