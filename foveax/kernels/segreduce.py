@@ -252,7 +252,7 @@ def y_segment_reduce(
                         (1, _S), lambda i, j, base_ref: (i, 0),
                         memory_space=pltpu.VMEM,
                     ),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec(
                     (3, _S, wb),
@@ -409,7 +409,7 @@ def x_segment_reduce(
                         (1, _SX), lambda i, j, base_ref: (i, 0),
                         memory_space=pltpu.VMEM,
                     ),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(
                         (hb, 1), lambda i, j, base_ref: (j, 0),
                         memory_space=pltpu.VMEM,

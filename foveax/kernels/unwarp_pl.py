@@ -241,7 +241,7 @@ def unwarp_rect_fused(
             in_specs=[
                 _vec_spec(_SY), _vec_spec(_SY), _vec_spec(_SY),
                 _vec_spec(_SY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (3, _SY, wp), lambda i, *_: (0, i, 0),
@@ -271,7 +271,7 @@ def unwarp_rect_fused(
             in_specs=[
                 _vec_spec(_LX), _vec_spec(_LX), _vec_spec(_LX),
                 _vec_spec(_LX),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (3, hb, _LX), lambda i, j, *_: (0, j, i),
