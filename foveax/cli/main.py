@@ -116,6 +116,7 @@ def cmd_serve(args) -> int:
         sat_compression=args.sat_compression,
         mesh=mesh,
         adapt_rate=args.adapt_rate,
+        place_videos=args.place_videos,
     )
     logging.getLogger("foveax.serve").info("wire codec: %s", server.wire_codec)
     if args.http_port:
@@ -1038,6 +1039,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard broadcast serving over a DATAxSPACE device mesh, e.g. "
         "2x4 (requires --broadcast and data*space jax devices; the SAT "
         "scan shards over `space` rows, the client batch over `data`)",
+    )
+    p.add_argument(
+        "--place-videos", default="default",
+        choices=["default", "round_robin"],
+        help="round_robin: place each video's pipeline (SAT build + "
+        "sample) on its own local device, scaling the VIDEO SET across "
+        "chips (the other multi-chip serving axis; --mesh shards one "
+        "video's client batch instead — the two are mutually exclusive)",
     )
     p.add_argument(
         "--http-port", type=int, default=0,

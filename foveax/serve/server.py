@@ -19,6 +19,7 @@ paced to the configured fps.
 from __future__ import annotations
 
 import asyncio
+import functools
 import json
 import logging
 import math
@@ -80,6 +81,7 @@ class Session:
         self.wire = None  # per-session wire encoder (inter-frame state)
         self.send_task: asyncio.Task | None = None
         self.channel = None  # BroadcastChannel membership
+        self.device = None  # per-video placement (non-broadcast sessions)
         self.frames_sent = 0
         self.frames_dropped = 0
         self.frames_decimated = 0  # skipped by saturation decimation
@@ -229,6 +231,7 @@ class BroadcastChannel:
         self.task: asyncio.Task | None = None
         self.reader = None
         self.pipeline: FoveationPipeline | None = None
+        self.device = None  # fixed per-channel placement (_next_device)
         self.dead = False
         self._read_future = None  # in-flight executor read, if any
         # Sharded serving (server.mesh set): (build, sample) closures from
@@ -257,6 +260,11 @@ class BroadcastChannel:
                 self.pipeline = self.server._pipeline_for(
                     self.reader.width, self.reader.height
                 )
+                self.device = self.server._next_device()
+                if self.device is not None:
+                    log.info(
+                        "channel %s placed on %s", self.video, self.device
+                    )
             cfg = self.pipeline.config
             self._join_inner(session, cfg)
         except Exception:
@@ -411,10 +419,19 @@ class BroadcastChannel:
         return self.decimation
 
     async def _loop(self) -> None:
+        import jax
         import jax.numpy as jnp
 
         loop = asyncio.get_running_loop()
         p = self.pipeline
+        # Input staging: committing inputs to the channel's device makes
+        # the shared jitted pipeline run there (computation follows
+        # data); None = default-device asarray, byte-for-byte the
+        # un-placed behavior.
+        if self.device is not None:
+            _stage = functools.partial(jax.device_put, device=self.device)
+        else:
+            _stage = jnp.asarray
         tick = 1.0 / self.server.config.fps
         sent_header = self._sent_header
         frame_num = 0
@@ -432,7 +449,7 @@ class BroadcastChannel:
                 break
             build = self._sharded[0] if self._sharded else p.build_sat
             sat = await loop.run_in_executor(
-                None, lambda: build(jnp.asarray(frame))
+                None, lambda: build(_stage(frame))
             )
 
             now = time.perf_counter()
@@ -534,7 +551,7 @@ class BroadcastChannel:
             batch_np = await loop.run_in_executor(
                 None,
                 lambda: np.asarray(
-                    sample(sat, jnp.asarray(padded, dtype=jnp.float32))
+                    sample(sat, _stage(np.asarray(padded, dtype=np.float32)))
                 )[: len(centers)],
             )
 
@@ -662,6 +679,7 @@ class FoveaxServer:
         mesh: "object | None" = None,
         encode_workers: int | None = None,
         adapt_rate: bool = False,
+        place_videos: str = "default",
     ):
         self.config = config or FoveaxConfig()
         self.video_dir = Path(video_dir)
@@ -723,6 +741,26 @@ class FoveaxServer:
                     "--mesh is ignored with --sat-compression svd (the SVD "
                     "blob is built once per tick on the default pipeline)"
                 )
+        # Video-set device placement: "round_robin" spreads each video's
+        # pipeline (SAT build + gaze sample) over the host's local
+        # devices, one device per video/channel — the second multi-chip
+        # serving axis from SURVEY §5 (shard the CLIENT BATCH over a mesh
+        # via --mesh, or the VIDEO SET across devices via this).  The
+        # TPU-native analog of the reference's per-connection GPU context
+        # (src/video_server.cc:62-73): placement rides on committed
+        # inputs (jax.device_put), so the shared jitted pipeline follows
+        # the data with no per-device pipeline objects.  Mutually
+        # exclusive with --mesh, which shards ONE video's computation
+        # over all devices.
+        if place_videos not in ("default", "round_robin"):
+            raise ValueError(f"unknown place_videos mode {place_videos!r}")
+        if place_videos == "round_robin" and mesh is not None:
+            raise ValueError(
+                "--place-videos round_robin and --mesh are mutually "
+                "exclusive (mesh shards one video over all devices)"
+            )
+        self.place_videos = place_videos
+        self._place_count = 0  # videos placed so far (round-robin cursor)
         # Write-buffer bytes beyond which a session's frame is dropped
         # rather than stalling the pacer.
         self.max_send_backlog = 8 * 1024 * 1024
@@ -790,6 +828,27 @@ class FoveaxServer:
                 self._pipelines.popitem(last=False)
         self._pipelines.move_to_end(key)
         return self._pipelines[key]
+
+    def _next_device(self):
+        """Round-robin device for the next video, or None for the default.
+
+        Placement is assigned per video (channel or session) at open time
+        and stays fixed for its lifetime; the cursor only advances when a
+        device is actually handed out, so an all-defaults configuration
+        costs nothing.  Returns None when placement is off or the host
+        has a single device (the bench chip) — callers then stage inputs
+        with plain ``jnp.asarray``.
+        """
+        if self.place_videos != "round_robin":
+            return None
+        import jax
+
+        devices = jax.local_devices()
+        if len(devices) <= 1:
+            return None
+        device = devices[self._place_count % len(devices)]
+        self._place_count += 1
+        return device
 
     def _make_encoder(self, cfg: FoveaxConfig, bitrate: int | None = None):
         """Per-session wire encoder (inter-frame state is per-client, like
@@ -914,6 +973,9 @@ class FoveaxServer:
         session.reader = reader
         session.wire = wire
         session.mux = mux
+        session.device = self._next_device()
+        if session.device is not None:
+            log.info("session video %s placed on %s", video, session.device)
         session.send_task = asyncio.create_task(
             self._send_frame_loop(session, pipeline)
         )
@@ -955,6 +1017,11 @@ class FoveaxServer:
         loop = asyncio.get_running_loop()
         ws, mux, reader = session.ws, session.mux, session.reader
         tick = 1.0 / self.config.fps
+        # Same committed-input placement story as BroadcastChannel._loop.
+        if session.device is not None:
+            _stage = functools.partial(jax.device_put, device=session.device)
+        else:
+            _stage = jnp.asarray
 
         # Header-first, as the reference sends the mp4 header as the first
         # binary frame (src/video_server.cc:273-280).
@@ -977,7 +1044,7 @@ class FoveaxServer:
             # run in the executor so jit compilation (tens of seconds on
             # first frame) never blocks the event loop's keepalives.
             sat = await loop.run_in_executor(
-                None, lambda: pipeline.build_sat(jnp.asarray(frame))
+                None, lambda: pipeline.build_sat(_stage(frame))
             )
             now = time.perf_counter()
             if now < next_deadline:

@@ -1179,3 +1179,142 @@ def test_renegotiation_failure_broadcast_evicts_and_closes(monkeypatch):
 
     stats = asyncio.run(main())
     assert stats.frames < 40
+
+
+# -- video-set device placement (--place-videos round_robin) ---------------
+
+
+def test_next_device_round_robin_cycles_and_validates():
+    """Placement is off by default (None = plain asarray staging); in
+    round_robin mode the cursor hands out every local device before
+    wrapping; bad modes and the mesh combination are constructor
+    errors (mesh shards ONE video over all devices)."""
+    import jax
+    from jax.sharding import Mesh
+
+    assert FoveaxServer(CFG)._next_device() is None
+
+    rr = FoveaxServer(CFG, place_videos="round_robin")
+    n = len(jax.local_devices())
+    assert n == 8  # conftest's virtual CPU mesh
+    seq = [rr._next_device() for _ in range(n + 1)]
+    assert all(d is not None for d in seq)
+    assert len({d.id for d in seq[:n]}) == n
+    assert seq[n] == seq[0]
+
+    with pytest.raises(ValueError):
+        FoveaxServer(CFG, place_videos="sideways")
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "space")
+    )
+    with pytest.raises(ValueError):
+        FoveaxServer(
+            CFG, broadcast=True, mesh=mesh, place_videos="round_robin"
+        )
+
+
+def test_pipeline_follows_committed_input():
+    """The placement mechanism itself: pipelines are shared per
+    resolution (server._pipeline_for), so placement must ride on
+    committed inputs — a frame device_put to device k runs the shared
+    jitted SAT build AND the downstream sample on k with no per-device
+    pipeline objects."""
+    import jax
+
+    server = FoveaxServer(CFG)
+    p = server._pipeline_for(96, 64)
+    dev = jax.local_devices()[3]
+    frame = np.zeros((64, 96, 3), np.uint8)
+    sat = p.build_sat(jax.device_put(frame, dev))
+    assert sat.devices() == {dev}
+    reduced = p.sample(sat, p.center(0.5, 0.5))
+    assert reduced.devices() == {dev}
+
+
+def _run_with_placement_snapshot(server, port, clients, snapshot):
+    """Serve, run the clients, and resolve ``snapshot`` concurrently."""
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(
+                asyncio.gather(*(c.run() for c in clients), snapshot()),
+                timeout=120,
+            )
+
+    return asyncio.run(main())
+
+
+def test_place_videos_round_robin_broadcast_channels():
+    """Two concurrent broadcast channels (one per video) land on distinct
+    devices and both stream correctly — the video-set scale-out axis
+    (SURVEY §5: shard the video set across a mesh; the reference's
+    analog is one GPU context per connection, src/video_server.cc:62-73)."""
+    port = _free_port()
+    server = FoveaxServer(
+        CFG, max_frames=40, broadcast=True, place_videos="round_robin"
+    )
+    clients = [
+        FoveaxClient(
+            f"ws://127.0.0.1:{port}",
+            video=f"synthetic://96x64@30/{frames}",
+            config=CFG,
+            gaze_source=lambda i: (0.5, 0.5),
+            max_frames=4,
+        )
+        for frames in (50, 51)  # distinct names -> distinct channels
+    ]
+
+    async def snapshot():
+        for _ in range(400):
+            placed = {
+                v: ch.device
+                for v, ch in server.channels.items()
+                if ch.device is not None
+            }
+            if len(placed) >= 2:
+                return placed
+            await asyncio.sleep(0.05)
+        raise AssertionError(f"channels never placed: {server.channels}")
+
+    *stats, placed = _run_with_placement_snapshot(
+        server, port, clients, snapshot
+    )
+    assert all(s.frames == 4 for s in stats)
+    devices = list(placed.values())
+    assert len(devices) == 2 and devices[0] != devices[1], placed
+
+
+def test_place_videos_round_robin_sessions():
+    """Non-broadcast: per-session videos also round-robin over devices."""
+    port = _free_port()
+    server = FoveaxServer(CFG, max_frames=40, place_videos="round_robin")
+    clients = [
+        FoveaxClient(
+            f"ws://127.0.0.1:{port}",
+            video=f"synthetic://96x64@30/{frames}",
+            config=CFG,
+            gaze_source=lambda i: (0.5, 0.5),
+            max_frames=4,
+        )
+        for frames in (50, 51)
+    ]
+
+    async def snapshot():
+        for _ in range(400):
+            placed = [
+                s.device for s in server.sessions if s.device is not None
+            ]
+            if len(placed) >= 2:
+                return placed
+            await asyncio.sleep(0.05)
+        raise AssertionError("sessions never placed")
+
+    *stats, placed = _run_with_placement_snapshot(
+        server, port, clients, snapshot
+    )
+    assert all(s.frames == 4 for s in stats)
+    assert len(placed) == 2 and placed[0] != placed[1], placed
