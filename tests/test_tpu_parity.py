@@ -459,3 +459,62 @@ def test_fused_unwarp_within_one_lsb_on_device(frame, grids):
             fused[cy - 3 : cy + 3, cx - 3 : cx + 3],
             exact[cy - 3 : cy + 3, cx - 3 : cx + 3],
         )
+
+
+def test_flagship_composed_fused_path_on_device():
+    """bench.py's Pallas candidate, composed at the flagship operating
+    point (1920x1080 -> 1072x608 -> 1080p, reference src/parameters.h:8-9):
+    the fused sampler's reduced frame must be bit-identical to the f64
+    golden, and the fused unwarp of that same frame must stay within
+    1 LSB of the exact device path with the fovea window bit-exact —
+    the contract the composed step inherits from its two halves, checked
+    here as ONE pipeline (window/base handoffs included) on real Mosaic."""
+    from foveax.kernels.segreduce import sample_rect_fused
+    from foveax.kernels.unwarp_pl import unwarp_rect_fused
+
+    rng = np.random.default_rng(11)
+    fw, fh, rw, rh = 1920, 1080, 1072, 608
+    yy, xx = np.mgrid[0:fh, 0:fw]
+    frame_np = np.clip(
+        np.stack(
+            [(xx * 255 // fw), (yy * 255 // fh), ((xx // 3 % 2) * 255)],
+            axis=-1,
+        ).astype(np.int32)
+        + rng.integers(0, 32, (fh, fw, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    g = make_grid(rw, rh, fw, fh)
+    dense = golden.grid_dense(rw, rh, fw, fh)
+    gj = dataclasses.replace(
+        g, gx=jnp.asarray(dense[0, :, 0]), gy=jnp.asarray(dense[:, 0, 1])
+    )
+
+    fr = jnp.asarray(frame_np.transpose(2, 0, 1))
+    step = jax.jit(
+        lambda c: (
+            lambda red: (
+                red,
+                unwarp_rect_fused(
+                    red, fw, fh, c, in_layout="chw", out_layout="chw"
+                ),
+                unwarp_rect(
+                    red, fw, fh, c, in_layout="chw", out_layout="chw"
+                ),
+            )
+        )(sample_rect_fused(fr, gj, c, out_layout="chw"))
+    )
+    sat_np = golden.build_sat(frame_np)
+    for center in ((0.43, 0.57), (0.02, 0.5)):
+        red, fused, exact = step(jnp.asarray(center, jnp.float32))
+        want_red = golden.sample_rect(sat_np, dense, center).transpose(2, 0, 1)
+        np.testing.assert_array_equal(np.asarray(red), want_red)
+        fused = np.asarray(fused).astype(np.int16)
+        exact = np.asarray(exact).astype(np.int16)
+        d = np.abs(fused - exact)
+        assert d.max() <= 1, (center, d.max())
+        cx = int(np.float32(center[0]) * fw)
+        cy = int(np.float32(center[1]) * fh)
+        ys = slice(max(cy - 3, 0), cy + 3)
+        xs = slice(max(cx - 3, 0), cx + 3)
+        np.testing.assert_array_equal(fused[:, ys, xs], exact[:, ys, xs])
