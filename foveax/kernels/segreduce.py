@@ -141,7 +141,15 @@ def _block_geometry(
         hi = hi.at[band.end - band.start :].set(lo[band.end - band.start :])
     lo = lo.reshape(nb, s_cells)
     hi = hi.reshape(nb, s_cells)
-    if wrap:
+    if wrap and band.k >= src_dim:
+        # Whole-period window: k was clamped to the dim, which discarded
+        # the quantum slack — a quantized nonzero base would then leave a
+        # circular block's tail outside [base, base+k).  Anchor at 0
+        # instead: rel = lo mod dim and every interval end hi1 <= dim = k,
+        # so coverage is unconditional (and no wrap pad is consumed).
+        base = jnp.zeros_like(lo[:, 0])
+        rel_lo = jnp.mod(lo, src_dim)
+    elif wrap:
         base = (jnp.mod(lo[:, 0], src_dim) // quantum) * quantum
         rel_lo = jnp.mod(lo - base[:, None], src_dim)
     else:
@@ -227,12 +235,22 @@ def y_segment_reduce(
     _, hs, ws = frame.shape
     wb = _wb(ws)
     n = grid_g.shape[0] - 1
-    bands = _kernel_bands(grid_g.tobytes(), hs, _S, 8)
+    # Quantized DMA bases need an 8-aligned clip bound: with an unaligned
+    # height, clip(lo, 0, hs - k) quantized DOWN can leave the window up
+    # to 7 rows short of a bottom-clamped cell's interval end (found by
+    # differential fuzzing at non-production heights; every production
+    # height is a multiple of 8 and skips this).  Pad rows are never
+    # selected: intervals end at hs <= hp, and rel_hi = hi - base keeps
+    # every one-hot column below the pad.
+    hp = -(-hs // 8) * 8
+    if hp != hs:
+        frame = jnp.pad(frame, ((0, 0), (0, hp - hs), (0, 0)))
+    bands = _kernel_bands(grid_g.tobytes(), hp, _S, 8)
     nwb = ws // wb + pad_blocks
     outs = []
     for band in bands:
         base, rel_lo, rel_hi = _block_geometry(
-            band, lo1, hi1, hs, wrap=False, s_cells=_S, quantum=8
+            band, lo1, hi1, hp, wrap=False, s_cells=_S, quantum=8
         )
         nb = band.blocks(_S)
         dbuf = _dbuf_fits(band.k, wb)

@@ -73,9 +73,15 @@ def test_fused_chw_layout(setup):
 
 
 def _sweep_axis(out_dim, dim, wrap, s_cells, quantum, chunk=1024):
-    """Max window violations over all integer gazes for one axis."""
+    """Max window violations over all integer gazes for one axis.
+
+    Mirrors the kernel geometry exactly, including the y pass's
+    alignment padding: bands and the non-wrap base clip use the
+    quantum-aligned padded dim (the kernels pad the source rows), while
+    the tap clamps stay at the true dim."""
     g = _grid_axis(out_dim, dim).astype(np.int64)
-    bands = _kernel_bands(g.tobytes(), dim, s_cells, quantum)
+    dim_pad = -(-dim // quantum) * quantum if not wrap else dim
+    bands = _kernel_bands(g.tobytes(), dim_pad, s_cells, quantum)
     viol = 0
     for lo0 in range(0, dim + 1, chunk):
         cs = np.arange(lo0, min(lo0 + chunk, dim + 1))[:, None]
@@ -94,19 +100,23 @@ def _sweep_axis(out_dim, dim, wrap, s_cells, quantum, chunk=1024):
         for b in bands:
             for bs in range(b.start, b.end, s_cells):
                 be = min(bs + s_cells, b.end)
-                if wrap:
+                if wrap and b.k >= dim:
+                    # Whole-period window anchors at 0 (see _block_geometry).
+                    base = np.zeros(lo1.shape[0], dtype=np.int64)
+                    rl = np.mod(lo1[:, bs:be], dim)
+                elif wrap:
                     base = (np.mod(lo1[:, bs], dim) // quantum) * quantum
                     rl = np.mod(lo1[:, bs:be] - base[:, None], dim)
                 else:
-                    base = np.clip(lo1[:, bs], 0, max(dim - b.k, 0))
+                    base = np.clip(lo1[:, bs], 0, max(dim_pad - b.k, 0))
                     base = (base // quantum) * quantum
                     rl = lo1[:, bs:be] - base[:, None]
                 rh = rl + (hi1 - lo1)[:, bs:be]
                 bad = valid[:, bs:be] & ~((rl >= 0) & (rh <= b.k))
                 viol += int(bad.sum())
                 if not wrap:
-                    # DMA bound: window must stay inside the source.
-                    viol += int((base + b.k > dim).sum())
+                    # DMA bound: window must stay inside the (padded) source.
+                    viol += int((base + b.k > dim_pad).sum())
     return viol
 
 
@@ -118,14 +128,39 @@ def _sweep_axis(out_dim, dim, wrap, s_cells, quantum, chunk=1024):
         (4272, 2400, 7680, 4320),
         (8544, 4800, 15360, 8640),
         (OUT_W, OUT_H, SRC_W, SRC_H),
+        # Quantum-UNaligned heights: the y clip bound is only 8-aligned
+        # after the kernel's row padding — the regression class the
+        # differential fuzz caught (bottom-clamped cells escaping their
+        # quantized window at any src_h % 8 != 0).
+        (576, 128, 1024, 204),
+        (288, 304, 512, 539),
+        (432, 176, 768, 307),
     ],
-    ids=["1080p", "4k", "8k", "16k", "testsize"],
+    ids=["1080p", "4k", "8k", "16k", "testsize", "h204", "h539", "h307"],
 )
 def test_kernel_window_invariants_all_integer_gazes(dims):
     out_w, out_h, src_w, src_h = dims
     assert _sweep_axis(out_h, src_h, False, _S, 8) == 0
     assert _sweep_axis(out_w, src_w, True, _SX, 128) == 0
     assert _sweep_axis(out_w, src_w, False, _SX, 128) == 0
+
+
+def test_fused_bit_equality_unaligned_height():
+    """Bit-parity at a src_h % 8 != 0 shape, at gazes that clamp
+    nonzero-width cells against the bottom edge (the exact failure mode
+    of the pre-padding geometry: quantized bases fell up to 7 rows short
+    of covering bottom-clamped intervals)."""
+    fw, fh, rw, rh = 512, 204, 288, 128
+    rng = np.random.default_rng(9)
+    frame = rng.integers(0, 256, (fh, fw, 3), np.uint8)
+    grid = make_grid(rw, rh, fw, fh)
+    sat = build_sat(jnp.asarray(frame))
+    fr = jnp.asarray(frame.transpose(2, 0, 1))
+    for center in ((0.5, 0.97), (0.46, 0.666), (0.0, 1.0)):
+        c = jnp.asarray(center, jnp.float32)
+        want = sample_rect_from_sat(sat, grid, c)
+        got = sample_rect_fused(fr, grid, c, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_wrap_pad_covers_every_window():
