@@ -53,11 +53,22 @@ _SLACK = 32
 
 
 def _dbuf_fits(k: int, minor: int, elem_bytes: int = 1) -> bool:
-    """Static check: a double-buffered slab plus the in-kernel f32 cast
-    planes must stay within a conservative ~8 MB scoped-VMEM allowance
-    (the largest periphery bands at 16K exceed it and fall back to a
-    single serial-DMA slab)."""
-    return (6 * elem_bytes + 12) * k * minor <= 8 * 1024 * 1024
+    """Static check: a double-buffered slab must stay within a
+    conservative ~6 MB scoped-VMEM allowance (the largest periphery
+    bands at 16K exceed it and fall back to a single serial-DMA slab).
+    Cast/dot intermediates are chunk-bounded (_CH_Y/_CH_X below) and do
+    not scale with k, so only the slab itself counts against k."""
+    return 6 * elem_bytes * k * minor <= 6 * 1024 * 1024
+
+
+# Rows (y pass) / columns (x pass) cast-and-dotted per chunk: the
+# uint8/16 -> int32 -> float32 conversion hops materialize full planes
+# in VMEM, and at production widths a whole-slab plane (k x 1920 x 8 B
+# at 16K's k=728) would overrun the ~16 MB scoped-VMEM budget on its
+# own.  Chunking bounds the live intermediates at ~2 MB while the f32
+# accumulation stays exact (partial integer sums < 2^24).
+_CH_Y = 128
+_CH_X = 512
 
 
 def _wb(w: int) -> int:
@@ -192,20 +203,26 @@ def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
         dma.start()
         dma.wait()
     # One-hot interval weights: oh[s, r] = 1 iff slab row r lies in cell
-    # s's interval.  Zero-width pad cells give all-zero rows.
-    ks = jax.lax.broadcasted_iota(jnp.int32, (_S, k), 1)
+    # s's interval.  Zero-width pad cells give all-zero rows.  The cast
+    # and dot run in _CH_Y-row chunks so the i32/f32 conversion planes
+    # stay ~2 MB regardless of the band's k; chunk partial sums are
+    # exact integers < 2^24, so f32 accumulation is exact.
     lo = lo_ref[0, :][:, None]
     hi = hi_ref[0, :][:, None]
-    oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)  # (_S, k)
     outs = []
     for c in range(3):
-        x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
-        y = jax.lax.dot_general(
-            oh,
-            x,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (_S, wb)
+        y = jnp.zeros((_S, wb), jnp.float32)
+        for j0 in range(0, k, _CH_Y):
+            j1 = min(j0 + _CH_Y, k)
+            ks = j0 + jax.lax.broadcasted_iota(jnp.int32, (_S, j1 - j0), 1)
+            oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)
+            x = slab[slot, c, j0:j1, :].astype(jnp.int32).astype(jnp.float32)
+            y = y + jax.lax.dot_general(
+                oh,
+                x,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (_S, wb)
         outs.append(y.astype(jnp.int32).astype(jnp.uint16))
     out_ref[...] = jnp.stack(outs)
 
@@ -328,8 +345,6 @@ def _x_kernel(
         dma.wait()
     lo = lo_ref[0, :][None, :]  # (1, _SX)
     hi = hi_ref[0, :][None, :]
-    ks = jax.lax.broadcasted_iota(jnp.int32, (k, _SX), 0)
-    oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)  # (k, _SX)
 
     # rect = dy * dx; dx is each cell's interval width.  Validity masks
     # come in as int32 (Mosaic-friendly); invalid texels emit 0.
@@ -341,21 +356,30 @@ def _x_kernel(
 
     outs = []
     for c in range(3):
-        x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
         # uint16 segment sums exceed bf16's exact integers (the MXU
         # truncates f32 operands to bf16): two <=8-bit limb dots, exact.
-        xhi = jnp.floor(x * (1.0 / 256.0))
-        xlo = x - 256.0 * xhi
-
-        def dot(a):
-            return jax.lax.dot_general(
-                a,
-                oh,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        # Chunked over _CH_X slab columns so the cast/limb planes stay
+        # ~2 MB at any band k; chunk partials are exact ints < 2^24.
+        box_f = jnp.zeros((hb, _SX), jnp.float32)
+        for j0 in range(0, k, _CH_X):
+            j1 = min(j0 + _CH_X, k)
+            ks = j0 + jax.lax.broadcasted_iota(
+                jnp.int32, (j1 - j0, _SX), 0
             )
+            oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)
+            x = slab[slot, c, :, j0:j1].astype(jnp.int32).astype(jnp.float32)
+            xhi = jnp.floor(x * (1.0 / 256.0))
+            xlo = x - 256.0 * xhi
 
-        box_f = 256.0 * dot(xhi) + dot(xlo)  # (hb, _SX), exact < 2^24
+            def dot(a, oh=oh):
+                return jax.lax.dot_general(
+                    a,
+                    oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            box_f = box_f + 256.0 * dot(xhi) + dot(xlo)  # exact < 2^24
         box_u = box_f.astype(jnp.int32).astype(jnp.uint32)
         # Exact box/rect division: f32 quotient estimate + one-step
         # wraparound fixup (foveax.core.sample._exact_box_div).
