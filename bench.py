@@ -87,6 +87,12 @@ def wait_for_device() -> None:
 def main() -> None:
     wait_for_device()
 
+    # Persistent compilation cache: remote compiles cost 15-40 s per jit
+    # shape through the relay; caching makes driver re-runs and retries
+    # after a partial failure start measuring almost immediately.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/foveax_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
     import jax
     import jax.numpy as jnp
 
