@@ -11,6 +11,10 @@
 set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
+# Share compiled executables across the batch's processes where the
+# backend honors the persistent cache (harmless where it doesn't).
+export JAX_COMPILATION_CACHE_DIR=/tmp/foveax_jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
 timeout 580 python scripts/stage_bench.py --resolutions 4k --iters 20 --stages fused
 timeout 580 python scripts/stage_bench.py --resolutions 1080p 4k --iters 20 --stages unwarp --precision fused
 timeout 580 python scripts/stage_bench.py --resolutions 1080p 4k --iters 20 --stages unwarp --precision mm
