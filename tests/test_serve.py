@@ -1318,3 +1318,50 @@ def test_place_videos_round_robin_sessions():
     )
     assert all(s.frames == 4 for s in stats)
     assert len(placed) == 2 and placed[0] != placed[1], placed
+
+
+def test_place_videos_with_svd_mode():
+    """Placement composes with SVD serving: the channel's sat is built on
+    the placed device and compress_sat/pack_svd read it back from there.
+    Two videos stream factors from two distinct devices."""
+    port = _free_port()
+    server = FoveaxServer(
+        CFG,
+        max_frames=40,
+        broadcast=True,
+        sat_compression="svd",
+        place_videos="round_robin",
+    )
+    frames_seen = [[], []]
+    clients = [
+        FoveaxClient(
+            f"ws://127.0.0.1:{port}",
+            video=f"synthetic://96x64@30/{nf}",
+            config=CFG,
+            gaze_source=lambda i: (0.4, 0.6),
+            frame_sink=lambda f, meta, s=sink: s.append(f),
+            max_frames=3,
+        )
+        for nf, sink in ((50, frames_seen[0]), (51, frames_seen[1]))
+    ]
+
+    async def snapshot():
+        for _ in range(400):
+            placed = {
+                v: ch.device
+                for v, ch in server.channels.items()
+                if ch.device is not None
+            }
+            if len(placed) >= 2:
+                return placed
+            await asyncio.sleep(0.05)
+        raise AssertionError(f"channels never placed: {server.channels}")
+
+    *stats, placed = _run_with_placement_snapshot(
+        server, port, clients, snapshot
+    )
+    assert all(s.frames == 3 for s in stats)
+    devices = list(placed.values())
+    assert len(devices) == 2 and devices[0] != devices[1], placed
+    for sink in frames_seen:
+        assert sink and sink[0].shape == (64, 96, 3)
