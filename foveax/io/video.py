@@ -69,14 +69,17 @@ def parse_synthetic_spec(spec: str) -> tuple[int, int, float, int, str]:
     lets callers validate dimensions before any allocation happens.
     Patterns: ``hostile`` (default — high-frequency stripes, the
     aliasing stress content), ``natural`` (band-limited gradients and
-    soft shapes, paper-style PSNR magnitudes), or ``natural1f``
+    soft shapes, paper-style PSNR magnitudes), ``natural1f``
     (calibrated 1/f amplitude spectrum — the natural-image statistics
-    regime between the two, with detail above the peripheral Nyquist)."""
+    regime between the two, with detail above the peripheral Nyquist),
+    or ``photo`` (a mosaic of the one real photograph bundled in this
+    zero-egress sandbox, native pixel scale — genuine photographic
+    statistics rather than a model of them)."""
     m = _SYNTH_RE.match(spec)
     if not m:
         raise ValueError(f"bad synthetic spec: {spec}")
     pattern = m.group(5) or "hostile"
-    if pattern not in ("hostile", "natural", "natural1f"):
+    if pattern not in ("hostile", "natural", "natural1f", "photo"):
         raise ValueError(f"unknown synthetic pattern {pattern!r}")
     if int(m.group(1)) < 1 or int(m.group(2)) < 1:
         raise ValueError(f"bad synthetic dimensions: {spec}")
@@ -87,6 +90,61 @@ def parse_synthetic_spec(spec: str) -> tuple[int, int, float, int, str]:
         int(m.group(4)) if m.group(4) else 300,
         pattern,
     )
+
+
+def _bundled_photo() -> np.ndarray:
+    """The one real photograph shipped with the installed packages in
+    this zero-egress sandbox: matplotlib's sample photo (600x512 RGB,
+    a JPEG of a person at a workstation).  Used by the ``photo``
+    synthetic pattern so quality studies can include genuine
+    photographic statistics (sensor noise, real edge/texture spectra)
+    alongside the calibrated synthetic regimes."""
+    import os
+
+    try:
+        import matplotlib
+        from PIL import Image
+    except Exception as e:  # pragma: no cover
+        raise ValueError(
+            "synthetic pattern 'photo' needs matplotlib+PIL sample data"
+        ) from e
+    p = os.path.join(
+        os.path.dirname(matplotlib.__file__),
+        "mpl-data",
+        "sample_data",
+        "grace_hopper.jpg",
+    )
+    if not os.path.exists(p):  # pragma: no cover
+        raise ValueError(f"synthetic pattern 'photo': missing {p}")
+    return np.asarray(Image.open(p).convert("RGB"))
+
+
+def _photo_mosaic(width: int, height: int) -> np.ndarray:
+    """Tile (height, width, 3) with seeded random crops/flips of the
+    bundled photograph at NATIVE pixel scale — no resampling, so the
+    local amplitude spectrum is the photograph's own (upsampling would
+    band-limit it; the whole point is real detail above the reduced
+    stream's peripheral Nyquist).  Random crop offsets + flips break
+    the periodicity a plain tiling would add; tile seams contribute a
+    small, acknowledged artificial-edge population."""
+    photo = _bundled_photo()
+    ph, pw = photo.shape[:2]
+    th, tw = ph // 2, pw // 2  # 300x256 crops: 4x the distinct offsets
+    rng = np.random.default_rng(width * 7919 + height + 1)
+    base = np.empty((height, width, 3), np.uint8)
+    for y0 in range(0, height, th):
+        for x0 in range(0, width, tw):
+            cy = int(rng.integers(0, ph - th + 1))
+            cx = int(rng.integers(0, pw - tw + 1))
+            tile = photo[cy : cy + th, cx : cx + tw]
+            if rng.integers(0, 2):
+                tile = tile[:, ::-1]
+            if rng.integers(0, 2):
+                tile = tile[::-1, :]
+            h = min(th, height - y0)
+            w = min(tw, width - x0)
+            base[y0 : y0 + h, x0 : x0 + w] = tile[:h, :w]
+    return base
 
 
 class SyntheticReader:
@@ -102,7 +160,9 @@ class SyntheticReader:
         self._i = 0
         yy, xx = np.mgrid[0:height, 0:width]
         self._xx, self._yy = xx, yy
-        if pattern == "natural1f":
+        if pattern == "photo":
+            self._base = _photo_mosaic(width, height)
+        elif pattern == "natural1f":
             # Natural-image statistics: amplitude spectrum A(f) = 1/f
             # (Field 1987; slope verified by tests/test_io.py).  Unlike
             # the band-limited "natural" pattern, spectral energy
@@ -185,7 +245,7 @@ class SyntheticReader:
         r = max(4, self.height // 24)
         y0, y1 = max(cy - r, 0), min(cy + r, self.height)
         x0, x1 = max(cx - r, 0), min(cx + r, self.width)
-        if self.pattern in ("natural", "natural1f"):
+        if self.pattern in ("natural", "natural1f", "photo"):
             # Soft moving highlight instead of a hard inverted block.
             yy = self._yy[y0:y1, x0:x1]
             xx = self._xx[y0:y1, x0:x1]

@@ -218,6 +218,38 @@ def test_natural1f_spectrum_calibrated():
     assert e_high / e_total > 0.02, e_high / e_total
 
 
+def test_photo_pattern():
+    """#photo builds a native-scale mosaic of the bundled real
+    photograph: deterministic per size, covers arbitrary dimensions,
+    and carries genuine high-frequency energy above the reduced-stream
+    Nyquist (real photographic statistics, not a model)."""
+    pytest.importorskip("matplotlib")
+    pytest.importorskip("PIL")
+    from foveax.io.video import SyntheticReader, parse_synthetic_spec
+
+    assert parse_synthetic_spec("synthetic://64x32#photo")[4] == "photo"
+
+    a = SyntheticReader(320, 200, n_frames=2, pattern="photo")
+    b = SyntheticReader(320, 200, n_frames=2, pattern="photo")
+    fa, fb = a.read(), b.read()
+    assert fa.shape == (200, 320, 3)
+    assert np.array_equal(fa, fb)  # seeded mosaic: reproducible tables
+    assert fa.std() > 20  # real content, not flat
+
+    # Above-Nyquist AC energy: real photos keep detail past the
+    # best-case reduced-stream Nyquist (0.5/1.8 c/px); band-limited
+    # synthetic content has ~none there.
+    luma = fa.astype(np.float64).mean(axis=-1)
+    luma -= luma.mean()
+    spec = np.abs(np.fft.fft2(luma)) ** 2
+    fy = np.fft.fftfreq(luma.shape[0])[:, None]
+    fx = np.fft.fftfreq(luma.shape[1])[None, :]
+    freq = np.hypot(fy, fx)
+    e_total = float(spec[freq > 0].sum())
+    e_high = float(spec[freq > 0.5 / 1.8].sum())
+    assert e_high / e_total > 0.005, e_high / e_total
+
+
 def test_gaze_fn_synthetic_trace():
     """--gaze-trace synthetic[:seed] yields a deterministic moving trace
     (pursuit + saccades) without a dataset file."""
