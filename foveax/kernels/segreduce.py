@@ -411,8 +411,9 @@ def x_segment_reduce(
     Column i of the result is the box mean over row-sum columns
     [lo1[i], hi1[i]) divided by the exact rect, with the validity mask
     applied — the x half of the 4-tap box filter plus the output stage.
-    ``rows`` must carry a wrap pad of at least the largest band window
-    when ``wrap`` (y_segment_reduce's ``pad_blocks``).
+    ``rows`` must carry a wrap pad of at least the largest PARTIAL-band
+    window when ``wrap`` (y_segment_reduce's ``pad_blocks``); whole-
+    period bands anchor at base 0 and never read the pad.
     """
     _, hr, _ = rows.shape
     hb = _hb(hr)
@@ -509,8 +510,15 @@ def sample_rect_fused(
     gy = np.asarray(grid.gy, dtype=np.int64)
 
     wb = _wb(ws)
-    maxk = max(b.k for b in _kernel_bands(gx.tobytes(), ws, _SX, 128))
-    pad_blocks = -(-maxk // wb) if wrap_x else 0
+    # Wrap pad sizing: whole-period bands (k == ws) are anchored at base
+    # 0 by _block_geometry and read only [0, ws), so they consume no
+    # pad — size it from the widest partial-period band instead (at
+    # small widths the periphery's k clamps to ws, and counting it
+    # would double the y pass's output width for columns nobody reads).
+    partial_ks = [
+        b.k for b in _kernel_bands(gx.tobytes(), ws, _SX, 128) if b.k < ws
+    ]
+    pad_blocks = -(-max(partial_ks) // wb) if (wrap_x and partial_ks) else 0
     rows = y_segment_reduce(
         frame, pymc + 1, pyc + 1, gy, pad_blocks=pad_blocks,
         interpret=interpret,

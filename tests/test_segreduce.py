@@ -164,14 +164,43 @@ def test_fused_bit_equality_unaligned_height():
 
 
 def test_wrap_pad_covers_every_window():
-    """The y pass's wrap pad must cover the largest x window past any
-    quantized base (base <= W - 128, so pad >= maxk - 128 suffices; the
-    orchestrator allocates ceil(maxk / wb) blocks >= maxk)."""
-    for src_w, out_w in [(1920, 1072), (3840, 2144), (15360, 8544)]:
+    """The y pass's wrap pad must cover the largest PARTIAL-band x window
+    past any quantized base (base <= W - 128, so pad >= maxk - 128
+    suffices; the orchestrator allocates ceil(maxk / wb) blocks >= maxk).
+    Whole-period bands (k == W) anchor at base 0 and read only [0, W),
+    so they consume no pad — the orchestrator sizes the pad from partial
+    bands only (zero when every band is whole-period, e.g. 256-wide)."""
+    for src_w, out_w in [(1920, 1072), (3840, 2144), (15360, 8544),
+                         (640, 352), (256, 144)]:
         g = _grid_axis(out_w, src_w).astype(np.int64)
-        maxk = max(
-            b.k for b in _kernel_bands(g.tobytes(), src_w, _SX, 128)
-        )
+        bands = _kernel_bands(g.tobytes(), src_w, _SX, 128)
+        partial = [b.k for b in bands if b.k < src_w]
         wb = segreduce._wb(src_w)
-        pad = -(-maxk // wb) * wb
-        assert (src_w - 128) + maxk <= src_w + pad
+        pad = -(-max(partial) // wb) * wb if partial else 0
+        for b in bands:
+            if b.k < src_w:
+                assert (src_w - 128) + b.k <= src_w + pad
+            else:  # base 0, window [0, W): inside even with zero pad
+                assert b.k <= src_w + pad
+
+
+def test_fused_bit_equality_all_whole_period_bands():
+    """Bit-parity at a width small enough that every x band clamps to
+    the whole period: the orchestrator then allocates ZERO wrap pad and
+    every window anchors at base 0 (the case the partial-band pad sizing
+    must not break)."""
+    fw, fh, rw, rh = 256, 128, 144, 64
+    rng = np.random.default_rng(11)
+    frame = rng.integers(0, 256, (fh, fw, 3), np.uint8)
+    grid = make_grid(rw, rh, fw, fh)
+    bands = _kernel_bands(
+        np.asarray(grid.gx, np.int64).tobytes(), fw, _SX, 128
+    )
+    assert all(b.k >= fw for b in bands)
+    sat = build_sat(jnp.asarray(frame))
+    fr = jnp.asarray(frame.transpose(2, 0, 1))
+    for center in ((0.5, 0.5), (0.03, 0.4), (0.999, 0.001), (0.0, 1.0)):
+        c = jnp.asarray(center, jnp.float32)
+        want = sample_rect_from_sat(sat, grid, c)
+        got = sample_rect_fused(fr, grid, c, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
