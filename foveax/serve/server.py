@@ -41,6 +41,21 @@ from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, Vid
 log = logging.getLogger("foveax.serve")
 
 
+def _input_stager(device):
+    """Staging fn for hot-loop device inputs under ``--place-videos``.
+
+    Committing inputs to the session/channel's device makes the shared
+    jitted pipeline run there (computation follows data); ``device=None``
+    = default-device asarray, byte-for-byte the un-placed behavior.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if device is not None:
+        return functools.partial(jax.device_put, device=device)
+    return jnp.asarray
+
+
 def _log_task_failure(task: asyncio.Task) -> None:
     """Session supervision: a crashed send loop is logged, never silent
     (the reference's per-connection threads die invisibly)."""
@@ -419,19 +434,9 @@ class BroadcastChannel:
         return self.decimation
 
     async def _loop(self) -> None:
-        import jax
-        import jax.numpy as jnp
-
         loop = asyncio.get_running_loop()
         p = self.pipeline
-        # Input staging: committing inputs to the channel's device makes
-        # the shared jitted pipeline run there (computation follows
-        # data); None = default-device asarray, byte-for-byte the
-        # un-placed behavior.
-        if self.device is not None:
-            _stage = functools.partial(jax.device_put, device=self.device)
-        else:
-            _stage = jnp.asarray
+        _stage = _input_stager(self.device)
         tick = 1.0 / self.server.config.fps
         sent_header = self._sent_header
         frame_num = 0
@@ -1011,17 +1016,10 @@ class FoveaxServer:
         self, session: Session, pipeline: FoveationPipeline
     ) -> None:
         """The 30 fps hot loop (reference: src/video_server.cc:197-427)."""
-        import jax
-        import jax.numpy as jnp
-
         loop = asyncio.get_running_loop()
         ws, mux, reader = session.ws, session.mux, session.reader
         tick = 1.0 / self.config.fps
-        # Same committed-input placement story as BroadcastChannel._loop.
-        if session.device is not None:
-            _stage = functools.partial(jax.device_put, device=session.device)
-        else:
-            _stage = jnp.asarray
+        _stage = _input_stager(session.device)
 
         # Header-first, as the reference sends the mp4 header as the first
         # binary frame (src/video_server.cc:273-280).
