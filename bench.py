@@ -48,6 +48,7 @@ def wait_for_device() -> None:
     """
     probe_timeout = float(os.environ.get("FOVEAX_BENCH_PROBE_TIMEOUT", "120"))
     window = float(os.environ.get("FOVEAX_BENCH_PROBE_WINDOW", "2400"))
+    allow_cpu = os.environ.get("FOVEAX_BENCH_ALLOW_CPU", "") == "1"
     code = (
         "import jax, jax.numpy as jnp\n"
         "print('probe-ok', int(jnp.arange(8).sum()), jax.default_backend())\n"
@@ -64,8 +65,19 @@ def wait_for_device() -> None:
                 text=True,
             )
             if r.returncode == 0 and "probe-ok" in r.stdout:
-                return
-            detail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+                # The site hook registers platforms as "axon,cpu", so a
+                # failed device init (wedged tunnel, or another process
+                # holding the one-process tunnel) falls through to the CPU
+                # backend and the probe still exits 0.  Gate on the backend
+                # token the probe printed: a cpu-backed probe means "no
+                # device yet", and must keep retrying, not start an
+                # hours-long CPU run of the 4K path.
+                backend = r.stdout.split()[-1].strip()
+                if backend != "cpu" or allow_cpu:
+                    return
+                detail = ["probe fell back to cpu backend (no device)"]
+            else:
+                detail = (r.stderr or r.stdout).strip().splitlines()[-1:]
         except subprocess.TimeoutExpired:
             detail = [f"device init hung > {probe_timeout:.0f}s (wedged tunnel?)"]
         remaining = deadline - time.monotonic()
