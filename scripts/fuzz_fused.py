@@ -41,7 +41,9 @@ from foveax.kernels.unwarp_pl import unwarp_rect_fused
 
 def main() -> int:
     rng = np.random.default_rng(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
-    widths = [384, 512, 640, 768, 896, 1024, 1152, 1280]
+    # 128/256: every x band clamps to the whole period there, so the
+    # orchestrator allocates ZERO wrap pad (partial-band sizing).
+    widths = [128, 256, 384, 512, 640, 768, 896, 1024, 1152, 1280]
     n_shapes = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     fails = 0
     for t in range(n_shapes):
