@@ -266,7 +266,12 @@ class FragmentReader:
 
     def __init__(self):
         self._buf = bytearray()
-        self.width = self.height = None
+        # 0 = "tkhd not (yet) parsed", exactly as the native demuxer's
+        # zero-initialized struct: a corrupt moov whose trak/tkhd cannot
+        # be walked still counts as a seen header, and both backends must
+        # then report the same (0, 0) — dims persist across renegotiation
+        # headers unless a new tkhd parses, also as the native side.
+        self._width = self._height = 0
         self.header_seen = False
         # Init segments seen: >1 means the stream was renegotiated
         # mid-flight (rate adaptation) and downstream decoders must be
@@ -275,6 +280,15 @@ class FragmentReader:
         self.last_seq = 0
         self.sample_format: bytes | None = None
         self.codec_config: tuple[bytes, bytes] | None = None
+
+    @property
+    def width(self):
+        """None before any init segment, as the native binding."""
+        return self._width if self.header_seen else None
+
+    @property
+    def height(self):
+        return self._height if self.header_seen else None
 
     def feed(self, chunk: bytes) -> list[bytes]:
         self._buf.extend(chunk)
@@ -337,7 +351,7 @@ class FragmentReader:
             for fc2, s2, e2 in iter_boxes(moov_payload, s, e):
                 if fc2 == b"tkhd" and e2 - s2 >= 8:
                     w, h = struct.unpack_from(">II", moov_payload, e2 - 8)
-                    self.width, self.height = w >> 16, h >> 16
+                    self._width, self._height = w >> 16, h >> 16
                 elif fc2 == b"mdia":
                     for fc3, s3, e3 in iter_boxes(moov_payload, s2, e2):
                         if fc3 != b"minf":

@@ -127,12 +127,18 @@ class FragmentReader {
     // (rate adaptation) — a WebCodecs decoder must be reconfigured from
     // the new codecConfig (the JPEG path is stateless and just works).
     this.headerCount = 0;
-    this.width = null;
-    this.height = null;
+    // 0 = "tkhd not (yet) parsed", as the native demuxer's
+    // zero-initialized struct; the getters report null until an init
+    // segment arrives, matching the Python/native bindings exactly.
+    this._width = 0;
+    this._height = 0;
     this.lastSeq = 0;
     this.sampleFormat = null;
     this.codecConfig = null; // {fourcc, payload: Uint8Array}
   }
+
+  get width() { return this.headerSeen ? this._width : null; }
+  get height() { return this.headerSeen ? this._height : null; }
 
   feed(chunk) {
     const merged = new Uint8Array(this.buf.length + chunk.length);
@@ -203,9 +209,11 @@ class FragmentReader {
     for (const [fc, s, e] of this._boxes(payload, 0, payload.length)) {
       if (fc !== "trak") continue;
       for (const [fc2, s2, e2] of this._boxes(payload, s, e)) {
-        if (fc2 === "tkhd") {
-          this.width = be32(payload, e2 - 8) >>> 16;
-          this.height = be32(payload, e2 - 4) >>> 16;
+        if (fc2 === "tkhd" && e2 - s2 >= 8) {
+          // Size guard as the Python/native parsers: a truncated tkhd
+          // must be skipped, not read as bytes of the preceding box.
+          this._width = be32(payload, e2 - 8) >>> 16;
+          this._height = be32(payload, e2 - 4) >>> 16;
         } else if (fc2 === "mdia") {
           for (const [fc3, s3, e3] of this._boxes(payload, s2, e2)) {
             if (fc3 !== "minf") continue;

@@ -15,6 +15,7 @@ generation (deterministic, so failures are reproducible).
 """
 
 import json
+import os
 import struct
 
 import numpy as np
@@ -22,6 +23,15 @@ import pytest
 
 from foveax.io.mux import FragmentReader, FragmentWriter
 from foveax.serve import protocol
+
+# Soak knob: FOVEAX_FUZZ_SEED_BASE shifts every generator seed, so CI
+# stays deterministic (base 0) while soak runs explore fresh corpora
+# (failures still reproduce by re-exporting the same base).
+_SEED = int(os.environ.get("FOVEAX_FUZZ_SEED_BASE", "0"))
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed + _SEED)
 
 try:
     from foveax.native import NativeDemuxer, available as native_available
@@ -38,7 +48,7 @@ needs_native = pytest.mark.skipif(not HAVE_NATIVE, reason="native lib unavailabl
 
 def test_protocol_fuzz_only_valueerror(
 ):
-    rng = np.random.default_rng(42)
+    rng = _rng(42)
     corpus = [
         "",
         "{",
@@ -85,7 +95,7 @@ def test_protocol_fuzz_only_valueerror(
 
 
 def test_protocol_roundtrip_random_valid():
-    rng = np.random.default_rng(43)
+    rng = _rng(43)
     for _ in range(200):
         msg = [
             protocol.TextMessage(str(rng.integers(0, 1 << 30))),
@@ -151,7 +161,7 @@ def _valid_stream(rng, codec_config=None) -> bytes:
 def test_demuxers_agree_on_random_splits():
     """Both demuxer backends must expose identical state for every split
     of a valid stream — including mid-box-header splits."""
-    rng = np.random.default_rng(44)
+    rng = _rng(44)
     for cfg in (None, (b"avcC", bytes(range(20)))):
         stream = _valid_stream(rng, cfg)
         for chunks in _random_splits(rng, stream, 30):
@@ -165,7 +175,7 @@ def test_demuxers_agree_on_corruption():
     """Bit flips in box headers / truncations / garbage prefixes: the two
     backends must fail (or stall) identically and never emit different
     samples."""
-    rng = np.random.default_rng(45)
+    rng = _rng(45)
     base = _valid_stream(rng, (b"avcC", b"\x01\x64\x00\x1e\xff"))
     cases = []
     for _ in range(60):  # random single-byte corruptions
@@ -188,7 +198,7 @@ def test_demuxers_agree_on_corruption():
 
 @needs_native
 def test_demuxers_agree_on_pure_garbage():
-    rng = np.random.default_rng(46)
+    rng = _rng(46)
     for _ in range(100):
         data = bytes(rng.integers(0, 256, int(rng.integers(0, 300))))
         for chunks in _random_splits(rng, data, 2):
@@ -199,12 +209,30 @@ def test_demuxers_agree_on_pure_garbage():
 
 def test_demuxer_byte_at_a_time():
     """Worst-case fragmentation: one byte per feed."""
-    rng = np.random.default_rng(47)
+    rng = _rng(47)
     stream = _valid_stream(rng, (b"avcC", b"\x01\x42\x00\x1e"))
     whole = _observe(FragmentReader(), [stream])
     trickle = _observe(FragmentReader(), [bytes([b]) for b in stream])
     assert whole == trickle
     assert whole["err"] is None and whole["header"]
+
+
+@needs_native
+def test_demuxers_agree_on_unparseable_tkhd():
+    """A moov whose trak size overruns the box: the header still counts
+    as seen (the fragments keep flowing) but tkhd never parses — both
+    demuxers must then report dims (0, 0) (the seed-3045 soak caught the
+    Python twin reporting (None, None) against the native's zeros)."""
+    rng = _rng(6)
+    data = bytearray(_valid_stream(rng, (b"avcC", b"\x01\x42\x00\x1e")))
+    i = bytes(data).find(b"trak")
+    assert i > 4
+    struct.pack_into(">I", data, i - 4, 0xFFFFFFFF)
+    a = _observe(FragmentReader(), [bytes(data)])
+    b = _observe(NativeDemuxer(), [bytes(data)])
+    assert a == b, (a, b)
+    assert a["header"] and a["dims"] == (0, 0)
+    assert a["samples"]  # mdat payloads still flow past the bad moov
 
 
 def test_demuxers_agree_on_short_mfhd():
@@ -215,7 +243,7 @@ def test_demuxers_agree_on_short_mfhd():
     Python twin must match."""
     if not native_available():
         pytest.skip("native demuxer unavailable")
-    rng = np.random.default_rng(5)
+    rng = _rng(5)
     data = bytearray(_valid_stream(rng))
     # Find the first mfhd box and shrink its size field to 9 (payload 1).
     i = bytes(data).find(b"mfhd")
