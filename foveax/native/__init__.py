@@ -319,7 +319,7 @@ class NativeDemuxer:
         out = []
         for _ in range(n):
             r = self._lib.fvx_demux_next(self._h, self._buf, self._cap)
-            if r == 0:
+            if r == -1:  # none queued (0 is a valid EMPTY sample)
                 break
             if r < 0:
                 self._cap = -r

@@ -431,11 +431,13 @@ int fvx_demux_feed(void* h, const uint8_t* chunk, int len) {
   return int(d->samples.size());
 }
 
-// Pop one sample into out (cap bytes).  Returns its size, 0 if none
-// queued, or -(size) if cap was too small (sample stays queued).
+// Pop one sample into out (cap bytes).  Returns its size (0 is a valid
+// EMPTY sample — a zero-payload mdat), -1 if none queued, or -(size)
+// if cap was too small (sample stays queued; size >= cap+1 >= 2 keeps
+// that range disjoint from the -1 sentinel for any real cap).
 int fvx_demux_next(void* h, uint8_t* out, int cap) {
   Demuxer* d = static_cast<Demuxer*>(h);
-  if (d->samples.empty()) return 0;
+  if (d->samples.empty()) return -1;
   std::vector<uint8_t>& s = d->samples.front();
   if (int(s.size()) > cap) return -int(s.size());
   std::memcpy(out, s.data(), s.size());

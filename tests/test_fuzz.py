@@ -218,6 +218,24 @@ def test_demuxer_byte_at_a_time():
 
 
 @needs_native
+def test_demuxers_agree_on_empty_mdat():
+    """A zero-payload mdat is a valid (empty) sample, not end-of-queue:
+    the native fvx_demux_next used to return 0 for both, so one empty
+    sample silently stalled the whole drained batch (seed-11006 soak).
+    Both backends must yield [b'', b'abcd', b'efgh'] from one feed."""
+    mux = FragmentWriter(48, 32, 30.0, b"jpeg", backend="python")
+    stream = (
+        mux.header()
+        + mux.frame(b"", is_sync=True)
+        + mux.frame(b"abcd")
+        + mux.frame(b"efgh")
+    )
+    want = [b"", b"abcd", b"efgh"]
+    assert FragmentReader().feed(stream) == want
+    assert [bytes(s) for s in NativeDemuxer().feed(stream)] == want
+
+
+@needs_native
 def test_demuxers_agree_on_unparseable_tkhd():
     """A moov whose trak size overruns the box: the header still counts
     as seen (the fragments keep flowing) but tkhd never parses — both
