@@ -128,6 +128,7 @@ def _observe(demux, chunks):
         "samples": samples,
         "err": err,
         "header": bool(demux.header_seen),
+        "headers": int(demux.header_count),
         "dims": (demux.width, demux.height) if demux.header_seen else None,
         "seq": demux.last_seq,
         "fmt": getattr(demux, "sample_format", None),
@@ -215,6 +216,48 @@ def test_demuxer_byte_at_a_time():
     trickle = _observe(FragmentReader(), [bytes([b]) for b in stream])
     assert whole == trickle
     assert whole["err"] is None and whole["header"]
+
+
+@needs_native
+def test_demuxers_agree_on_renegotiated_streams():
+    """Mid-stream renegotiation (serve --adapt-rate): a second init
+    segment with new dims/codec config must update both demuxers
+    identically — dims, sample format, codec config, AND header_count
+    (the client rebuilds its decoder when that increments) — across
+    random feed splits."""
+    rng = _rng(48)
+    for _ in range(12):
+        d1 = (int(rng.integers(2, 40)) * 16, int(rng.integers(2, 24)) * 16)
+        d2 = (int(rng.integers(2, 40)) * 16, int(rng.integers(2, 24)) * 16)
+        m1 = FragmentWriter(
+            *d1, 30.0, b"avc1",
+            codec_config=(b"avcC", bytes(rng.integers(0, 256, 12))),
+            backend="python",
+        )
+        m2 = FragmentWriter(
+            *d2, 30.0, b"jpeg" if rng.random() < 0.5 else b"avc1",
+            codec_config=(b"avcC", bytes(rng.integers(0, 256, 9)))
+            if rng.random() < 0.7
+            else None,
+            backend="python",
+        )
+        stream = m1.header()
+        for i in range(int(rng.integers(1, 4))):
+            stream += m1.frame(
+                bytes(rng.integers(0, 256, int(rng.integers(0, 200)))),
+                is_sync=(i == 0),
+            )
+        stream += m2.header()
+        for i in range(int(rng.integers(1, 4))):
+            stream += m2.frame(
+                bytes(rng.integers(0, 256, int(rng.integers(0, 200)))),
+                is_sync=(i == 0),
+            )
+        for chunks in _random_splits(rng, stream, 6):
+            a = _observe(FragmentReader(), chunks)
+            b = _observe(NativeDemuxer(), chunks)
+            assert a == b, (d1, d2, [len(c) for c in chunks])
+            assert a["headers"] == 2 and a["dims"] == d2
 
 
 @needs_native
