@@ -123,6 +123,13 @@ class Session:
         self._rate_dirty = False
 
     def update_gaze(self, cx: float, cy: float) -> None:
+        # Trust boundary: the protocol rejects non-finite coordinates but
+        # not out-of-range ones.  Clamp to the normalized gaze domain so
+        # a hostile/buggy client cannot poison the predictor state or
+        # push the warp's int32 center conversion outside the [0, dim]
+        # range every kernel's window math is designed (and swept) for.
+        cx = min(max(cx, 0.0), 1.0)
+        cy = min(max(cy, 0.0), 1.0)
         self.center = (cx, cy)
         if self.predictor is not None:
             self.predictor.update(cx, cy)

@@ -197,6 +197,25 @@ def test_gaze_prediction_and_adaptive_quality():
     assert s.quality > q0 * 0.8
 
 
+def test_gaze_clamped_at_trust_boundary():
+    """update_gaze clamps to [0, 1]: the protocol only rejects
+    non-finite coordinates, so a hostile client's out-of-range gaze must
+    not reach the predictor or the warp's int32 center conversion (the
+    kernel window sweeps assume centers in the unit square)."""
+    from foveax.serve.server import Session
+
+    server = FoveaxServer(CFG, predict_gaze="kalman")
+    s = Session(ws=None, server=server)
+    s.update_gaze(1e30, -1e30)
+    assert s.center == (1.0, 0.0)
+    s.update_gaze(-0.25, 7.5)
+    assert s.center == (0.0, 1.0)
+    # Predictor state stayed in-domain: the next prediction is a valid
+    # gaze, not an extrapolation poisoned by 1e30.
+    cx, cy = s.effective_center()
+    assert 0.0 <= cx <= 1.0 and 0.0 <= cy <= 1.0
+
+
 def test_path_traversal_rejected_but_session_survives(tmp_path):
     """A videoRequest naming an arbitrary path must be refused without
     killing the connection (the reference confines requests to
