@@ -53,6 +53,11 @@ def unpack_svd(data: bytes):
 
     if data[:4] != MAGIC:
         raise ValueError("not an FXSV payload")
+    if len(data) < 16 + 12:
+        # Normalize truncation to the caller contract (ValueError, as
+        # np.frombuffer already raises for short factor sections) —
+        # struct.unpack_from would raise struct.error instead.
+        raise ValueError("truncated FXSV payload")
     version, r, h, w = struct.unpack_from("<HHII", data, 4)
     if version != VERSION:
         raise ValueError(f"unsupported FXSV version {version}")

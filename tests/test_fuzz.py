@@ -208,6 +208,42 @@ def test_demuxers_agree_on_pure_garbage():
             )
 
 
+def test_svdwire_unpack_only_valueerror():
+    """The FXSV payload parser (SVD serving mode) must raise ValueError
+    — never struct.error or a numpy shape crash — on every truncation
+    and on random header corruption (the client treats ValueError as
+    'corrupt stream'; anything else kills the receive loop)."""
+    jnp = pytest.importorskip("jax.numpy")
+    from foveax.core.svd_sat import SVDSat
+    from foveax.io.svdwire import pack_svd, unpack_svd
+
+    rng = _rng(49)
+    h, w, r = 16, 24, 4
+    svd = SVDSat(
+        u=jnp.asarray(rng.normal(size=(3, h, r)), jnp.float32),
+        s=jnp.asarray(rng.normal(size=(3, r)), jnp.float32),
+        v=jnp.asarray(rng.normal(size=(3, r, w)), jnp.float32),
+        residual_q=jnp.asarray(
+            rng.integers(0, 256, (h, w, 3)), jnp.uint8
+        ),
+        ranges=jnp.asarray(rng.uniform(1, 9, 3), jnp.float32),
+    )
+    data = pack_svd(svd)
+    unpack_svd(data)  # the full payload parses
+    for n in range(0, len(data), 97):  # every stride-97 truncation
+        try:
+            unpack_svd(data[:n])
+        except ValueError:
+            pass
+    for _ in range(60):  # random header corruption
+        b = bytearray(data)
+        b[int(rng.integers(4, 16))] = int(rng.integers(0, 256))
+        try:
+            unpack_svd(bytes(b))
+        except ValueError:
+            pass
+
+
 def test_demuxer_byte_at_a_time():
     """Worst-case fragmentation: one byte per feed."""
     rng = _rng(47)
