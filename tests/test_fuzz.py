@@ -208,6 +208,43 @@ def test_demuxers_agree_on_pure_garbage():
             )
 
 
+def test_wire_decoder_survives_hostile_samples():
+    """Corrupted/garbage h264 samples must yield a frame (libavcodec
+    error concealment), None, or a clean IOError — never another
+    exception type or a crash of the receive loop's process."""
+    from foveax.io.wirecodec import available_wire_codecs, make_wire_decoder
+
+    if "h264" not in available_wire_codecs():
+        pytest.skip("h264 shim unavailable")
+    from foveax.io.wirecodec import WireEncoder
+
+    enc = WireEncoder("h264", 96, 64, 30.0, crf=30)
+    rng = _rng(50)
+    samples = [
+        enc.encode(rng.integers(0, 256, (64, 96, 3), np.uint8))[0]
+        for _ in range(3)
+    ]
+    cfg = enc.codec_config
+    enc.close()
+    cases = []
+    for i in range(30):  # random multi-byte corruption of real samples
+        s = bytearray(samples[i % 3])
+        for _ in range(int(rng.integers(1, 6))):
+            s[int(rng.integers(0, len(s)))] = int(rng.integers(0, 256))
+        cases.append(bytes(s))
+    for _ in range(15):  # pure garbage
+        cases.append(bytes(rng.integers(0, 256, int(rng.integers(0, 400)))))
+    for data in cases:
+        dec = make_wire_decoder(b"avc1", cfg, size_hint=(96, 64))
+        try:
+            out = dec.decode(data)
+            assert out is None or out.shape == (64, 96, 3)
+        except IOError:
+            pass
+        finally:
+            dec.close()
+
+
 def test_svdwire_unpack_only_valueerror():
     """The FXSV payload parser (SVD serving mode) must raise ValueError
     — never struct.error or a numpy shape crash — on every truncation
