@@ -79,7 +79,9 @@ class BoxWriter {
       ok_ = false;
       return;
     }
-    std::memcpy(buf_ + pos_, data, n);
+    // n == 0 with data == nullptr is reachable (empty sample payloads);
+    // memcpy's contract forbids null even for zero lengths.
+    if (n > 0) std::memcpy(buf_ + pos_, data, n);
     pos_ += n;
   }
   uint8_t* buf_;
@@ -440,7 +442,8 @@ int fvx_demux_next(void* h, uint8_t* out, int cap) {
   if (d->samples.empty()) return -1;
   std::vector<uint8_t>& s = d->samples.front();
   if (int(s.size()) > cap) return -int(s.size());
-  std::memcpy(out, s.data(), s.size());
+  // An empty vector's data() may be null; memcpy forbids null sources.
+  if (!s.empty()) std::memcpy(out, s.data(), s.size());
   int n = int(s.size());
   d->samples.pop_front();
   return n;
