@@ -106,6 +106,13 @@ struct Encoder {
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   SwsContext* sws = nullptr;
+  // Padded, av_malloc-aligned staging for the caller's packed RGB input.
+  // libswscale's SIMD paths READ a few bytes past the last source row;
+  // the caller's buffer (numpy memory through ctypes) carries no padding
+  // guarantee, so feeding it directly is a rare layout-dependent SEGV
+  // (caught by the ASAN fuzz driver: a w*h*3 buffer ending exactly at an
+  // unmapped page faulted at 112x96).
+  uint8_t* staging = nullptr;
   int width = 0;
   int height = 0;
   int64_t next_pts = 0;
@@ -114,6 +121,7 @@ struct Encoder {
   Encoder() { g_live_handles.fetch_add(1, std::memory_order_relaxed); }
   ~Encoder() {
     g_live_handles.fetch_sub(1, std::memory_order_relaxed);
+    if (staging != nullptr) av_free(staging);
     if (sws != nullptr) sws_freeContext(sws);
     if (pkt != nullptr) av_packet_free(&pkt);
     if (frame != nullptr) av_frame_free(&frame);
@@ -126,6 +134,10 @@ struct Decoder {
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   SwsContext* sws = nullptr;
+  // Padded staging for the packed RGB output (same hazard as the
+  // encoder's input: sws SIMD tails must not touch the caller's
+  // exact-size buffer past its end).  Sized with the cached sws dims.
+  uint8_t* staging = nullptr;
   int sws_w = 0, sws_h = 0;
   AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
   // A decoded frame retained after a buffer-too-small return, so the
@@ -141,6 +153,7 @@ struct Decoder {
   ~Decoder() {
     g_live_handles.fetch_sub(1, std::memory_order_relaxed);
     for (AVFrame* f : pending) av_frame_free(&f);
+    if (staging != nullptr) av_free(staging);
     if (sws != nullptr) sws_freeContext(sws);
     if (pkt != nullptr) av_packet_free(&pkt);
     if (frame != nullptr) av_frame_free(&frame);
@@ -294,6 +307,13 @@ void* fx_enc_open(const char* codec_name, int width, int height, double fps,
     delete e;
     return nullptr;
   }
+  e->staging = static_cast<uint8_t*>(
+      av_malloc(size_t(width) * height * 3 + AV_INPUT_BUFFER_PADDING_SIZE));
+  if (e->staging == nullptr) {
+    set_err(errbuf, errcap, "staging alloc failed");
+    delete e;
+    return nullptr;
+  }
   return e;
 }
 
@@ -318,7 +338,10 @@ int fx_enc_encode(void* enc, const uint8_t* rgb, uint8_t* out, int cap,
                   int* is_key) {
   auto* e = static_cast<Encoder*>(enc);
   if (av_frame_make_writable(e->frame) < 0) return -1000001;
-  const uint8_t* src[1] = {rgb};
+  // Stage through the padded buffer: sws may read a SIMD tail past the
+  // last row, which the caller's exact-size buffer does not guarantee.
+  std::memcpy(e->staging, rgb, size_t(e->width) * e->height * 3);
+  const uint8_t* src[1] = {e->staging};
   const int src_stride[1] = {e->width * 3};
   sws_scale(e->sws, src, src_stride, 0, e->height, e->frame->data,
             e->frame->linesize);
@@ -409,15 +432,22 @@ static int fx__convert(Decoder* d, uint8_t* out, int cap, int* out_w,
     d->sws_w = w;
     d->sws_h = h;
     d->sws_fmt = fmt;
-    if (d->sws == nullptr) {
+    if (d->staging != nullptr) av_free(d->staging);
+    d->staging = static_cast<uint8_t*>(
+        av_malloc(size_t(w) * h * 3 + AV_INPUT_BUFFER_PADDING_SIZE));
+    if (d->sws == nullptr || d->staging == nullptr) {
       av_frame_unref(d->frame);
       d->held = false;
       return -1000005;
     }
   }
-  uint8_t* dst[1] = {out};
+  // Stage the packed RGB through the padded buffer, then copy the exact
+  // w*h*3 bytes out: sws SIMD tails must never touch the caller's
+  // exact-size buffer past its end (same hazard as the encoder input).
+  uint8_t* dst[1] = {d->staging};
   const int dst_stride[1] = {w * 3};
   sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst, dst_stride);
+  std::memcpy(out, d->staging, size_t(w) * h * 3);
   av_frame_unref(d->frame);
   d->held = false;
   if (out_w != nullptr) *out_w = w;
