@@ -167,15 +167,25 @@ def _block_geometry(
         base = jnp.clip(lo[:, 0], 0, max(src_dim - band.k, 0))
         base = (base // quantum) * quantum
         rel_lo = lo - base[:, None]
+    # Metadata rides as (nb, 1, S) so each program's (1, 1, S) block has
+    # its last two dims equal to the array's — Mosaic rejects (1, S)
+    # blocks over an (nb, S) array when nb isn't the block's sublane
+    # count (the on-chip lowering check interpret mode never runs).
+    # Bases ship PRE-DIVIDED by the quantum: the kernels re-multiply so
+    # the DMA offset is a literal ``smem_value * quantum`` product, which
+    # Mosaic's divisibility prover accepts — a raw SMEM value (even one
+    # the host quantized) fails its "tile index divisible by the tiling"
+    # check on the real chip.
+    rel_hi = rel_lo + (hi - lo)
     return (
-        base.astype(jnp.int32),
-        rel_lo.astype(jnp.int32),
-        (rel_lo + (hi - lo)).astype(jnp.int32),
+        (base // quantum).astype(jnp.int32),
+        rel_lo.astype(jnp.int32)[:, None, :],
+        rel_hi.astype(jnp.int32)[:, None, :],
     )
 
 
 def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
-              k, wb, w, nb, nwb, dbuf):
+              k, q, wb, w, nb, nwb, dbuf):
     """One (row-block, width-block) step: DMA the (3, k, wb) source
     window, one-hot dot the rows into _S segment sums, emit uint16.
 
@@ -188,9 +198,11 @@ def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
 
     def copy(t2, sl):
         ii, jj = t2 // nwb, jax.lax.rem(t2, nwb)
-        col = jax.lax.rem(jj * wb, w)
+        # rem(jj, w//wb) * wb == rem(jj*wb, w) since wb | w — but keeps
+        # the lane offset a provable multiple of wb (>= the 128 tile).
+        col = jax.lax.rem(jj, w // wb) * wb
         return pltpu.make_async_copy(
-            frame_hbm.at[:, pl.ds(base_ref[ii], k), pl.ds(col, wb)],
+            frame_hbm.at[:, pl.ds(base_ref[ii] * q, k), pl.ds(col, wb)],
             slab.at[sl],
             sem.at[sl],
         )
@@ -207,8 +219,8 @@ def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
     # and dot run in _CH_Y-row chunks so the i32/f32 conversion planes
     # stay ~2 MB regardless of the band's k; chunk partial sums are
     # exact integers < 2^24, so f32 accumulation is exact.
-    lo = lo_ref[0, :][:, None]
-    hi = hi_ref[0, :][:, None]
+    lo = lo_ref[0, 0, :][:, None]
+    hi = hi_ref[0, 0, :][:, None]
     outs = []
     for c in range(3):
         y = jnp.zeros((_S, wb), jnp.float32)
@@ -273,18 +285,19 @@ def y_segment_reduce(
         dbuf = _dbuf_fits(band.k, wb)
         out = pl.pallas_call(
             functools.partial(
-                _y_kernel, k=band.k, wb=wb, w=ws, nb=nb, nwb=nwb, dbuf=dbuf
+                _y_kernel, k=band.k, q=8, wb=wb, w=ws, nb=nb, nwb=nwb,
+                dbuf=dbuf,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nb, nwb),
                 in_specs=[
                     pl.BlockSpec(
-                        (1, _S), lambda i, j, base_ref: (i, 0),
+                        (1, 1, _S), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, _S), lambda i, j, base_ref: (i, 0),
+                        (1, 1, _S), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(memory_space=pl.ANY),
@@ -319,7 +332,7 @@ def _hb(hr: int) -> int:
 
 def _x_kernel(
     base_ref, lo_ref, hi_ref, vx_ref, rows_hbm, dy_ref, vy_ref, out_ref,
-    slab, sem, *, k, hb, nb, nhb, dbuf
+    slab, sem, *, k, q, hb, nb, nhb, dbuf
 ):
     """One (cell-block, row-block) step: DMA the (3, hb, k) segment-row
     window (double-buffered when the VMEM budget allows), limb-split
@@ -331,7 +344,7 @@ def _x_kernel(
     def copy(t2, sl):
         ii, jj = t2 // nhb, jax.lax.rem(t2, nhb)
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii], k)],
+            rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii] * q, k)],
             slab.at[sl],
             sem.at[sl],
         )
@@ -343,8 +356,8 @@ def _x_kernel(
         dma = copy(i * nhb + j, 0)
         dma.start()
         dma.wait()
-    lo = lo_ref[0, :][None, :]  # (1, _SX)
-    hi = hi_ref[0, :][None, :]
+    lo = lo_ref[0, 0, :][None, :]  # (1, _SX)
+    hi = hi_ref[0, 0, :][None, :]
 
     # rect = dy * dx; dx is each cell's interval width.  Validity masks
     # come in as int32 (Mosaic-friendly); invalid texels emit 0.
@@ -352,7 +365,7 @@ def _x_kernel(
     dy = dy_ref[:, 0][:, None].astype(jnp.float32)  # (hb, 1)
     rect_f = dy * dx
     rect_u = rect_f.astype(jnp.int32).astype(jnp.uint32)
-    valid = (vy_ref[:, 0][:, None] > 0) & (vx_ref[0, :][None, :] > 0)
+    valid = (vy_ref[:, 0][:, None] > 0) & (vx_ref[0, 0, :][None, :] > 0)
 
     outs = []
     for c in range(3):
@@ -430,26 +443,27 @@ def x_segment_reduce(
         pad = nb * _SX - (band.end - band.start)
         vx = jnp.pad(
             valid_x[band.start : band.end].astype(jnp.int32), (0, pad)
-        ).reshape(nb, _SX)
+        ).reshape(nb, 1, _SX)
         dbuf = _dbuf_fits(band.k, hb, 2)
         out = pl.pallas_call(
             functools.partial(
-                _x_kernel, k=band.k, hb=hb, nb=nb, nhb=hr // hb, dbuf=dbuf
+                _x_kernel, k=band.k, q=128, hb=hb, nb=nb, nhb=hr // hb,
+                dbuf=dbuf,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nb, hr // hb),
                 in_specs=[
                     pl.BlockSpec(
-                        (1, _SX), lambda i, j, base_ref: (i, 0),
+                        (1, 1, _SX), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, _SX), lambda i, j, base_ref: (i, 0),
+                        (1, 1, _SX), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, _SX), lambda i, j, base_ref: (i, 0),
+                        (1, 1, _SX), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(memory_space=pl.ANY),

@@ -44,13 +44,20 @@ from foveax.kernels.dbuf import dbuf_slot
 # at 128 lanes), y blocks its SUBLANE dim (u8 tiles at 32 sublanes).
 _LX = 128
 _SY = 32
-# DMA base quantum per axis (window starts snap down to this).
-_QX = 8
+# DMA base quantum per axis (window starts snap down to this).  Mosaic
+# requires DMA offsets provably divisible by the axis tiling on the
+# real chip — (8, 128) for the last two dims — so the x pass (lane dim)
+# must quantize to 128, not 8 ("Failed to prove that a tile index in
+# dimension 2 is divisible by the tiling (128)", measured on-chip).
+_QX = 128
 _QY = 8
 # Static slab widths: quantum-1 slack + max span (cells advance 0/1 per
-# output pixel: 129 for x blocks, 33 for y blocks) + the hi tap + 1,
-# rounded up to 8.
-_KX = 144
+# output pixel: 129 for x blocks, 33 for y blocks) + the hi tap + 1.
+# _KY rounds up to the sublane tile (8); _KX is a DMA SLICE SIZE along
+# the lane dim and Mosaic requires those 128-aligned too ("Slice shape
+# along dimension 2 must be aligned to tiling (128)") — 127 + 129 + 2 =
+# 258 rounds up to 384.
+_KX = 384
 _KY = 48
 # Post-kernel fixup capacity for x columns that escape their window
 # (wrap-jump and edge-collapse cases).  Dense all-integer-gaze sweeps
@@ -67,7 +74,9 @@ def _hb(ho: int) -> int:
     scoped-VMEM budget (slab + f32 casts + accumulator <= ~8 MB)."""
     if ho <= 3000:
         return ho
-    for d in range(2880, 31, -32):
+    # Cap at 1440 (not 2880): with the 384-wide x slab the per-block
+    # VMEM (2 slab slots + f32 cast + accumulator) must stay ~<= 8 MB.
+    for d in range(1440, 31, -32):
         if ho % d == 0:
             return d
     return ho
@@ -101,13 +110,22 @@ def _block_geom(idx_lo, idx_hi, num, den, s_cells: int, src_dim: int,
     rel = jnp.where(bad, 0, rel)
     s = jnp.where(bad, 0, s)
     badf = bad.reshape(-1)[:n]
-    return (base.astype(jnp.int32), rel.astype(jnp.int32),
-            s.astype(jnp.int32), nm.astype(jnp.int32),
-            dn.astype(jnp.int32), badf)
+    # Metadata rides as (nb, 1, S): each program's (1, 1, S) block then
+    # has its last two dims equal to the array's, which the Mosaic
+    # block-mapping check requires (a (1, S) block over an (nb, S)
+    # array fails the on-chip lowering that interpret mode never runs).
+    # Bases ship PRE-DIVIDED by ``q``: the kernels re-multiply so the
+    # DMA offset is a literal ``smem_value * q`` product that Mosaic's
+    # divisibility prover accepts (a raw SMEM value, even host-
+    # quantized, fails its tile-alignment check on the real chip).
+    return (
+        (base // q).astype(jnp.int32), rel.astype(jnp.int32)[:, None, :],
+        s.astype(jnp.int32)[:, None, :], nm.astype(jnp.int32)[:, None, :],
+        dn.astype(jnp.int32)[:, None, :], badf)
 
 
 def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
-              slab, sem, *, k, nby):
+              slab, sem, *, k, q, nby):
     """One 32-row output block: DMA the (3, k, Wp) source row window
     (double-buffered: block i+1's window streams in behind block i's
     dots), blend via one exact integer-numerator dot per channel, divide
@@ -116,15 +134,15 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
 
     def copy(t2, sl):
         return pltpu.make_async_copy(
-            frame_hbm.at[:, pl.ds(base_ref[t2], k), :], slab.at[sl],
+            frame_hbm.at[:, pl.ds(base_ref[t2] * q, k), :], slab.at[sl],
             sem.at[sl],
         )
 
     slot = dbuf_slot(copy, i, nby)
-    lo = lo_ref[0, :][:, None]
-    s = s_ref[0, :][:, None]
-    nm = n_ref[0, :][:, None].astype(jnp.float32)
-    dn = d_ref[0, :][:, None].astype(jnp.float32)
+    lo = lo_ref[0, 0, :][:, None]
+    s = s_ref[0, 0, :][:, None]
+    nm = n_ref[0, 0, :][:, None].astype(jnp.float32)
+    dn = d_ref[0, 0, :][:, None].astype(jnp.float32)
     ks = jax.lax.broadcasted_iota(jnp.int32, (_SY, k), 1)
     oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
     outs = []
@@ -139,7 +157,7 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
 
 
 def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
-              slab, sem, *, k, hb, nbx, nrb):
+              slab, sem, *, k, q, hb, nbx, nrb):
     """One (col-block, row-block) step: DMA the (3, hb, k) window of the
     y-blended intermediate (double-buffered ahead of the grid's
     row-major iteration order), one integer-numerator dot per channel,
@@ -151,15 +169,15 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
     def copy(t2, sl):
         ii, jj = t2 // nrb, jax.lax.rem(t2, nrb)
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii], k)],
+            rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii] * q, k)],
             slab.at[sl], sem.at[sl],
         )
 
     slot = dbuf_slot(copy, i * nrb + j, nbx * nrb)
-    lo = lo_ref[0, :][None, :]
-    s = s_ref[0, :][None, :]
-    nm = n_ref[0, :][None, :].astype(jnp.float32)
-    dn = d_ref[0, :][None, :].astype(jnp.float32)
+    lo = lo_ref[0, 0, :][None, :]
+    s = s_ref[0, 0, :][None, :]
+    nm = n_ref[0, 0, :][None, :].astype(jnp.float32)
+    dn = d_ref[0, 0, :][None, :].astype(jnp.float32)
     ks = jax.lax.broadcasted_iota(jnp.int32, (k, _LX), 0)
     oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
     outs = []
@@ -174,10 +192,12 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
 
 
 def _vec_spec(s_cells):
-    """Per-block (1, S) scalar-vector spec, indexed by the first grid
-    dim (``*_`` absorbs any further grid indices + prefetch refs)."""
+    """Per-block (1, 1, S) scalar-vector spec over an (nb, 1, S) array,
+    indexed by the first grid dim (``*_`` absorbs any further grid
+    indices + prefetch refs).  The last two dims equal the array's, as
+    the Mosaic block-mapping check requires."""
     return pl.BlockSpec(
-        (1, s_cells), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        (1, 1, s_cells), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -213,7 +233,7 @@ def unwarp_rect_fused(
         # than deep inside Mosaic compilation.
         raise ValueError(
             f"fused unwarp needs out_height <= 3000 or a 32-multiple "
-            f"divisor <= 2880 (got {out_height})"
+            f"divisor <= 1440 (got {out_height})"
         )
     cx = (center[0] * jnp.float32(out_width)).astype(jnp.int32)
     cy = (center[1] * jnp.float32(out_height)).astype(jnp.int32)
@@ -222,19 +242,23 @@ def unwarp_rect_fused(
     if max(msx, msy) > 255:
         raise ValueError("fused unwarp needs delta steps <= 255")
 
-    # --- y pass: (3, hr, Wr) -> (3, Ho_pad32, Wr + _KX) u8 -------------
+    # --- y pass: (3, hr, Wr) -> (3, Ho_pad32, Wp) u8 -------------------
     # The input-side circular pad (cheap: the reduced frame is small)
     # gives the x pass seam-crossing windows; the 32-row output padding
     # (pad cells replicate edge geometry) is never read by the x pass.
-    wp = wr + _KX
-    pp = jnp.pad(planar, ((0, 0), (0, 0), (0, _KX)), mode="wrap")
+    # Wp rounds up to a 128 multiple: the y kernel DMAs the full lane
+    # width per window and Mosaic requires DMA slice sizes 128-aligned
+    # along the minor dim (extra pad columns are wrap duplicates no x
+    # window reaches — windows end before base + _KX <= wr + _KX).
+    wp = -(-(wr + _KX) // 128) * 128
+    pp = jnp.pad(planar, ((0, 0), (0, 0), (0, wp - wr)), mode="wrap")
     ho_pad = -(-out_height // _SY) * _SY
     by, ry_lo, ry_s, ry_n, ry_d, _ = _block_geom(
         iy_lo, iy_hi, ny, dy, _SY, hr, _KY, _QY, wrap=False
     )
     nby = ho_pad // _SY
     yb = pl.pallas_call(
-        functools.partial(_y_kernel, k=_KY, nby=nby),
+        functools.partial(_y_kernel, k=_KY, q=_QY, nby=nby),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nby,),
@@ -264,7 +288,7 @@ def unwarp_rect_fused(
     nbx = out_width // _LX
     nrb = out_height // hb
     out = pl.pallas_call(
-        functools.partial(_x_kernel, k=_KX, hb=hb, nbx=nbx, nrb=nrb),
+        functools.partial(_x_kernel, k=_KX, q=_QX, hb=hb, nbx=nbx, nrb=nrb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nbx, nrb),

@@ -25,7 +25,9 @@ from foveax.kernels.unwarp_pl import (
     unwarp_rect_fused,
 )
 
-HR, WR, OUT_H, OUT_W = 64, 160, 128, 256
+# WR must clear _KX (the x slab width: 384, since DMA lane offsets and
+# slice sizes need 128-alignment on hardware); OUT_W a 128 multiple.
+HR, WR, OUT_H, OUT_W = 64, 416, 128, 512
 
 CENTERS = [
     (0.5, 0.5),
