@@ -22,6 +22,15 @@ desktop GPU (reference: src/video_server.cc:314); the rebuild target is
 target.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Hang containment: Pallas/Mosaic candidates are measured in a KILLABLE
+subprocess (`bench.py --fused-probe`) before the main process touches
+jax — an on-chip Mosaic compile that neither fails nor returns (observed
+for the 4K segment-reduce sampler through this relay) must never hang
+the headline run.  The subprocess prints one `cand-fps <name> <fps>`
+line per candidate as it lands; the parent takes the max over whatever
+arrived, with the known-good XLA direct+mm path measured in-process as
+the floor.
 """
 
 from __future__ import annotations
@@ -96,8 +105,57 @@ def wait_for_device() -> None:
         time.sleep(min(60.0, max(remaining, 1.0)))
 
 
-def main() -> None:
+def probe_pallas_candidates() -> dict[str, float]:
+    """Measure the Pallas candidates in a killable subprocess.
+
+    Returns {candidate_name: fps} for every candidate whose line arrived
+    before the bound — on timeout the child is killed and the partial
+    stdout is still parsed, so a hang in the SECOND candidate cannot
+    discard the first one's result.
+    """
+    bound = float(os.environ.get("FOVEAX_BENCH_FUSED_TIMEOUT", "480"))
+    out = ""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--fused-probe"],
+            timeout=bound,
+            capture_output=True,
+            text=True,
+        )
+        out = r.stdout or ""
+        if r.returncode != 0:
+            tail = (r.stderr or "").strip().splitlines()[-1:]
+            print(
+                f"# bench: pallas probe exited rc={r.returncode} "
+                f"({'; '.join(tail)})"[:200],
+                file=sys.stderr,
+            )
+    except subprocess.TimeoutExpired as e:
+        out = (
+            e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        )
+        print(
+            f"# bench: pallas probe killed at {bound:.0f}s "
+            "(non-returning Mosaic compile/run); using lines that landed",
+            file=sys.stderr,
+        )
+    fps: dict[str, float] = {}
+    for line in out.splitlines():
+        parts = line.split()
+        if len(parts) == 3 and parts[0] == "cand-fps":
+            try:
+                fps[parts[1]] = float(parts[2])
+            except ValueError:
+                pass
+    return fps
+
+
+def main(fused_probe: bool = False) -> None:
     wait_for_device()
+
+    # Pallas candidates ride a killable subprocess BEFORE this process
+    # initializes jax (the tunnel admits one process at a time).
+    pallas_fps = {} if fused_probe else probe_pallas_candidates()
 
     # Persistent compilation cache: remote compiles cost 15-40 s per jit
     # shape through the relay; caching makes driver re-runs and retries
@@ -142,6 +200,20 @@ def main() -> None:
             in_layout="chw",
             out_layout="chw",
             precision="auto",
+        )
+        return reduced, restored
+
+    @jax.jit
+    def step_direct_fused_unwarp(frame_chw, center):
+        # Hybrid candidate: XLA direct sampler + kernel-resident fused
+        # unwarp (foveax/kernels/unwarp_pl.py) — measured 1.85 vs mm's
+        # 2.5 ms/frame at 4K on chip (stage loops, round 3).
+        from foveax.kernels.unwarp_pl import unwarp_rect_fused
+
+        reduced = sample_rect_direct(frame_chw, grid, center, out_layout="chw")
+        restored = unwarp_rect_fused(
+            reduced, src_w, src_h, center,
+            in_layout="chw", out_layout="chw",
         )
         return reduced, restored
 
@@ -194,14 +266,31 @@ def main() -> None:
         dt = max(total - base, 1e-9)
         return n_iters / dt
 
-    # The known-good XLA path is the floor; the Pallas candidate may beat
-    # it but must never cost the headline (a Mosaic lowering failure on a
-    # changed toolchain falls back silently to the floor).
+    if fused_probe:
+        # Child mode: measure each Pallas candidate, emitting its line as
+        # soon as it lands (the parent parses partial output after a
+        # kill, so candidate order = value order: the proven-on-chip
+        # hybrid first, the full-fused pipeline second).
+        for name, step in (
+            ("direct+fused_unwarp", step_direct_fused_unwarp),
+            ("fused_full", step_fused),
+        ):
+            try:
+                print(f"cand-fps {name} {measure(step):.2f}", flush=True)
+            except Exception as e:  # pragma: no cover - toolchain dependent
+                print(f"# candidate {name} failed: {e!r}"[:160], file=sys.stderr)
+        return
+
+    # The known-good XLA path is the floor, measured in-process; the
+    # Pallas candidates (subprocess, bounded) may beat it but can never
+    # cost the headline — neither by a Mosaic lowering failure nor by a
+    # non-returning compile.
     fps = measure(step_direct_mm)
-    try:
-        fps = max(fps, measure(step_fused))
-    except Exception as e:  # pragma: no cover - device/toolchain dependent
-        print(f"# fused candidate unavailable: {e!r}"[:160], file=sys.stderr)
+    for name, cand in pallas_fps.items():
+        if cand > fps:
+            print(f"# bench: pallas candidate {name} leads: {cand:.2f} fps",
+                  file=sys.stderr)
+        fps = max(fps, cand)
 
     print(
         json.dumps(
@@ -216,4 +305,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(fused_probe="--fused-probe" in sys.argv[1:]))

@@ -327,23 +327,44 @@ def unwarp_rect(
           <= 1 LSB contract; interpret-mode on the CPU backend.
           Requires production-like shapes (raises ValueError otherwise —
           fall back to "mm").
-      "auto"  — "mm" on accelerator backends, "fast" on CPU (CPU XLA
-          has no MXU; its dot kernels lose to the gather formulation).
+      "auto"  — accelerator backends: "fused" at 4K-class output widths
+          (measured on chip, round 3: fused 1.85 vs mm 2.29 ms/frame at
+          4K, but mm 1.42 vs fused 1.70 at 1080p — the kernel-resident
+          slabs only pay off once the materialized mm slab traffic
+          dominates), "mm" elsewhere: below 4K mm wins outright, and at
+          >= 8K the fused kernel's Mosaic compile exceeded a 420 s
+          measurement window on the bench relay (run/quality there is
+          unmeasured — opt in explicitly once compiled executables are
+          cached); ineligible shapes fall back to "mm".  CPU: "fast"
+          (no MXU; dot kernels lose to the gather formulation there).
     """
+    auto_fused = False
     if precision == "auto":
-        precision = "mm" if jax.default_backend() != "cpu" else "fast"
+        if jax.default_backend() == "cpu":
+            precision = "fast"
+        elif 3840 <= out_width < 7680:
+            precision, auto_fused = "fused", True
+        else:
+            precision = "mm"
     if precision == "fused":
         from foveax.kernels.unwarp_pl import unwarp_rect_fused
 
-        return unwarp_rect_fused(
-            reduced,
-            out_width,
-            out_height,
-            center,
-            in_layout=in_layout,
-            out_layout=out_layout,
-            interpret=jax.default_backend() == "cpu",
-        )
+        try:
+            return unwarp_rect_fused(
+                reduced,
+                out_width,
+                out_height,
+                center,
+                in_layout=in_layout,
+                out_layout=out_layout,
+                interpret=jax.default_backend() == "cpu",
+            )
+        except ValueError:
+            # Shape outside the fused kernel's structural contract:
+            # honor an explicit request loudly, degrade an auto pick.
+            if not auto_fused:
+                raise
+            precision = "mm"
     if in_layout == "hwc":
         planar = reduced.transpose(2, 0, 1)
     else:

@@ -56,11 +56,14 @@ class FoveationPipeline:
         (SAT-free banded sampler, foveax/core/direct.py), "fused"
         (SAT-free Pallas segment-reduce kernels,
         foveax/kernels/segreduce.py; interpret-mode on CPU), or "auto" —
-        direct for single-gaze foveation at <= 4K on the TPU backend
-        (measured crossover: direct wins 1.9x at 1080p and 1.4x at 4K,
-        loses above — BENCHMARKS.md "SAT-free direct sampler"), SAT
-        otherwise.  All are bit-identical; batch (multi-gaze) paths
-        always amortize one SAT."""
+        on the TPU backend: direct for single-gaze foveation at <= 4K
+        (measured crossover: direct wins 1.9x at 1080p and 1.4x at 4K —
+        BENCHMARKS.md "SAT-free direct sampler"), fused at 8K-class
+        widths (on-chip round 3: 4.22 ms vs the SAT pair's 3.7+3.4), SAT
+        above (16K fused compile unmeasured on chip) and on CPU.  All
+        are bit-identical; batch (multi-gaze) paths always amortize one
+        SAT.  An auto-picked fused that fails the kernel's structural
+        shape contract degrades to SAT at trace time."""
         self.config = config or FoveaxConfig()
         cfg = self.config
         self.grid: LogRectGrid = make_grid(
@@ -94,12 +97,16 @@ class FoveationPipeline:
         def _sample(sat, center):
             return sample_rect_from_sat(sat, grid, center, wrap_x=wrap_x)
 
+        auto_fused = False
         if sampler == "auto":
-            sampler = (
-                "direct"
-                if jax.default_backend() != "cpu" and sw <= 3840
-                else "sat"
-            )
+            if jax.default_backend() == "cpu":
+                sampler = "sat"
+            elif sw <= 3840:
+                sampler = "direct"
+            elif sw <= 8192:
+                sampler, auto_fused = "fused", True
+            else:
+                sampler = "sat"
         self.sampler = sampler
         if sampler == "fused":
             from foveax.kernels.segreduce import sample_rect_fused
@@ -114,10 +121,17 @@ class FoveationPipeline:
                     frame, grid, center, wrap_x=wrap_x, in_layout="hwc"
                 )
             if sampler == "fused":
-                return sample_rect_fused(
-                    frame, grid, center, wrap_x=wrap_x, in_layout="hwc",
-                    interpret=_fused_interpret,
-                )
+                try:
+                    return sample_rect_fused(
+                        frame, grid, center, wrap_x=wrap_x, in_layout="hwc",
+                        interpret=_fused_interpret,
+                    )
+                except ValueError:
+                    # Outside the kernel's structural shape contract:
+                    # honor an explicit request loudly, degrade an auto
+                    # pick to the always-eligible SAT pair.
+                    if not auto_fused:
+                        raise
             return _sample(_build(frame), center)
 
         def _unwarp(reduced, center):
