@@ -271,10 +271,15 @@ def main(fused_probe: bool = False) -> None:
         # soon as it lands (the parent parses partial output after a
         # kill, so candidate order = value order: the proven-on-chip
         # hybrid first, the full-fused pipeline second).
-        for name, step in (
-            ("direct+fused_unwarp", step_direct_fused_unwarp),
-            ("fused_full", step_fused),
-        ):
+        candidates = [("direct+fused_unwarp", step_direct_fused_unwarp)]
+        # The full-fused pipeline's 4K segment-reduce sampler hit a
+        # NON-RETURNING Mosaic compile twice on this relay (>420 s and
+        # >480 s; the 8K variant compiles in minutes) — opt in explicitly
+        # after a toolchain change rather than burning the probe bound
+        # on every headline run.
+        if os.environ.get("FOVEAX_BENCH_TRY_FUSED_FULL", "") == "1":
+            candidates.append(("fused_full", step_fused))
+        for name, step in candidates:
             try:
                 print(f"cand-fps {name} {measure(step):.2f}", flush=True)
             except Exception as e:  # pragma: no cover - toolchain dependent
