@@ -189,9 +189,11 @@ def main(fused_probe: bool = False) -> None:
     @jax.jit
     def step_direct_mm(frame_chw, center):
         reduced = sample_rect_direct(frame_chw, grid, center, out_layout="chw")
-        # precision="auto" -> "mm" on the TPU backend: slab-DMA +
-        # integer-numerator MXU-dot unwarp (no gather engine); bounded at
-        # 1 LSB deviation from the exact path (see core/unwarp.py).
+        # precision="mm" EXPLICITLY (not "auto", which resolves to the
+        # fused Pallas unwarp at 4K): this in-process step is the
+        # known-good pure-XLA floor — every Pallas/Mosaic compile must
+        # stay in the killable probe subprocess so a non-returning
+        # Mosaic compile can never hang the headline run.
         restored = unwarp_rect(
             reduced,
             src_w,
@@ -199,7 +201,7 @@ def main(fused_probe: bool = False) -> None:
             center,
             in_layout="chw",
             out_layout="chw",
-            precision="auto",
+            precision="mm",
         )
         return reduced, restored
 

@@ -397,6 +397,43 @@ def sample_rect_direct(
     return out.transpose(1, 2, 0)
 
 
+def sample_rect_direct_batch(
+    frame: jax.Array,
+    grid: LogRectGrid,
+    centers: jax.Array,
+    *,
+    wrap_x: bool = True,
+    in_layout: str = "chw",
+    out_layout: str = "hwc",
+) -> jax.Array:
+    """N gazes against one shared frame, no SAT: vmap over the gaze axis.
+
+    The SAT batch path (``build_sat`` once + vmapped
+    ``sample_rect_from_sat``) amortizes the SAT build but pays N
+    gather-heavy samples whose random-access working set set the
+    measured 48-client knee (BENCHMARKS.md "The knee, measured").  This
+    path pays N slab-dot samples with NO gathers: per-gaze cost is
+    higher at N=1, but the batched einsums lift the dots' M dim toward
+    the MXU tile and the traffic is streaming slices, so throughput
+    scales with N instead of kneeing on the gather engine.  The
+    crossover is measured on chip (``perf --clients --batch-sampler``).
+    reference: src/video_server.cc:62-85 — per-connection engine stacks,
+    replaced here by one batched launch (foveax's founding design bet).
+
+    ``centers``: (N, 2) traced f32.  Returns (N, Hr, Wr, 3) for
+    ``out_layout="hwc"`` (the serve tick's encode layout), (N, 3, Hr,
+    Wr) for ``"chw"``.
+    """
+    if in_layout == "hwc":
+        frame = frame.transpose(2, 0, 1)
+    return jax.vmap(
+        lambda c: sample_rect_direct(
+            frame, grid, c, wrap_x=wrap_x, in_layout="chw",
+            out_layout=out_layout,
+        )
+    )(centers)
+
+
 def _fix_rows(out, frame, fy, pyc, pxc, pxmc, rect):
     """Recompute <= _FIX_K full output rows exactly via 1-D x prefixes.
 

@@ -342,7 +342,12 @@ def unwarp_rect(
     if precision == "auto":
         if jax.default_backend() == "cpu":
             precision = "fast"
-        elif 3840 <= out_width < 7680:
+        elif out_width == 3840:
+            # Only the MEASURED width (on-chip round 3: fused 1.85 vs mm
+            # 2.29 ms/frame).  Intermediate widths in (3840, 7680) pass
+            # the structural contract but were never compiled on chip,
+            # and this relay has shown non-returning Mosaic compiles —
+            # don't let a production trace hit one without containment.
             precision, auto_fused = "fused", True
         else:
             precision = "mm"

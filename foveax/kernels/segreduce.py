@@ -496,6 +496,37 @@ def x_segment_reduce(
     return full[:, :, :n]
 
 
+def sample_rect_fused_batch(
+    frame: jax.Array,
+    grid,
+    centers: jax.Array,
+    *,
+    wrap_x: bool = True,
+    in_layout: str = "chw",
+    out_layout: str = "hwc",
+    interpret: bool = False,
+) -> jax.Array:
+    """N gazes against one shared frame: sequential fused launches inside
+    one jit (``lax.map`` over the gaze axis).
+
+    Pallas grids don't vmap, so the batch is a device-side scan reusing
+    ONE compiled kernel set per gaze — no per-gaze recompile, no SAT,
+    no gathers.  Gaze is already a traced scalar-prefetch input to the
+    kernels, which is exactly what makes the scan body gaze-uniform.
+    ``centers``: (N, 2) traced f32; output batched like
+    :func:`foveax.core.direct.sample_rect_direct_batch`.
+    """
+    if in_layout == "hwc":
+        frame = frame.transpose(2, 0, 1)
+    return jax.lax.map(
+        lambda c: sample_rect_fused(
+            frame, grid, c, wrap_x=wrap_x, in_layout="chw",
+            out_layout=out_layout, interpret=interpret,
+        ),
+        centers,
+    )
+
+
 def sample_rect_fused(
     frame: jax.Array,
     grid,

@@ -164,10 +164,16 @@ class FoveationPipeline:
                     frame, grid, center, wrap_x=wrap_x, out_layout="chw"
                 )
             if sampler == "fused":
-                return sample_rect_fused(
-                    frame, grid, center, wrap_x=wrap_x, out_layout="chw",
-                    interpret=_fused_interpret,
-                )
+                try:
+                    return sample_rect_fused(
+                        frame, grid, center, wrap_x=wrap_x, out_layout="chw",
+                        interpret=_fused_interpret,
+                    )
+                except ValueError:
+                    # Same degrade contract as _foveate: honor an explicit
+                    # request loudly, degrade an auto pick to the SAT pair.
+                    if not auto_fused:
+                        raise
             return _sample_chw(_build_chw(frame), center)
 
         def _unwarp_chw(reduced_chw, center):
@@ -182,6 +188,25 @@ class FoveationPipeline:
         def _foveate_batch(frame, centers):
             sat = _build(frame)
             return jax.vmap(lambda c: _sample(sat, c))(centers)
+
+        # SAT-free batch variants (round 4): the SAT batch amortizes one
+        # build but its vmapped gather sampling set the measured
+        # 48-client knee; these trade the amortization for gather-free
+        # streaming access per gaze (see sample_rect_direct_batch).
+        def _sample_batch_direct(frame, centers):
+            from foveax.core.direct import sample_rect_direct_batch
+
+            return sample_rect_direct_batch(
+                frame, grid, centers, wrap_x=wrap_x, in_layout="hwc"
+            )
+
+        def _sample_batch_fused(frame, centers):
+            from foveax.kernels.segreduce import sample_rect_fused_batch
+
+            return sample_rect_fused_batch(
+                frame, grid, centers, wrap_x=wrap_x, in_layout="hwc",
+                interpret=jax.default_backend() == "cpu",
+            )
 
         def _roundtrip_batch(frame, centers):
             sat = _build(frame)
@@ -198,6 +223,8 @@ class FoveationPipeline:
         # per batch size; callers should pad to slot sizes to bound
         # recompiles.
         self.sample_batch = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
+        self.sample_batch_direct = jax.jit(_sample_batch_direct)
+        self.sample_batch_fused = jax.jit(_sample_batch_fused)
         self.foveate = jax.jit(_foveate)
         self.unwarp = jax.jit(_unwarp)
         self.unwarp_auto = jax.jit(_unwarp_auto)
@@ -211,6 +238,35 @@ class FoveationPipeline:
 
     # -- convenience -------------------------------------------------------
 
+    def batch_pair(self, batch_sampler: str = "sat"):
+        """The serve tick's device pair ``(prepare, sample_batch)``:
+        ``prepare(frame_hwc)`` runs once per source frame,
+        ``sample_batch(prepared, centers)`` once per member batch.
+
+        "sat" amortizes one SAT build across the batch (the round-2
+        serving design); "direct"/"fused" skip the SAT entirely —
+        prepare is the identity (the staged frame IS the prepared
+        state) and sampling is gather-free per gaze (the measured
+        48-client knee was gather-bound).  All three are bit-identical.
+        """
+        if batch_sampler == "sat":
+            return self.build_sat, self.sample_batch
+        if batch_sampler == "direct":
+            return _identity_jit, self.sample_batch_direct
+        if batch_sampler == "fused":
+            return _identity_jit, self.sample_batch_fused
+        raise ValueError(f"unknown batch_sampler {batch_sampler!r}")
+
+    def single_pair(self):
+        """(prepare, sample) for the single-session serve loop: the SAT
+        pair when this pipeline's resolved sampler is "sat" (prepare the
+        SAT eagerly, sample at the gaze-late tick), else (stage,
+        foveate) — the SAT-free samplers have no gaze-independent
+        prepare stage, so all device work runs gaze-late."""
+        if self.sampler == "sat":
+            return self.build_sat, self.sample
+        return _identity_jit, self.foveate
+
     def center(self, cx: float, cy: float) -> jax.Array:
         return jnp.asarray([cx, cy], dtype=jnp.float32)
 
@@ -221,6 +277,13 @@ class FoveationPipeline:
     @property
     def source_shape(self) -> tuple[int, int, int]:
         return (self.config.source_height, self.config.source_width, 3)
+
+
+@jax.jit
+def _identity_jit(frame):
+    # "prepare" of the SAT-free batch pairs: just stage the frame (the
+    # jit device-puts and keeps the executor-call shape of build_sat).
+    return frame
 
 
 @functools.lru_cache(maxsize=8)

@@ -240,3 +240,33 @@ def test_vmap_batch_matches_loop(setup):
     for i in range(centers.shape[0]):
         single = np.asarray(sample_rect_direct(fr, grid, centers[i]))
         np.testing.assert_array_equal(batch[i], single)
+
+
+def test_batch_api_matches_sat_batch(setup):
+    """sample_rect_direct_batch (the SAT-free serve-tick batch path) is
+    bit-identical to the amortized-SAT vmapped batch in both layouts.
+    reference: src/video_server.cc:62-85 (per-connection stacks -> one
+    batched launch)."""
+    from foveax.core.direct import sample_rect_direct_batch
+
+    frame, grid, fr, sat, _, _ = setup
+    centers = jnp.asarray(
+        [[0.5, 0.5], [0.02, 0.3], [0.98, 0.9], [1.0, 0.0]], jnp.float32
+    )
+    ref = np.asarray(
+        jax.jit(jax.vmap(lambda c: sample_rect_from_sat(sat, grid, c)))(
+            centers
+        )
+    )
+    hwc = np.asarray(
+        jax.jit(
+            lambda cs: sample_rect_direct_batch(
+                jnp.asarray(frame), grid, cs, in_layout="hwc"
+            )
+        )(centers)
+    )
+    np.testing.assert_array_equal(ref, hwc)
+    chw = np.asarray(
+        sample_rect_direct_batch(fr, grid, centers, out_layout="chw")
+    )
+    np.testing.assert_array_equal(ref.transpose(0, 3, 1, 2), chw)

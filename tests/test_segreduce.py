@@ -204,3 +204,28 @@ def test_fused_bit_equality_all_whole_period_bands():
         want = sample_rect_from_sat(sat, grid, c)
         got = sample_rect_fused(fr, grid, c, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_batch_api_matches_sat_batch(setup):
+    """sample_rect_fused_batch (lax.map over gazes, one compiled kernel
+    set) is bit-identical to the amortized-SAT vmapped batch.
+    reference: src/video_server.cc:62-85."""
+    from foveax.kernels.segreduce import sample_rect_fused_batch
+
+    grid, sat, fr = setup
+    centers = jnp.asarray(
+        [[0.5, 0.5], [0.03, 0.4], [0.97, 0.6], [0.0, 1.0]], jnp.float32
+    )
+    ref = np.asarray(
+        jax.vmap(lambda c: sample_rect_from_sat(sat, grid, c))(centers)
+    )
+    got = np.asarray(
+        sample_rect_fused_batch(fr, grid, centers, interpret=True)
+    )
+    np.testing.assert_array_equal(ref, got)
+    chw = np.asarray(
+        sample_rect_fused_batch(
+            fr, grid, centers, out_layout="chw", interpret=True
+        )
+    )
+    np.testing.assert_array_equal(ref.transpose(0, 3, 1, 2), chw)
