@@ -30,6 +30,8 @@ class Rung:
     ws: float
     foveal: float
     ecc: float
+    ssim: float
+    foveal_ssim: float
     frames: int
 
 
@@ -118,7 +120,9 @@ def run_ladder(
     from foveax.core.metrics import (
         eccentricity_weighted_psnr,
         foveal_psnr,
+        foveal_ssim,
         psnr,
+        ssim,
         ws_psnr,
     )
 
@@ -138,7 +142,7 @@ def run_ladder(
                 reduced_frames, centers, frames, restore_fn, cfg,
                 kbps * 1000, fps, codec,
             )
-            full, ws, fov, ecc = [], [], [], []
+            full, ws, fov, ecc, ss, fss = [], [], [], [], [], []
             for i, (restored, src) in enumerate(pairs):
                 c = jnp.asarray(list(gaze(i)), dtype=jnp.float32)
                 rj, sj = jnp.asarray(restored), jnp.asarray(src)
@@ -146,6 +150,10 @@ def run_ladder(
                 ws.append(float(ws_psnr(rj, sj)))
                 fov.append(float(foveal_psnr(rj, sj, c)))
                 ecc.append(float(eccentricity_weighted_psnr(rj, sj, c)))
+                # Structural twin: PSNR flatters the periphery's blur and
+                # the codec's low-bitrate smoothing; SSIM does not.
+                ss.append(float(ssim(rj, sj)))
+                fss.append(float(foveal_ssim(rj, sj, c)))
             n = len(pairs)
             rungs.append(
                 Rung(
@@ -156,6 +164,8 @@ def run_ladder(
                     ws=sum(ws) / n,
                     foveal=sum(fov) / n,
                     ecc=sum(ecc) / n,
+                    ssim=sum(ss) / n,
+                    foveal_ssim=sum(fss) / n,
                     frames=n,
                 )
             )
@@ -164,12 +174,13 @@ def run_ladder(
 
 def format_table(rungs: list[Rung]) -> str:
     lines = [
-        "| technique | target kbit/s | actual kbit/s | PSNR dB | WS-PSNR dB | foveal dB | ecc-weighted dB |",
-        "|---|---|---|---|---|---|---|",
+        "| technique | target kbit/s | actual kbit/s | PSNR dB | WS-PSNR dB | foveal dB | ecc-weighted dB | SSIM | foveal SSIM |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rungs:
         lines.append(
             f"| {r.technique} | {r.target_kbps:.0f} | {r.actual_kbps:.0f} "
-            f"| {r.psnr:.2f} | {r.ws:.2f} | {r.foveal:.2f} | {r.ecc:.2f} |"
+            f"| {r.psnr:.2f} | {r.ws:.2f} | {r.foveal:.2f} | {r.ecc:.2f} "
+            f"| {r.ssim:.4f} | {r.foveal_ssim:.4f} |"
         )
     return "\n".join(lines)

@@ -117,6 +117,8 @@ def cmd_serve(args) -> int:
         mesh=mesh,
         adapt_rate=args.adapt_rate,
         place_videos=args.place_videos,
+        batch_sampler=args.batch_sampler,
+        readback_deadline_s=args.readback_deadline,
     )
     logging.getLogger("foveax.serve").info("wire codec: %s", server.wire_codec)
     if args.http_port:
@@ -568,7 +570,9 @@ def cmd_quality(args) -> int:
     from foveax.core.metrics import (
         eccentricity_weighted_psnr,
         foveal_psnr,
+        foveal_ssim,
         psnr,
+        ssim,
         ws_psnr,
     )
     from foveax.pipeline.frames import FoveationPipeline
@@ -609,7 +613,7 @@ def cmd_quality(args) -> int:
                 return [f for f in rr]
 
     for tech in techniques:
-        full, fov, ecc, ws = [], [], [], []
+        full, fov, ecc, ws, ssims, fov_ssims = [], [], [], [], [], []
         decoded = None
         if args.through_codec and tech != "logrect":
             print(
@@ -658,12 +662,18 @@ def cmd_quality(args) -> int:
             ws.append(float(ws_psnr(restored, fj)))
             fov.append(float(foveal_psnr(restored, fj, c)))
             ecc.append(float(eccentricity_weighted_psnr(restored, fj, c)))
+            # SSIM columns (structural twin of the PSNR set): PSNR
+            # flatters the box-filtered periphery's blur, SSIM's local
+            # contrast terms do not — foveal-advantage readings need both.
+            ssims.append(float(ssim(restored, fj)))
+            fov_ssims.append(float(foveal_ssim(restored, fj, c)))
         n = len(full)
         mode = " (through codec)" if decoded is not None else ""
         print(
             f"{tech}{mode}: frames={n} psnr={sum(full) / n:.2f}dB "
             f"ws-psnr={sum(ws) / n:.2f}dB "
-            f"foveal={sum(fov) / n:.2f}dB ecc-weighted={sum(ecc) / n:.2f}dB"
+            f"foveal={sum(fov) / n:.2f}dB ecc-weighted={sum(ecc) / n:.2f}dB "
+            f"ssim={sum(ssims) / n:.4f} foveal-ssim={sum(fov_ssims) / n:.4f}"
         )
     return 0
 
@@ -919,18 +929,42 @@ def cmd_perf(args) -> int:
                 f"{1000 / per:.1f} fps"
             )
 
+        batch_kind = getattr(args, "batch_sampler", "sat")
         for n_c in args.clients or []:
             if n_c <= 0:  # "--clients 0" stays a documented no-op
                 continue
 
-            @jax.jit
-            def batch_step(f, cs, build_fn=build_fn, grid=grid):
-                sat = build_fn(f)
-                return jax.vmap(
-                    lambda c: sample_rect_from_sat(
-                        sat, grid, c, out_layout="chw"
+            if batch_kind == "direct":
+                from foveax.core.direct import sample_rect_direct_batch
+
+                @jax.jit
+                def batch_step(f, cs, grid=grid):
+                    return sample_rect_direct_batch(
+                        f, grid, cs, in_layout="chw", out_layout="chw"
                     )
-                )(cs)
+
+            elif batch_kind == "fused":
+                from foveax.kernels.segreduce import sample_rect_fused_batch
+
+                b_interp = jax.default_backend() == "cpu"
+
+                @jax.jit
+                def batch_step(f, cs, grid=grid):
+                    return sample_rect_fused_batch(
+                        f, grid, cs, in_layout="chw", out_layout="chw",
+                        interpret=b_interp,
+                    )
+
+            else:
+
+                @jax.jit
+                def batch_step(f, cs, build_fn=build_fn, grid=grid):
+                    sat = build_fn(f)
+                    return jax.vmap(
+                        lambda c: sample_rect_from_sat(
+                            sat, grid, c, out_layout="chw"
+                        )
+                    )(cs)
 
             cs0 = jax.device_put(
                 rng.uniform(0.1, 0.9, (n_c, 2)).astype(np.float32)
@@ -957,8 +991,13 @@ def cmd_perf(args) -> int:
                     file=sys.stderr,
                 )
                 continue
+            label = (
+                "one SAT, batched sample"
+                if batch_kind == "sat"
+                else f"SAT-free {batch_kind}, batched"
+            )
             print(
-                f"{name} x{n_c} clients (one SAT, batched sample): "
+                f"{name} x{n_c} clients ({label}): "
                 f"{per:.2f} ms/frame  {1000 / per * n_c:.1f} client-fps"
             )
     return 0
@@ -1047,6 +1086,21 @@ def build_parser() -> argparse.ArgumentParser:
         "sample) on its own local device, scaling the VIDEO SET across "
         "chips (the other multi-chip serving axis; --mesh shards one "
         "video's client batch instead — the two are mutually exclusive)",
+    )
+    p.add_argument(
+        "--batch-sampler", default="auto",
+        choices=["auto", "sat", "direct", "fused"],
+        help="broadcast-tick sampling strategy: sat = amortize one SAT "
+        "across the member batch; direct/fused = SAT-free gather-free "
+        "per-gaze sampling (bit-identical; auto = sat until the on-chip "
+        "sweep says otherwise)",
+    )
+    p.add_argument(
+        "--readback-deadline", type=float, default=120.0,
+        help="deadline (s) on per-tick device->host readbacks: a wedged "
+        "transport degrades to skipped frames instead of a hung channel, "
+        "and cadence recovers when the transfer completes (must exceed a "
+        "first-tick jit compile, 15-40 s here; <= 0 disables)",
     )
     p.add_argument(
         "--http-port", type=int, default=0,
@@ -1169,6 +1223,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="unwarp path: fast = rounded vertical blend + pair-u16 "
         "gathers; mm = slab + integer-numerator MXU dots; fused = the "
         "mm math in Pallas kernels (all <=1 LSB of exact)",
+    )
+    p.add_argument(
+        "--batch-sampler", choices=["sat", "direct", "fused"], default="sat",
+        help="--clients batch path: sat = one SAT amortized across the "
+        "batch (vmapped gather sampling — the measured 48-client knee "
+        "was gather-bound); direct/fused = SAT-free gather-free per-gaze "
+        "sampling (bit-identical outputs)",
     )
     p.set_defaults(fn=cmd_perf)
 

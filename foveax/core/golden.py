@@ -532,3 +532,36 @@ def reconstruct_sat_svd(u, s, v, residual_q, ranges) -> np.ndarray:
         rng[:, None, None] / 2.0
     )
     return approx + resid
+
+
+def ssim64(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """Float64 SSIM (Wang et al. 2004): 11x11 Gaussian window sigma 1.5,
+    K1=0.01 K2=0.03, VALID region, mean over pixels and channels — the
+    oracle for foveax.core.metrics.ssim (scikit-image's
+    gaussian_weights=True convention)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    xs = np.arange(11, dtype=np.float64) - 5.0
+    g = np.exp(-(xs * xs) / (2.0 * 1.5 * 1.5))
+    g /= g.sum()
+    win = np.outer(g, g)
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+
+    def filt(img):
+        h, w = img.shape[:2]
+        out = np.zeros((h - 10, w - 10, img.shape[2]), np.float64)
+        for j in range(h - 10):
+            for i in range(w - 10):
+                patch = img[j : j + 11, i : i + 11]
+                out[j, i] = np.tensordot(win, patch, axes=([0, 1], [0, 1]))
+        return out
+
+    mu_a, mu_b = filt(a), filt(b)
+    va = filt(a * a) - mu_a * mu_a
+    vb = filt(b * b) - mu_b * mu_b
+    cov = filt(a * b) - mu_a * mu_b
+    m = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    )
+    return float(m.mean())
