@@ -72,6 +72,12 @@ def main() -> int:
         "echoed center is the predicted one, so the matched gaze-apply "
         "metric reads n/a — compare delivered quality instead)",
     )
+    ap.add_argument(
+        "--server-args", default="",
+        help="extra args appended to the serve command, e.g. "
+        "'--readback-deadline 5' for a TPU-held run where a mid-stream "
+        "tunnel wedge should degrade to skipped frames quickly",
+    )
     args = ap.parse_args()
     w, h = (int(v) for v in args.resolution.split("x"))
     port = free_port()
@@ -89,6 +95,8 @@ def main() -> int:
         "--wire-codec", args.wire_codec,
         "--predict-gaze", args.predict_gaze,
     ]
+    if args.server_args:
+        server_cmd += args.server_args.split()
     print(f"[demo] starting server process: {' '.join(server_cmd)}")
     server = subprocess.Popen(
         server_cmd, env=env,
