@@ -263,9 +263,23 @@ def main(fused_probe: bool = False) -> None:
 
     def measure(step) -> float:
         run_chain(step, 2)  # warm-up / compile
-        base = run_chain(step, 2)
-        total = run_chain(step, n_iters + 2)
-        dt = max(total - base, 1e-9)
+        # Paired-difference timing with a median over 3 samples per side:
+        # relay RPC hiccups of 100+ ms are routine through this tunnel, so
+        # a single hiccup landing in the short base run can exceed the
+        # whole 32-frame run and flip the subtraction negative (observed:
+        # a clamped dt reported 3e10 "fps" for fused_full, 2026-08-19).
+        bases = sorted(run_chain(step, 2) for _ in range(3))
+        totals = sorted(run_chain(step, n_iters + 2) for _ in range(3))
+        dt = totals[1] - bases[1]
+        # Plausibility floor: the 4K full path writes >= 25 MB of u8
+        # output per frame, so even at 2x HBM speed-of-light a frame
+        # costs > 12 us.  A smaller delta is a measurement artifact —
+        # refuse to report it as a result.
+        if dt <= n_iters * 12e-6:
+            raise RuntimeError(
+                f"implausible timing delta {dt * 1e3:.3f} ms over "
+                f"{n_iters} frames (relay noise?)"
+            )
         return n_iters / dt
 
     if fused_probe:
@@ -296,6 +310,13 @@ def main(fused_probe: bool = False) -> None:
     # non-returning compile.
     fps = measure(step_direct_mm)
     for name, cand in pallas_fps.items():
+        # Belt-and-braces vs the child's plausibility floor: never let a
+        # physically impossible probe line (HBM roofline at 4K is ~48k
+        # fps) become the headline.
+        if cand > 2e4:
+            print(f"# bench: discarding implausible {name}: {cand:.2f} fps",
+                  file=sys.stderr)
+            continue
         if cand > fps:
             print(f"# bench: pallas candidate {name} leads: {cand:.2f} fps",
                   file=sys.stderr)

@@ -868,19 +868,32 @@ def cmd_perf(args) -> int:
         else:
             build_fn = lambda f: build_xla(f.transpose(1, 2, 0))
 
-        # Single-gaze sampler: the SAT-free direct path wins <= 4K on
-        # TPU, the SAT path above (BENCHMARKS.md "SAT-free direct
-        # sampler" crossover table); batch steps always amortize a SAT.
-        use_direct = args.sampler == "direct" or (
-            args.sampler == "auto"
-            and jax.default_backend() != "cpu"
-            and w <= 3840
+        # Single-gaze sampler: round-4 measured policy — the fused
+        # segment-reduce sampler wins at every accelerator shape
+        # (BENCHMARKS.md round-4 stage table: 1.46 ms vs direct 2.57 at
+        # 4K, 7.70 vs the SAT pair's 28.5 at 16K); "auto" mirrors
+        # FoveationPipeline's pick, degrading to the SAT pair when the
+        # shape fails the kernel's structural contract (eval_shape
+        # probe — no compile, no device).
+        use_direct = args.sampler == "direct"
+        use_fused = args.sampler == "fused" or (
+            args.sampler == "auto" and jax.default_backend() != "cpu"
         )
-        use_fused = args.sampler == "fused"
         if use_fused:
             from foveax.kernels.segreduce import sample_rect_fused
 
             fused_interp = jax.default_backend() == "cpu"
+            if args.sampler == "auto":
+                try:
+                    jax.eval_shape(
+                        lambda f, c: sample_rect_fused(
+                            f, grid, c, out_layout="chw"
+                        ),
+                        jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
+                        jax.ShapeDtypeStruct((2,), jnp.float32),
+                    )
+                except ValueError:
+                    use_fused = False
 
         @jax.jit
         def step(f, c, build_fn=build_fn, grid=grid, w=w, h=h,
@@ -929,7 +942,27 @@ def cmd_perf(args) -> int:
                 f"{1000 / per:.1f} fps"
             )
 
-        batch_kind = getattr(args, "batch_sampler", "sat")
+        batch_kind = getattr(args, "batch_sampler", "auto")
+        if batch_kind == "auto":
+            # Mirror FoveationPipeline.batch_pair's round-4 policy:
+            # fused on eligible accelerator shapes (the measured knee
+            # move, BENCHMARKS.md), SAT otherwise.
+            if jax.default_backend() != "cpu":
+                from foveax.kernels.segreduce import sample_rect_fused_batch
+
+                try:
+                    jax.eval_shape(
+                        lambda f, cs: sample_rect_fused_batch(
+                            f, grid, cs, in_layout="chw", out_layout="chw"
+                        ),
+                        jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
+                        jax.ShapeDtypeStruct((4, 2), jnp.float32),
+                    )
+                    batch_kind = "fused"
+                except ValueError:
+                    batch_kind = "sat"
+            else:
+                batch_kind = "sat"
         for n_c in args.clients or []:
             if n_c <= 0:  # "--clients 0" stays a documented no-op
                 continue
@@ -1225,11 +1258,13 @@ def build_parser() -> argparse.ArgumentParser:
         "mm math in Pallas kernels (all <=1 LSB of exact)",
     )
     p.add_argument(
-        "--batch-sampler", choices=["sat", "direct", "fused"], default="sat",
+        "--batch-sampler", choices=["auto", "sat", "direct", "fused"],
+        default="auto",
         help="--clients batch path: sat = one SAT amortized across the "
         "batch (vmapped gather sampling — the measured 48-client knee "
         "was gather-bound); direct/fused = SAT-free gather-free per-gaze "
-        "sampling (bit-identical outputs)",
+        "sampling (bit-identical outputs); auto = fused on eligible "
+        "accelerator shapes (the round-4 measured winner), sat otherwise",
     )
     p.set_defaults(fn=cmd_perf)
 

@@ -327,27 +327,25 @@ def unwarp_rect(
           <= 1 LSB contract; interpret-mode on the CPU backend.
           Requires production-like shapes (raises ValueError otherwise —
           fall back to "mm").
-      "auto"  — accelerator backends: "fused" at 4K-class output widths
-          (measured on chip, round 3: fused 1.85 vs mm 2.29 ms/frame at
-          4K, but mm 1.42 vs fused 1.70 at 1080p — the kernel-resident
-          slabs only pay off once the materialized mm slab traffic
-          dominates), "mm" elsewhere: below 4K mm wins outright, and at
-          >= 8K the fused kernel's Mosaic compile exceeded a 420 s
-          measurement window on the bench relay (run/quality there is
-          unmeasured — opt in explicitly once compiled executables are
-          cached); ineligible shapes fall back to "mm".  CPU: "fast"
+      "auto"  — accelerator backends: "fused" at >= 4K output widths
+          (measured on chip — round 3: fused 1.85 vs mm 2.29 ms/frame
+          at 4K; round 4: 4.95 vs 5.17 at 8K and 10.71 vs 15.12 at 16K
+          — the kernel-resident slabs pay off once the materialized mm
+          slab traffic dominates), "mm" below (1080p: mm 1.42 vs fused
+          1.70).  The round-3 ">= 8K compile exceeded 420 s" gate was
+          the tunnel wedge, falsified by the round-4 cold-cache bisect
+          (unwarp:8k 2.6 s, unwarp:16k 18.4 s; persistent-cache re-runs
+          0.1 s).  Ineligible shapes fall back to "mm".  CPU: "fast"
           (no MXU; dot kernels lose to the gather formulation there).
     """
     auto_fused = False
     if precision == "auto":
         if jax.default_backend() == "cpu":
             precision = "fast"
-        elif out_width == 3840:
-            # Only the MEASURED width (on-chip round 3: fused 1.85 vs mm
-            # 2.29 ms/frame).  Intermediate widths in (3840, 7680) pass
-            # the structural contract but were never compiled on chip,
-            # and this relay has shown non-returning Mosaic compiles —
-            # don't let a production trace hit one without containment.
+        elif out_width >= 3840:
+            # Measured winners at 4K/8K/16K (docstring table); the
+            # trace-time ValueError degrade below keeps unmeasured
+            # intermediate widths safe on the structural contract.
             precision, auto_fused = "fused", True
         else:
             precision = "mm"

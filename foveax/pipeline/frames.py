@@ -56,14 +56,16 @@ class FoveationPipeline:
         (SAT-free banded sampler, foveax/core/direct.py), "fused"
         (SAT-free Pallas segment-reduce kernels,
         foveax/kernels/segreduce.py; interpret-mode on CPU), or "auto" —
-        on the TPU backend: direct for single-gaze foveation at <= 4K
-        (measured crossover: direct wins 1.9x at 1080p and 1.4x at 4K —
-        BENCHMARKS.md "SAT-free direct sampler"), fused at 8K-class
-        widths (on-chip round 3: 4.22 ms vs the SAT pair's 3.7+3.4), SAT
-        above (16K fused compile unmeasured on chip) and on CPU.  All
-        are bit-identical; batch (multi-gaze) paths always amortize one
-        SAT.  An auto-picked fused that fails the kernel's structural
-        shape contract degrades to SAT at trace time."""
+        on accelerator backends: fused at every production shape (the
+        round-4 on-chip stage table: fused wins the sample at 1080p
+        1.73 vs direct 2.4 ms, at 4K 1.46 vs 2.57, at 8K 4.22 vs the
+        SAT pair's 7.1, and carries the 16K full path 19 → 56 fps —
+        the round-3 "fused can't compile ≥4K" gates were the tunnel
+        wedge, falsified by the round-4 cold-cache bisect); SAT on CPU
+        (interpret-mode Pallas).  All are bit-identical; batch
+        (multi-gaze) paths resolve their own auto in batch_pair.  An
+        auto-picked fused that fails the kernel's structural shape
+        contract degrades to SAT at trace time."""
         self.config = config or FoveaxConfig()
         cfg = self.config
         self.grid: LogRectGrid = make_grid(
@@ -101,12 +103,13 @@ class FoveationPipeline:
         if sampler == "auto":
             if jax.default_backend() == "cpu":
                 sampler = "sat"
-            elif sw <= 3840:
-                sampler = "direct"
-            elif sw <= 8192:
-                sampler, auto_fused = "fused", True
             else:
-                sampler = "sat"
+                # Round-4 measured policy: the fused segment-reduce
+                # sampler wins at EVERY production shape (stage table,
+                # BENCHMARKS.md round 4) now that the round-3 "compile
+                # cliff" is root-caused as the tunnel wedge.  Ineligible
+                # shapes degrade to the SAT pair at trace time.
+                sampler, auto_fused = "fused", True
         self.sampler = sampler
         if sampler == "fused":
             from foveax.kernels.segreduce import sample_rect_fused
@@ -238,7 +241,30 @@ class FoveationPipeline:
 
     # -- convenience -------------------------------------------------------
 
-    def batch_pair(self, batch_sampler: str = "sat"):
+    def _fused_batch_eligible(self) -> bool:
+        """One cached structural-eligibility probe for the fused batch
+        sampler: trace it with ``jax.eval_shape`` (no compile, no device)
+        so an ineligible shape resolves auto to "sat" up front instead of
+        raising mid-tick inside the serve loop."""
+        cached = getattr(self, "_fused_ok", None)
+        if cached is None:
+            from foveax.kernels.segreduce import sample_rect_fused
+
+            try:
+                jax.eval_shape(
+                    lambda f, c: sample_rect_fused(
+                        f, self.grid, c, wrap_x=self._wrap_x, in_layout="hwc"
+                    ),
+                    jax.ShapeDtypeStruct(self.source_shape, jnp.uint8),
+                    jax.ShapeDtypeStruct((2,), jnp.float32),
+                )
+                cached = True
+            except ValueError:
+                cached = False
+            self._fused_ok = cached
+        return cached
+
+    def batch_pair(self, batch_sampler: str = "auto"):
         """The serve tick's device pair ``(prepare, sample_batch)``:
         ``prepare(frame_hwc)`` runs once per source frame,
         ``sample_batch(prepared, centers)`` once per member batch.
@@ -248,7 +274,18 @@ class FoveationPipeline:
         prepare is the identity (the staged frame IS the prepared
         state) and sampling is gather-free per gaze (the measured
         48-client knee was gather-bound).  All three are bit-identical.
+        "auto": fused on accelerator backends where the shape is
+        eligible — the round-4 on-chip sweep has it dominating past 16
+        members (32 gazes: 4.40 ms vs the SAT batch's 13.11, 48: 8.44
+        vs 19.90) and within noise below — "sat" on CPU (interpret-mode
+        Pallas loses the amortization) or ineligible shapes.
         """
+        if batch_sampler == "auto":
+            batch_sampler = (
+                "fused"
+                if jax.default_backend() != "cpu" and self._fused_batch_eligible()
+                else "sat"
+            )
         if batch_sampler == "sat":
             return self.build_sat, self.sample_batch
         if batch_sampler == "direct":

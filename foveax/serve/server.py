@@ -840,10 +840,12 @@ class FoveaxServer:
         # the round-2 design whose gather working set set the measured
         # 48-client knee); "direct"/"fused" skip the SAT and sample each
         # gaze gather-free (foveax/core/direct.py, kernels/segreduce.py).
-        # "auto" = "sat" until the on-chip client sweep says otherwise.
+        # "auto" resolves in FoveationPipeline.batch_pair: fused on
+        # eligible accelerator shapes (the round-4 sweep moved the knee —
+        # 32 gazes 4.40 ms vs the SAT batch's 13.11), "sat" otherwise.
         if batch_sampler not in ("auto", "sat", "direct", "fused"):
             raise ValueError(f"unknown batch_sampler {batch_sampler!r}")
-        self.batch_sampler = "sat" if batch_sampler == "auto" else batch_sampler
+        self.batch_sampler = batch_sampler
         if batch_sampler not in ("auto", "sat") and sat_compression == "svd":
             raise ValueError(
                 "--sat-compression svd streams the SAT itself; "
