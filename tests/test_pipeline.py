@@ -98,3 +98,65 @@ def test_direct_sampler_pipeline_matches_sat(small_frame):
             np.asarray(p_sat.foveate_chw(frame.transpose(2, 0, 1), cj)),
             np.asarray(p_dir.foveate_chw(frame.transpose(2, 0, 1), cj)),
         )
+
+
+def test_auto_policies_resolve_sat_on_cpu():
+    """On the CPU backend every auto resolves to the XLA SAT paths
+    (interpret-mode Pallas loses outright there)."""
+    p = FoveationPipeline(CFG, sampler="auto")
+    assert p.sampler == "sat"
+    prepare, sample_b = p.batch_pair("auto")
+    assert prepare is p.build_sat and sample_b is p.sample_batch
+
+
+def test_auto_policies_resolve_fused_on_accelerator(monkeypatch):
+    """On an accelerator backend (round-4 measured policy) auto picks the
+    fused pair; batch auto additionally gates on the eval_shape
+    structural-eligibility probe so an ineligible shape lands on SAT up
+    front, never as a mid-tick trace error."""
+    import jax
+
+    from foveax.pipeline import frames as frames_mod
+
+    monkeypatch.setattr(frames_mod.jax, "default_backend", lambda: "tpu")
+
+    # Eligible shape (lane-aligned width): single and batch both fused.
+    cfg = FoveaxConfig(
+        source_width=256, source_height=64, reduced_width=128, reduced_height=32
+    )
+    p = FoveationPipeline(cfg, sampler="auto")
+    assert p.sampler == "fused"
+    prepare, sample_b = p.batch_pair("auto")
+    assert sample_b is p.sample_batch_fused
+    assert p._fused_ok is True  # probe ran and cached
+
+    # Ineligible shape (96-wide fails the kernel's width-block contract):
+    # batch auto degrades to the SAT pair via the probe, and the
+    # auto-picked single-gaze fused degrades to SAT at trace time with
+    # bit-identical output.
+    p2 = FoveationPipeline(CFG, sampler="auto")
+    assert p2.sampler == "fused"  # picked, but degrades at trace time
+    prepare2, sample_b2 = p2.batch_pair("auto")
+    assert prepare2 is p2.build_sat and sample_b2 is p2.sample_batch
+    assert p2._fused_ok is False
+
+
+def test_auto_pick_degrades_bit_identically(small_frame, monkeypatch):
+    """An auto-picked fused sampler on a structurally ineligible shape
+    must fall back to the SAT pair with bit-identical results (the
+    degrade path in _foveate/_foveate_chw), not raise."""
+    from foveax.pipeline import frames as frames_mod
+
+    monkeypatch.setattr(frames_mod.jax, "default_backend", lambda: "tpu")
+    p_auto = FoveationPipeline(CFG, sampler="auto")
+    p_sat = FoveationPipeline(CFG, sampler="sat")
+    frame = jnp.asarray(small_frame)
+    cj = p_sat.center(0.3, 0.7)
+    np.testing.assert_array_equal(
+        np.asarray(p_auto.foveate(frame, cj)),
+        np.asarray(p_sat.foveate(frame, cj)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p_auto.foveate_chw(frame.transpose(2, 0, 1), cj)),
+        np.asarray(p_sat.foveate_chw(frame.transpose(2, 0, 1), cj)),
+    )
