@@ -268,19 +268,29 @@ def main(fused_probe: bool = False) -> None:
         # a single hiccup landing in the short base run can exceed the
         # whole 32-frame run and flip the subtraction negative (observed:
         # a clamped dt reported 3e10 "fps" for fused_full, 2026-08-19).
-        bases = sorted(run_chain(step, 2) for _ in range(3))
-        totals = sorted(run_chain(step, n_iters + 2) for _ in range(3))
-        dt = totals[1] - bases[1]
-        # Plausibility floor: the 4K full path writes >= 25 MB of u8
+        # The plausibility floor: the 4K full path writes >= 25 MB of u8
         # output per frame, so even at 2x HBM speed-of-light a frame
-        # costs > 12 us.  A smaller delta is a measurement artifact —
-        # refuse to report it as a result.
-        if dt <= n_iters * 12e-6:
-            raise RuntimeError(
-                f"implausible timing delta {dt * 1e3:.3f} ms over "
-                f"{n_iters} frames (relay noise?)"
+        # costs > 12 us — a smaller delta is a measurement artifact.
+        # Retry the whole triple up to 3x before giving up: the headline
+        # path must emit its JSON line even through a noisy window (a
+        # probe candidate may raise; main() catches the final failure).
+        last = None
+        for _ in range(3):
+            bases = sorted(run_chain(step, 2) for _ in range(3))
+            totals = sorted(run_chain(step, n_iters + 2) for _ in range(3))
+            dt = totals[1] - bases[1]
+            if dt > n_iters * 12e-6:
+                return n_iters / dt
+            last = dt
+            print(
+                f"# bench: implausible delta {dt * 1e3:.3f} ms over "
+                f"{n_iters} frames — retrying (relay noise?)",
+                file=sys.stderr,
             )
-        return n_iters / dt
+        raise RuntimeError(
+            f"implausible timing delta {last * 1e3:.3f} ms over "
+            f"{n_iters} frames after 3 attempts (relay noise?)"
+        )
 
     if fused_probe:
         # Child mode: measure each Pallas candidate, emitting its line as
@@ -307,8 +317,16 @@ def main(fused_probe: bool = False) -> None:
     # The known-good XLA path is the floor, measured in-process; the
     # Pallas candidates (subprocess, bounded) may beat it but can never
     # cost the headline — neither by a Mosaic lowering failure nor by a
-    # non-returning compile.
-    fps = measure(step_direct_mm)
+    # non-returning compile.  Conversely a relay-noise floor failure
+    # must not cost the headline when a plausible candidate exists.
+    try:
+        fps = measure(step_direct_mm)
+    except RuntimeError as e:
+        if not pallas_fps:
+            raise
+        print(f"# bench: floor measurement failed ({e}); "
+              "headline from probe candidates", file=sys.stderr)
+        fps = 0.0
     for name, cand in pallas_fps.items():
         # Belt-and-braces vs the child's plausibility floor: never let a
         # physically impossible probe line (HBM roofline at 4K is ~48k
@@ -322,6 +340,8 @@ def main(fused_probe: bool = False) -> None:
                   file=sys.stderr)
         fps = max(fps, cand)
 
+    if fps <= 0.0:
+        raise RuntimeError("no plausible measurement from floor or probes")
     print(
         json.dumps(
             {

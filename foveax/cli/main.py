@@ -880,20 +880,14 @@ def cmd_perf(args) -> int:
             args.sampler == "auto" and jax.default_backend() != "cpu"
         )
         if use_fused:
-            from foveax.kernels.segreduce import sample_rect_fused
+            from foveax.kernels.segreduce import (
+                fused_eligible,
+                sample_rect_fused,
+            )
 
             fused_interp = jax.default_backend() == "cpu"
-            if args.sampler == "auto":
-                try:
-                    jax.eval_shape(
-                        lambda f, c: sample_rect_fused(
-                            f, grid, c, out_layout="chw"
-                        ),
-                        jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
-                        jax.ShapeDtypeStruct((2,), jnp.float32),
-                    )
-                except ValueError:
-                    use_fused = False
+            if args.sampler == "auto" and not fused_eligible(grid, h, w):
+                use_fused = False
 
         @jax.jit
         def step(f, c, build_fn=build_fn, grid=grid, w=w, h=h,
@@ -947,22 +941,14 @@ def cmd_perf(args) -> int:
             # Mirror FoveationPipeline.batch_pair's round-4 policy:
             # fused on eligible accelerator shapes (the measured knee
             # move, BENCHMARKS.md), SAT otherwise.
-            if jax.default_backend() != "cpu":
-                from foveax.kernels.segreduce import sample_rect_fused_batch
+            from foveax.kernels.segreduce import fused_eligible
 
-                try:
-                    jax.eval_shape(
-                        lambda f, cs: sample_rect_fused_batch(
-                            f, grid, cs, in_layout="chw", out_layout="chw"
-                        ),
-                        jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
-                        jax.ShapeDtypeStruct((4, 2), jnp.float32),
-                    )
-                    batch_kind = "fused"
-                except ValueError:
-                    batch_kind = "sat"
-            else:
-                batch_kind = "sat"
+            batch_kind = (
+                "fused"
+                if jax.default_backend() != "cpu"
+                and fused_eligible(grid, h, w, batch=True)
+                else "sat"
+            )
         for n_c in args.clients or []:
             if n_c <= 0:  # "--clients 0" stays a documented no-op
                 continue
@@ -1125,8 +1111,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "sat", "direct", "fused"],
         help="broadcast-tick sampling strategy: sat = amortize one SAT "
         "across the member batch; direct/fused = SAT-free gather-free "
-        "per-gaze sampling (bit-identical; auto = sat until the on-chip "
-        "sweep says otherwise)",
+        "per-gaze sampling (bit-identical; auto = fused on eligible "
+        "accelerator shapes — the round-4 measured winner, 192 "
+        "clients/chip at the 30 fps tick — sat otherwise)",
     )
     p.add_argument(
         "--readback-deadline", type=float, default=120.0,

@@ -81,8 +81,14 @@ def _filter2_valid(img: jax.Array, win: jax.Array) -> jax.Array:
     x = img.transpose(2, 0, 1)[:, None]  # (C, 1, H, W)
     ky = win.reshape(1, 1, k, 1)
     kx = win.reshape(1, 1, 1, k)
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID")
+    # Precision.HIGHEST: on TPU these contractions hit the MXU, which
+    # truncates f32 operands to bf16 by default — a*a reaches 65025
+    # (abs error up to ~128 in bf16) and the E[x^2]-mu^2 variance
+    # cancellation in ssim_map would then be wrong by its own magnitude
+    # in smooth regions (same hazard the SVD einsums hit, round 3).
+    hi = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID", precision=hi)
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID", precision=hi)
     return x[:, 0].transpose(1, 2, 0)  # (H-k+1, W-k+1, C)
 
 
@@ -96,9 +102,12 @@ def ssim_map(
     """Per-pixel SSIM index map (Wang et al., IEEE TIP 2004).
 
     Standard constants K1=0.01, K2=0.03, 11x11 Gaussian window with
-    sigma 1.5 — matching scikit-image's ``gaussian_weights=True`` mode.
-    Returns the (H-10, W-10, C) VALID-region map so weighted variants
-    (foveal/eccentricity) can re-weight it spatially.
+    sigma 1.5 — scikit-image's ``gaussian_weights=True`` window, with
+    the population (``use_sample_covariance=False``) variance form:
+    cross-validating against skimage needs that flag, since its default
+    applies an N/(N-1) sample correction this (and the float64 golden)
+    deliberately omit.  Returns the (H-10, W-10, C) VALID-region map so
+    weighted variants (foveal/eccentricity) can re-weight it spatially.
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)

@@ -583,3 +583,30 @@ def sample_rect_fused(
     if out_layout == "chw":
         return out
     return out.transpose(1, 2, 0)
+
+
+def fused_eligible(
+    grid, src_h: int, src_w: int, *, wrap_x: bool = True, batch: bool = False
+) -> bool:
+    """One shared structural-eligibility probe for the fused sampler:
+    trace it with ``jax.eval_shape`` (no compile, no device) and report
+    whether the shape satisfies the kernels' contracts.  The single
+    source of truth for every ``auto`` policy — the pipeline's
+    batch_pair, the perf CLI, and the serve startup validation — so the
+    policies cannot drift apart again (the perf CLI's auto did exactly
+    that between rounds 3 and 4)."""
+    fn = sample_rect_fused_batch if batch else sample_rect_fused
+    centers = (
+        jax.ShapeDtypeStruct((4, 2), jnp.float32)
+        if batch
+        else jax.ShapeDtypeStruct((2,), jnp.float32)
+    )
+    try:
+        jax.eval_shape(
+            lambda f, c: fn(f, grid, c, wrap_x=wrap_x, in_layout="chw"),
+            jax.ShapeDtypeStruct((3, src_h, src_w), jnp.uint8),
+            centers,
+        )
+        return True
+    except ValueError:
+        return False

@@ -242,25 +242,22 @@ class FoveationPipeline:
     # -- convenience -------------------------------------------------------
 
     def _fused_batch_eligible(self) -> bool:
-        """One cached structural-eligibility probe for the fused batch
-        sampler: trace it with ``jax.eval_shape`` (no compile, no device)
-        so an ineligible shape resolves auto to "sat" up front instead of
-        raising mid-tick inside the serve loop."""
+        """Cached structural-eligibility probe for the fused batch
+        sampler (shared fused_eligible, eval_shape only — no compile, no
+        device) so an ineligible shape resolves auto to "sat" up front
+        instead of raising mid-tick inside the serve loop."""
         cached = getattr(self, "_fused_ok", None)
         if cached is None:
-            from foveax.kernels.segreduce import sample_rect_fused
+            from foveax.kernels.segreduce import fused_eligible
 
-            try:
-                jax.eval_shape(
-                    lambda f, c: sample_rect_fused(
-                        f, self.grid, c, wrap_x=self._wrap_x, in_layout="hwc"
-                    ),
-                    jax.ShapeDtypeStruct(self.source_shape, jnp.uint8),
-                    jax.ShapeDtypeStruct((2,), jnp.float32),
-                )
-                cached = True
-            except ValueError:
-                cached = False
+            cfg = self.config
+            cached = fused_eligible(
+                self.grid,
+                cfg.source_height,
+                cfg.source_width,
+                wrap_x=self._wrap_x,
+                batch=True,
+            )
             self._fused_ok = cached
         return cached
 

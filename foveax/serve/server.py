@@ -83,7 +83,8 @@ class ReadbackGuard:
         self.deadline_s = deadline_s
         self._pending: asyncio.Future | None = None
         self.timeouts = 0
-        self.skips = 0
+        self.skips = 0  # cumulative across the guard's lifetime (stats)
+        self._wedge_skips = 0  # since the current wedge began
         self.recoveries = 0
 
     async def call(self, loop: asyncio.AbstractEventLoop, fn):
@@ -95,13 +96,18 @@ class ReadbackGuard:
         if self._pending is not None:
             if not self._pending.done():
                 self.skips += 1
+                self._wedge_skips += 1
                 return None
             # The stalled readback finally finished: consume its (stale)
             # result/exception and resume normal operation.
             self._pending.exception()
             self._pending = None
             self.recoveries += 1
-            log.info("readback recovered after %d skipped ticks", self.skips)
+            log.info(
+                "readback recovered after %d skipped ticks",
+                self._wedge_skips,
+            )
+            self._wedge_skips = 0
         fut = loop.run_in_executor(None, fn)
         done, _ = await asyncio.wait({fut}, timeout=self.deadline_s)
         if not done:
@@ -347,6 +353,20 @@ class BroadcastChannel:
                 self.pipeline = self.server._pipeline_for(
                     self.reader.width, self.reader.height
                 )
+                if (
+                    self.server.batch_sampler == "fused"
+                    and not self.pipeline._fused_batch_eligible()
+                ):
+                    # Fail the join loudly instead of letting the jit
+                    # trace raise mid-tick inside _loop (which would kill
+                    # the channel with members attached and no error to
+                    # the client).  "auto" degrades to sat by itself.
+                    raise ValueError(
+                        f"--batch-sampler fused: source "
+                        f"{self.reader.width}x{self.reader.height} fails "
+                        "the fused kernel's structural contract — use "
+                        "auto (degrades to sat) or sat"
+                    )
                 self.device = self.server._next_device()
                 if self.device is not None:
                     log.info(
@@ -862,6 +882,14 @@ class FoveaxServer:
                 raise ValueError(
                     f'mesh axes must be ("data", "space"), got {names}'
                 )
+            if batch_sampler in ("direct", "fused"):
+                # The sharded pair takes priority in the channel loop, so
+                # an explicit SAT-free batch sampler would be silently
+                # ignored — reject the conflicting flags instead.
+                raise ValueError(
+                    "--mesh shards the SAT batch pair; it is incompatible "
+                    f"with --batch-sampler {batch_sampler} (use auto/sat)"
+                )
             if sat_compression == "svd":
                 log.warning(
                     "--mesh is ignored with --sat-compression svd (the SVD "
@@ -1156,6 +1184,18 @@ class FoveaxServer:
 
         frame_num = 0
         next_deadline = time.perf_counter()
+        # SVD mode streams the SAT itself, so prepare must stay the SAT
+        # build; otherwise single_pair resolves to the pipeline's
+        # sampler: the SAT pair (prepare=build, gaze-late sample) on
+        # CPU, or the fused sampler (prepare=identity, all work
+        # gaze-late) where auto picked it — measured round 4: the fused
+        # 1080p sample (1.73 ms total, gaze-late) beats even the SAT
+        # pair's gaze-late HALF (1.8 ms sample), so SAT-eager's overlap
+        # argument no longer pays on accelerators.
+        if self.sat_compression == "svd":
+            prepare, sample_one = pipeline.build_sat, pipeline.sample
+        else:
+            prepare, sample_one = pipeline.single_pair()
         rb_guard = (
             ReadbackGuard(self.readback_deadline_s)
             if self.readback_deadline_s > 0
@@ -1178,13 +1218,14 @@ class FoveaxServer:
             session._read_future = None
             if frame is None:
                 break
-            # SAT is built eagerly; the gaze is read as late as possible
-            # (the reference sleeps to the tick *between* SAT build and
-            # gaze sampling, src/video_server.cc:302-328).  Device calls
-            # run in the executor so jit compilation (tens of seconds on
-            # first frame) never blocks the event loop's keepalives.
+            # The gaze-independent prepare stage runs eagerly; the gaze
+            # is read as late as possible (the reference sleeps to the
+            # tick *between* SAT build and gaze sampling,
+            # src/video_server.cc:302-328).  Device calls run in the
+            # executor so jit compilation (tens of seconds on first
+            # frame) never blocks the event loop's keepalives.
             sat = await loop.run_in_executor(
-                None, lambda: pipeline.build_sat(_stage(frame))
+                None, lambda: prepare(_stage(frame))
             )
             now = time.perf_counter()
             if now < next_deadline:
@@ -1258,7 +1299,7 @@ class FoveaxServer:
                     # backlog drop above).
                     reduced_np = await _readback(
                         lambda: np.asarray(
-                            pipeline.sample(sat, pipeline.center(cx, cy))
+                            sample_one(sat, pipeline.center(cx, cy))
                         )
                     )
                     if reduced_np is None:  # readback deadline missed

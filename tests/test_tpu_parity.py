@@ -518,3 +518,23 @@ def test_flagship_composed_fused_path_on_device():
         ys = slice(max(cy - 3, 0), cy + 3)
         xs = slice(max(cx - 3, 0), cx + 3)
         np.testing.assert_array_equal(fused[:, ys, xs], exact[:, ys, xs])
+
+
+def test_ssim_matches_golden_on_device(frame):
+    """The SSIM convs must carry Precision.HIGHEST: the MXU truncates
+    f32 conv operands to bf16 by default, and the E[x^2]-mu^2 variance
+    cancellation on a*a (up to 65025) would then be wrong by its own
+    magnitude in smooth regions.  CPU tests can't see this — only the
+    chip can."""
+    from foveax.core import metrics
+
+    rng = np.random.default_rng(7)
+    a = frame[:128, :128].astype(np.float64)
+    b = np.clip(a + rng.normal(0, 6, a.shape), 0, 255)
+    want = golden.ssim64(a, b)
+    got = float(
+        jax.jit(metrics.ssim)(
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+    )
+    assert abs(got - want) < 1e-4, (got, want)
