@@ -160,3 +160,24 @@ def test_auto_pick_degrades_bit_identically(small_frame, monkeypatch):
         np.asarray(p_auto.foveate_chw(frame.transpose(2, 0, 1), cj)),
         np.asarray(p_sat.foveate_chw(frame.transpose(2, 0, 1), cj)),
     )
+
+
+def test_single_pair_resolution(small_frame):
+    """single_pair (the serve loop's prepare/sample split): SAT
+    pipelines keep the eager build + gaze-late sample; SAT-free
+    pipelines get an identity prepare (stage only) with all device work
+    gaze-late — and both halves compose to the identical reduced
+    frame."""
+    p_sat = FoveationPipeline(CFG, sampler="sat")
+    prepare, sample_one = p_sat.single_pair()
+    assert prepare is p_sat.build_sat and sample_one is p_sat.sample
+    frame = jnp.asarray(small_frame)
+    c = p_sat.center(0.4, 0.6)
+    want = np.asarray(sample_one(prepare(frame), c))
+
+    p_direct = FoveationPipeline(CFG, sampler="direct")
+    prepare_d, sample_d = p_direct.single_pair()
+    assert sample_d is p_direct.foveate
+    staged = prepare_d(frame)
+    np.testing.assert_array_equal(np.asarray(staged), small_frame)
+    np.testing.assert_array_equal(np.asarray(sample_d(staged, c)), want)

@@ -229,3 +229,21 @@ def test_batch_api_matches_sat_batch(setup):
         )
     )
     np.testing.assert_array_equal(ref.transpose(0, 3, 1, 2), chw)
+
+
+def test_fused_eligible_probe(setup):
+    """fused_eligible is the single source of truth for every auto
+    policy: True exactly when the kernels' structural contract admits
+    the shape (trace-only, no compile), for single and batch, both wrap
+    modes."""
+    grid, _, _ = setup
+    for batch in (False, True):
+        assert segreduce.fused_eligible(grid, SRC_H, SRC_W, batch=batch)
+        assert segreduce.fused_eligible(
+            grid, SRC_H, SRC_W, wrap_x=False, batch=batch
+        )
+    # 96-wide fails the kernel's width-block contract (same shape the
+    # pipeline auto tests pin as the degrade case).
+    g2 = make_grid(48, 32, 96, 64)
+    for batch in (False, True):
+        assert not segreduce.fused_eligible(g2, 64, 96, batch=batch)

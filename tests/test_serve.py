@@ -1232,6 +1232,24 @@ def test_next_device_round_robin_cycles_and_validates():
         )
 
 
+def test_mesh_rejects_satfree_batch_sampler():
+    """--mesh shards the SAT batch pair, which takes priority in the
+    channel loop — an explicit SAT-free --batch-sampler would be
+    silently ignored, so the conflicting flags are a constructor
+    error (auto/sat remain fine)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "space")
+    )
+    for bs in ("direct", "fused"):
+        with pytest.raises(ValueError, match="incompatible"):
+            FoveaxServer(CFG, broadcast=True, mesh=mesh, batch_sampler=bs)
+    for bs in ("auto", "sat"):
+        FoveaxServer(CFG, broadcast=True, mesh=mesh, batch_sampler=bs)
+
+
 def test_pipeline_follows_committed_input():
     """The placement mechanism itself: pipelines are shared per
     resolution (server._pipeline_for), so placement must ride on
