@@ -5,6 +5,7 @@ from foveax.parallel.sharded import (
     frame_parallel_roundtrip,
     multi_client_step,
     sharded_build_sat,
+    sharded_sample_batch_fused,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "sharded_build_sat",
     "multi_client_step",
     "frame_parallel_roundtrip",
+    "sharded_sample_batch_fused",
 ]

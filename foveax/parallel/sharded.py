@@ -193,6 +193,58 @@ def sharded_sample_batch(
     return fn(sat, centers)
 
 
+def sharded_sample_batch_fused(
+    frame: jax.Array,
+    centers: jax.Array,
+    grid: LogRectGrid,
+    mesh: Mesh,
+    *,
+    wrap_x: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Gaze-batched SAT-free fused sampling sharded over ``data``: the
+    round-4 knee path (fused batch — the measured 192-clients-per-chip
+    30 fps tick, BENCHMARKS.md) scaled across chips.
+
+    ``frame``: (H, W, 3) uint8, replicated — it crosses ICI once at
+    placement, NOT per tick (contrast :func:`sharded_sample_batch`,
+    whose all-gather moves the 4x-larger u32 SAT every tick).
+    ``centers``: (N, 2) f32 sharded over ``data``; each shard runs the
+    fused segment-reduce batch on its local gazes with zero per-tick
+    communication — multi-chip serving is embarrassingly data-parallel
+    once the sampler needs no SAT.  Returns (N, Hr, Wr, 3) uint8 sharded
+    over ``data``.  The shape must satisfy the fused kernels' structural
+    contract (:func:`foveax.kernels.segreduce.fused_eligible`); the
+    serve-loop autos degrade to the SAT pair otherwise.
+
+    (The reference serves one engine stack per connection on one GPU,
+    reference: src/video_server.cc:62-85 — no multi-device analog.)
+    """
+    from foveax.kernels.segreduce import sample_rect_fused_batch
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def step(frame_rep, centers_block):
+        return sample_rect_fused_batch(
+            frame_rep.transpose(2, 0, 1),
+            grid,
+            centers_block,
+            wrap_x=wrap_x,
+            in_layout="chw",
+            interpret=interpret,
+        )
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, None, None), P("data", None)),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(frame, centers)
+
+
 def jit_serve_parts(grid: LogRectGrid, mesh: Mesh):
     """(build_fn, sample_fn) compiled closures for the sharded broadcast
     serving loop: ``build_fn(frame)`` -> row-sharded SAT (pre-tick,

@@ -157,3 +157,33 @@ def test_broadcast_serve_with_mesh(small_frame):
 
     stats = asyncio.run(main())
     assert all(s.frames == 4 for s in stats)
+
+
+def test_sharded_fused_batch_matches_sat(mesh2x4):
+    """The round-4 fused knee path sharded over ``data``: bit-identical
+    to the single-device SAT reference at every gaze.  The frame is
+    replicated (crosses ICI once at placement, not per tick) and each
+    data shard samples its local gaze batch gather-free with zero
+    per-tick collectives — the multi-chip extension of the measured
+    192-clients-per-chip serving point."""
+    from foveax.kernels.segreduce import fused_eligible
+    from foveax.parallel import sharded_sample_batch_fused
+
+    rng = np.random.default_rng(11)
+    frame_np = rng.integers(0, 256, (64, 256, 3), np.uint8)
+    grid = make_grid(128, 32, 256, 64)
+    assert fused_eligible(grid, 64, 256, batch=True)
+    frame = jnp.asarray(frame_np)
+    centers = jnp.asarray(
+        rng.uniform(0.05, 0.95, (4, 2)).astype(np.float32)
+    )
+    fn = jax.jit(
+        lambda f, c: sharded_sample_batch_fused(f, c, grid, mesh2x4)
+    )
+    out = np.asarray(fn(frame, centers))
+    sat = build_sat(frame)
+    assert out.shape == (4, 32, 128, 3)
+    for i in range(4):
+        np.testing.assert_array_equal(
+            out[i], np.asarray(sample_rect_from_sat(sat, grid, centers[i]))
+        )
