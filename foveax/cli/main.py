@@ -1095,8 +1095,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--mesh", default="",
         help="shard broadcast serving over a DATAxSPACE device mesh, e.g. "
-        "2x4 (requires --broadcast and data*space jax devices; the SAT "
-        "scan shards over `space` rows, the client batch over `data`)",
+        "2x4 (requires --broadcast and data*space jax devices; the client "
+        "batch shards over `data` either way — with the SAT batch sampler "
+        "the scan also shards over `space` rows, with the fused sampler "
+        "the frame replicates once per tick and sampling is "
+        "collective-free)",
     )
     p.add_argument(
         "--place-videos", default="default",

@@ -255,3 +255,25 @@ def jit_serve_parts(grid: LogRectGrid, mesh: Mesh):
         lambda sat, centers: sharded_sample_batch(sat, centers, grid, mesh)
     )
     return build, sample
+
+
+def jit_serve_parts_fused(
+    grid: LogRectGrid, mesh: Mesh, *, wrap_x: bool = True
+):
+    """SAT-free (prepare_fn, sample_fn) for the sharded broadcast loop:
+    ``prepare_fn(frame)`` replicates the frame over the mesh — the fused
+    path's once-per-frame ICI cost, paid gaze-early so the gaze-late
+    half is collective-free — and ``sample_fn(frame, centers)`` runs the
+    data-parallel fused batch (:func:`sharded_sample_batch_fused`).
+    Same (prepare, sample) calling shape as :func:`jit_serve_parts`, so
+    the serve loop swaps pairs without branching per tick."""
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P(None, None, None))
+    prepare = jax.jit(lambda f: f, out_shardings=rep)
+    sample = jax.jit(
+        lambda f, centers: sharded_sample_batch_fused(
+            f, centers, grid, mesh, wrap_x=wrap_x
+        )
+    )
+    return prepare, sample

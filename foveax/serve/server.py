@@ -322,9 +322,11 @@ class BroadcastChannel:
         self.device = None  # fixed per-channel placement (_next_device)
         self.dead = False
         self._read_future = None  # in-flight executor read, if any
-        # Sharded serving (server.mesh set): (build, sample) closures from
-        # foveax.parallel.sharded — SAT scan sharded over `space` rows,
-        # client batch over `data` gazes.
+        # Sharded serving (server.mesh set): (prepare, sample) closures
+        # from foveax.parallel.sharded — the client batch shards over
+        # `data` gazes either way; the SAT pair also shards its scan over
+        # `space` rows, the fused pair replicates the frame once per tick
+        # and samples collective-free (jit_serve_parts_fused).
         self._sharded = None
         self._closing_task = None  # strong ref: loop holds tasks weakly
         # Members that already received streamInfo + the stream header
@@ -390,17 +392,42 @@ class BroadcastChannel:
             and self.server.mesh is not None
             and self.server.sat_compression != "svd"
         ):
-            from foveax.parallel.sharded import jit_serve_parts
+            import jax
 
-            space = self.server.mesh.shape["space"]
-            if cfg.source_height % space != 0:
-                raise ValueError(
-                    f"mesh space axis ({space}) must divide the source "
-                    f"height ({cfg.source_height})"
-                )
-            self._sharded = jit_serve_parts(
-                self.pipeline.grid, self.server.mesh
+            from foveax.parallel.sharded import (
+                jit_serve_parts,
+                jit_serve_parts_fused,
             )
+
+            # Same auto policy as the single-chip batch_pair: fused on
+            # eligible accelerator shapes (the round-4 measured knee
+            # winner, now data-parallel over the mesh), the row-sharded
+            # SAT pair otherwise.  Explicit "fused" on an ineligible
+            # source already failed loudly at channel start.
+            mode = self.server.batch_sampler
+            if mode == "auto":
+                mode = (
+                    "fused"
+                    if jax.default_backend() != "cpu"
+                    and self.pipeline._fused_batch_eligible()
+                    else "sat"
+                )
+            if mode == "fused":
+                self._sharded = jit_serve_parts_fused(
+                    self.pipeline.grid,
+                    self.server.mesh,
+                    wrap_x=self.pipeline._wrap_x,
+                )
+            else:
+                space = self.server.mesh.shape["space"]
+                if cfg.source_height % space != 0:
+                    raise ValueError(
+                        f"mesh space axis ({space}) must divide the source "
+                        f"height ({cfg.source_height})"
+                    )
+                self._sharded = jit_serve_parts(
+                    self.pipeline.grid, self.server.mesh
+                )
         if self.server.sat_compression == "svd":
             from foveax.io import svdwire
 
@@ -882,13 +909,14 @@ class FoveaxServer:
                 raise ValueError(
                     f'mesh axes must be ("data", "space"), got {names}'
                 )
-            if batch_sampler in ("direct", "fused"):
-                # The sharded pair takes priority in the channel loop, so
-                # an explicit SAT-free batch sampler would be silently
-                # ignored — reject the conflicting flags instead.
+            if batch_sampler == "direct":
+                # The sharded pairs are SAT (row-sharded scan) and fused
+                # (data-parallel, jit_serve_parts_fused); there is no
+                # sharded direct variant, and silently ignoring the flag
+                # would misreport what the loop runs.
                 raise ValueError(
-                    "--mesh shards the SAT batch pair; it is incompatible "
-                    f"with --batch-sampler {batch_sampler} (use auto/sat)"
+                    "--mesh has no sharded direct sampler; use "
+                    "auto, sat, or fused"
                 )
             if sat_compression == "svd":
                 log.warning(

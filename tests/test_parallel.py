@@ -187,3 +187,59 @@ def test_sharded_fused_batch_matches_sat(mesh2x4):
         np.testing.assert_array_equal(
             out[i], np.asarray(sample_rect_from_sat(sat, grid, centers[i]))
         )
+
+
+def test_broadcast_serve_with_mesh_fused(small_frame):
+    """End-to-end loopback: broadcast server with a (2, 4) mesh and an
+    explicit --batch-sampler fused serves two clients through the
+    SAT-free data-parallel pair (jit_serve_parts_fused) — the fused
+    source must satisfy the kernels' structural contract, hence the
+    256-wide source."""
+    import asyncio
+    import socket
+
+    from foveax.config import FoveaxConfig
+    from foveax.parallel import make_mesh
+    from foveax.serve.client import FoveaxClient
+    from foveax.serve.server import FoveaxServer
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    cfg = FoveaxConfig(
+        source_width=256,
+        source_height=64,
+        reduced_width=128,
+        reduced_height=32,
+    )
+    server = FoveaxServer(
+        cfg,
+        max_frames=8,
+        broadcast=True,
+        mesh=make_mesh(n_space=4, n_data=2),
+        batch_sampler="fused",
+    )
+
+    def make_client(gx):
+        return FoveaxClient(
+            f"ws://127.0.0.1:{port}",
+            video="synthetic://256x64@30/20",
+            config=cfg,
+            gaze_source=lambda i: (gx, 0.5),
+            max_frames=4,
+        )
+
+    async def main():
+        import websockets
+
+        clients = [make_client(0.3), make_client(0.7)]
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(
+                asyncio.gather(*(c.run() for c in clients)), timeout=120
+            )
+
+    stats = asyncio.run(main())
+    assert all(s.frames == 4 for s in stats)

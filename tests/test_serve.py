@@ -1232,21 +1232,20 @@ def test_next_device_round_robin_cycles_and_validates():
         )
 
 
-def test_mesh_rejects_satfree_batch_sampler():
-    """--mesh shards the SAT batch pair, which takes priority in the
-    channel loop — an explicit SAT-free --batch-sampler would be
-    silently ignored, so the conflicting flags are a constructor
-    error (auto/sat remain fine)."""
+def test_mesh_batch_sampler_flags():
+    """--mesh has sharded pairs for SAT (row-sharded scan) and fused
+    (data-parallel, jit_serve_parts_fused) but no sharded direct
+    variant — that combination is a constructor error instead of a
+    silently ignored flag; auto/sat/fused construct fine."""
     import jax
     from jax.sharding import Mesh
 
     mesh = Mesh(
         np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "space")
     )
-    for bs in ("direct", "fused"):
-        with pytest.raises(ValueError, match="incompatible"):
-            FoveaxServer(CFG, broadcast=True, mesh=mesh, batch_sampler=bs)
-    for bs in ("auto", "sat"):
+    with pytest.raises(ValueError, match="direct"):
+        FoveaxServer(CFG, broadcast=True, mesh=mesh, batch_sampler="direct")
+    for bs in ("auto", "sat", "fused"):
         FoveaxServer(CFG, broadcast=True, mesh=mesh, batch_sampler=bs)
 
 
