@@ -17,7 +17,8 @@ timeout 420 python scripts/stage_bench.py --resolutions 1080p --iters 20 --stage
 FOVEAX_TPU_TESTS=1 timeout 1500 python -m pytest -m tpu tests/ -q -x
 timeout 420 python -m foveax.cli.main perf --resolutions 1080p 4k --frames 20 --sampler fused --precision fused
 timeout 420 python -m foveax.cli.main perf --resolutions 8k 16k --frames 10 --sampler fused --precision fused
-# Probe bound + device wait + floor compile/measure must fit inside the
-# outer timeout — a probe that hangs to its bound must not cost the
-# headline JSON.
-FOVEAX_BENCH_FUSED_TIMEOUT=240 timeout 700 python bench.py
+# Probe bound (+ the empty-probe retry: health window 300 + retry bound
+# 240) + device wait + floor compile/measure must fit inside the outer
+# timeout — a probe that hangs to its bound must not cost the headline
+# JSON.
+FOVEAX_BENCH_FUSED_TIMEOUT=240 timeout 1300 python bench.py
