@@ -203,7 +203,7 @@ def sharded_sample_batch_fused(
     interpret: bool | None = None,
 ) -> jax.Array:
     """Gaze-batched SAT-free fused sampling sharded over ``data``: the
-    round-4 knee path (fused batch — the measured 192-clients-per-chip
+    round-4 knee path (fused batch — the measured 240-clients-per-chip
     30 fps tick, BENCHMARKS.md) scaled across chips.
 
     ``frame``: (H, W, 3) uint8, replicated — it crosses ICI once at
