@@ -133,6 +133,63 @@ def _kernel_bands(
     return tuple(bands)
 
 
+def _band_k(g, d, start: int, end: int, s: int, quantum: int, dim: int) -> int:
+    """Worst-case slab width for [start, end) tiled into blocks of ``s``
+    (same per-block formula as _kernel_bands: span + own max step +
+    quantum-1 slack + 1, quantum-rounded, clamped to the dim)."""
+    ks = []
+    for bs in range(start, end, s):
+        be = min(bs + s, end)
+        span = int(g[be] - g[bs])
+        step = int(d[bs:be].max())
+        need = span + step + quantum - 1 + 1
+        ks.append(min(-(-need // quantum) * quantum, dim))
+    return max(ks)
+
+
+# Static worst-case minor dims for the widening rule below — decisions
+# must be shape-stable (the invariant sweeps mirror them), so the VMEM
+# fit uses these caps rather than the call-time minor: y slabs are
+# (k, wb<=2048) uint8, x slabs (hb<=256, k) uint16.
+_MINOR_CAP_Y = 2048
+_MINOR_CAP_X = 256
+
+
+@functools.lru_cache(maxsize=64)
+def _adaptive_bands(
+    g_bytes: bytes, dim: int, s_small: int, quantum: int,
+    minor_cap: int, elem_bytes: int,
+) -> tuple[tuple[_KBand, int], ...]:
+    """Band split with PER-BAND block widths: (band, s_cells) pairs.
+
+    Low-span bands — the fovea and near-fovea, where the quantum-1
+    alignment slack dominates the slab (e.g. a 384-wide window for 128
+    foveal cells that need ~130 columns) — widen their blocks 2-4x to
+    amortize the slack, cutting the slab DMA bytes per output cell; the
+    exponential periphery keeps ``s_small`` (its windows are span-bound
+    and already near 1 byte/cell, and wider blocks there would blow the
+    slab budget).  A band widens only when the total slab bytes strictly
+    improve AND the widened slab still double-buffers within the VMEM
+    allowance at the worst-case minor dim."""
+    bands = _kernel_bands(g_bytes, dim, s_small, quantum)
+    g = np.frombuffer(g_bytes, dtype=np.int64)
+    d = np.diff(g)
+    out = []
+    for band in bands:
+        pick = (band, s_small)
+        for s in (4 * s_small, 2 * s_small):
+            k = _band_k(g, d, band.start, band.end, s, quantum, dim)
+            nb = -(-(band.end - band.start) // s)
+            if (
+                k * nb < band.k * band.blocks(s_small)
+                and _dbuf_fits(k, minor_cap, elem_bytes)
+            ):
+                pick = (_KBand(band.start, band.end, k), s)
+                break
+        out.append(pick)
+    return tuple(out)
+
+
 def _block_geometry(
     band: _KBand, lo1, hi1, src_dim: int, wrap: bool, s_cells: int,
     quantum: int = 8,
@@ -185,9 +242,9 @@ def _block_geometry(
 
 
 def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
-              k, q, wb, w, nb, nwb, dbuf):
+              k, q, s, wb, w, nb, nwb, dbuf):
     """One (row-block, width-block) step: DMA the (3, k, wb) source
-    window, one-hot dot the rows into _S segment sums, emit uint16.
+    window, one-hot dot the rows into ``s`` segment sums, emit uint16.
 
     Width blocks past w/wb wrap to the frame's left edge ((j*wb) % w) —
     they write the 360 wrap pad the x pass's windows read through.
@@ -223,10 +280,10 @@ def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
     hi = hi_ref[0, 0, :][:, None]
     outs = []
     for c in range(3):
-        y = jnp.zeros((_S, wb), jnp.float32)
+        y = jnp.zeros((s, wb), jnp.float32)
         for j0 in range(0, k, _CH_Y):
             j1 = min(j0 + _CH_Y, k)
-            ks = j0 + jax.lax.broadcasted_iota(jnp.int32, (_S, j1 - j0), 1)
+            ks = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, j1 - j0), 1)
             oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)
             x = slab[slot, c, j0:j1, :].astype(jnp.int32).astype(jnp.float32)
             y = y + jax.lax.dot_general(
@@ -274,18 +331,18 @@ def y_segment_reduce(
     hp = -(-hs // 8) * 8
     if hp != hs:
         frame = jnp.pad(frame, ((0, 0), (0, hp - hs), (0, 0)))
-    bands = _kernel_bands(grid_g.tobytes(), hp, _S, 8)
+    bands = _adaptive_bands(grid_g.tobytes(), hp, _S, 8, _MINOR_CAP_Y, 1)
     nwb = ws // wb + pad_blocks
     outs = []
-    for band in bands:
+    for band, s in bands:
         base, rel_lo, rel_hi = _block_geometry(
-            band, lo1, hi1, hp, wrap=False, s_cells=_S, quantum=8
+            band, lo1, hi1, hp, wrap=False, s_cells=s, quantum=8
         )
-        nb = band.blocks(_S)
+        nb = band.blocks(s)
         dbuf = _dbuf_fits(band.k, wb)
         out = pl.pallas_call(
             functools.partial(
-                _y_kernel, k=band.k, q=8, wb=wb, w=ws, nb=nb, nwb=nwb,
+                _y_kernel, k=band.k, q=8, s=s, wb=wb, w=ws, nb=nb, nwb=nwb,
                 dbuf=dbuf,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -293,17 +350,17 @@ def y_segment_reduce(
                 grid=(nb, nwb),
                 in_specs=[
                     pl.BlockSpec(
-                        (1, 1, _S), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, 1, _S), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec(
-                    (3, _S, wb),
+                    (3, s, wb),
                     lambda i, j, base_ref: (0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
@@ -312,7 +369,7 @@ def y_segment_reduce(
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
-            out_shape=jax.ShapeDtypeStruct((3, nb * _S, nwb * wb), jnp.uint16),
+            out_shape=jax.ShapeDtypeStruct((3, nb * s, nwb * wb), jnp.uint16),
             interpret=interpret,
         )(base, rel_lo, rel_hi, frame)
         outs.append(out[:, : band.end - band.start, :])
@@ -332,11 +389,11 @@ def _hb(hr: int) -> int:
 
 def _x_kernel(
     base_ref, lo_ref, hi_ref, vx_ref, rows_hbm, dy_ref, vy_ref, out_ref,
-    slab, sem, *, k, q, hb, nb, nhb, dbuf
+    slab, sem, *, k, q, s, hb, nb, nhb, dbuf
 ):
     """One (cell-block, row-block) step: DMA the (3, hb, k) segment-row
     window (double-buffered when the VMEM budget allows), limb-split
-    one-hot dots into _SX box sums, divide exactly by the rect, mask
+    one-hot dots into ``s`` box sums, divide exactly by the rect, mask
     validity, emit uint8."""
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -356,12 +413,12 @@ def _x_kernel(
         dma = copy(i * nhb + j, 0)
         dma.start()
         dma.wait()
-    lo = lo_ref[0, 0, :][None, :]  # (1, _SX)
+    lo = lo_ref[0, 0, :][None, :]  # (1, s)
     hi = hi_ref[0, 0, :][None, :]
 
     # rect = dy * dx; dx is each cell's interval width.  Validity masks
     # come in as int32 (Mosaic-friendly); invalid texels emit 0.
-    dx = (hi - lo).astype(jnp.float32)  # (1, _SX)
+    dx = (hi - lo).astype(jnp.float32)  # (1, s)
     dy = dy_ref[:, 0][:, None].astype(jnp.float32)  # (hb, 1)
     rect_f = dy * dx
     rect_u = rect_f.astype(jnp.int32).astype(jnp.uint32)
@@ -373,11 +430,11 @@ def _x_kernel(
         # truncates f32 operands to bf16): two <=8-bit limb dots, exact.
         # Chunked over _CH_X slab columns so the cast/limb planes stay
         # ~2 MB at any band k; chunk partials are exact ints < 2^24.
-        box_f = jnp.zeros((hb, _SX), jnp.float32)
+        box_f = jnp.zeros((hb, s), jnp.float32)
         for j0 in range(0, k, _CH_X):
             j1 = min(j0 + _CH_X, k)
             ks = j0 + jax.lax.broadcasted_iota(
-                jnp.int32, (j1 - j0, _SX), 0
+                jnp.int32, (j1 - j0, s), 0
             )
             oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)
             x = slab[slot, c, :, j0:j1].astype(jnp.int32).astype(jnp.float32)
@@ -431,39 +488,39 @@ def x_segment_reduce(
     _, hr, _ = rows.shape
     hb = _hb(hr)
     n = grid_g.shape[0] - 1
-    bands = _kernel_bands(grid_g.tobytes(), src_w, _SX, 128)
+    bands = _adaptive_bands(grid_g.tobytes(), src_w, _SX, 128, _MINOR_CAP_X, 2)
     dy2 = dy.astype(jnp.int32).reshape(hr, 1)
     vy2 = valid_y.astype(jnp.int32).reshape(hr, 1)
     outs = []
-    for band in bands:
+    for band, s in bands:
         base, rel_lo, rel_hi = _block_geometry(
-            band, lo1, hi1, src_w, wrap=wrap, s_cells=_SX, quantum=128
+            band, lo1, hi1, src_w, wrap=wrap, s_cells=s, quantum=128
         )
-        nb = band.blocks(_SX)
-        pad = nb * _SX - (band.end - band.start)
+        nb = band.blocks(s)
+        pad = nb * s - (band.end - band.start)
         vx = jnp.pad(
             valid_x[band.start : band.end].astype(jnp.int32), (0, pad)
-        ).reshape(nb, 1, _SX)
+        ).reshape(nb, 1, s)
         dbuf = _dbuf_fits(band.k, hb, 2)
         out = pl.pallas_call(
             functools.partial(
-                _x_kernel, k=band.k, q=128, hb=hb, nb=nb, nhb=hr // hb,
-                dbuf=dbuf,
+                _x_kernel, k=band.k, q=128, s=s, hb=hb, nb=nb,
+                nhb=hr // hb, dbuf=dbuf,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nb, hr // hb),
                 in_specs=[
                     pl.BlockSpec(
-                        (1, 1, _SX), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, 1, _SX), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, 1, _SX), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(memory_space=pl.ANY),
@@ -477,7 +534,7 @@ def x_segment_reduce(
                     ),
                 ],
                 out_specs=pl.BlockSpec(
-                    (3, hb, _SX),
+                    (3, hb, s),
                     lambda i, j, base_ref: (0, j, i),
                     memory_space=pltpu.VMEM,
                 ),
@@ -488,7 +545,7 @@ def x_segment_reduce(
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
-            out_shape=jax.ShapeDtypeStruct((3, hr, nb * _SX), jnp.uint8),
+            out_shape=jax.ShapeDtypeStruct((3, hr, nb * s), jnp.uint8),
             interpret=interpret,
         )(base, rel_lo, rel_hi, vx, rows, dy2, vy2)
         outs.append(out[:, :, : band.end - band.start])
@@ -561,7 +618,9 @@ def sample_rect_fused(
     # small widths the periphery's k clamps to ws, and counting it
     # would double the y pass's output width for columns nobody reads).
     partial_ks = [
-        b.k for b in _kernel_bands(gx.tobytes(), ws, _SX, 128) if b.k < ws
+        b.k
+        for b, _s in _adaptive_bands(gx.tobytes(), ws, _SX, 128, _MINOR_CAP_X, 2)
+        if b.k < ws
     ]
     pad_blocks = -(-max(partial_ks) // wb) if (wrap_x and partial_ks) else 0
     rows = y_segment_reduce(

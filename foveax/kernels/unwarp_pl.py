@@ -42,6 +42,8 @@ from foveax.kernels.dbuf import dbuf_slot
 
 # Output cells per block: x blocks are the result's LANE dim (u8 tiles
 # at 128 lanes), y blocks its SUBLANE dim (u8 tiles at 32 sublanes).
+# _LX is the FLOOR x block width — production shapes widen it via
+# _x_geom (below) to amortize the 128-lane alignment slack.
 _LX = 128
 _SY = 32
 # DMA base quantum per axis (window starts snap down to this).  Mosaic
@@ -52,34 +54,71 @@ _SY = 32
 _QX = 128
 _QY = 8
 # Static slab widths: quantum-1 slack + max span (cells advance 0/1 per
-# output pixel: 129 for x blocks, 33 for y blocks) + the hi tap + 1.
-# _KY rounds up to the sublane tile (8); _KX is a DMA SLICE SIZE along
-# the lane dim and Mosaic requires those 128-aligned too ("Slice shape
-# along dimension 2 must be aligned to tiling (128)") — 127 + 129 + 2 =
-# 258 rounds up to 384.
+# output pixel: lx+1 for x blocks, 33 for y blocks) + the hi tap + 1.
+# _KY rounds up to the sublane tile (8); x slab widths are DMA SLICE
+# SIZES along the lane dim and Mosaic requires those 128-aligned too
+# ("Slice shape along dimension 2 must be aligned to tiling (128)") —
+# at the floor lx=128: 127 + 129 + 2 = 258 rounds up to 384.
 _KX = 384
 _KY = 48
 # Post-kernel fixup capacity for x columns that escape their window
 # (wrap-jump and edge-collapse cases).  Dense all-integer-gaze sweeps
-# measure a worst case of 127 columns per gaze at 8K/16K — a full jump
-# block — so 128 would leave a margin of one; 256 keeps headroom for
-# geometry changes, and the invariant tests assert <= _FIX_K // 2.
+# measure a worst case of one full jump block per gaze (127 at lx=128),
+# so the per-shape capacity is 2*lx (floor 256) and the invariant tests
+# assert worst <= capacity // 2.
 _FIX_K = 256
 
 
-def _hb(ho: int) -> int:
-    """Row-block of the x pass: the whole height when VMEM comfortably
+def _kx(lx: int) -> int:
+    """x slab width for an lx-column block: quantum-1 slack (127) + max
+    span (lx+1) + hi tap + 1, rounded up to the 128 lane tile."""
+    return -(-(lx + 130) // 128) * 128
+
+
+def _x_budget(hb: int, kx: int, lx: int) -> int:
+    """Static per-step VMEM estimate of the x pass (bytes): two u8 slab
+    slots + the per-channel f32 cast plane + one-hot weights + numdot/
+    quotient f32 + the output block.  Conservative sizing against the
+    ~16 MB scoped budget with its quirky accounting."""
+    return (2 * 3 * hb * kx        # double-buffered u8 slabs
+            + hb * kx * 4          # per-channel f32 cast plane
+            + kx * lx * 4          # one-hot weight matrix
+            + 2 * hb * lx * 4      # numdot + quotient f32
+            + 3 * hb * lx)         # output block
+_X_VMEM_CAP = 12 * 2**20  # the known-good 4K config (lx=128) sits at ~11.5 MB
+
+
+def _hb(ho: int, kx: int = _KX, lx: int = _LX) -> int:
+    """Row-block of the x pass: the whole height when the VMEM budget
     allows (a block spanning the full dim needs no tile alignment), else
     the largest 32-multiple divisor (u8 sublane tiling) under the
-    scoped-VMEM budget (slab + f32 casts + accumulator <= ~8 MB)."""
-    if ho <= 3000:
+    budget.  Returns 0 when nothing fits (caller tries a smaller lx)."""
+    if _x_budget(ho, kx, lx) <= _X_VMEM_CAP:
         return ho
-    # Cap at 1440 (not 2880): with the 384-wide x slab the per-block
-    # VMEM (2 slab slots + f32 cast + accumulator) must stay ~<= 8 MB.
     for d in range(1440, 31, -32):
-        if ho % d == 0:
+        if d < ho and ho % d == 0 and _x_budget(d, kx, lx) <= _X_VMEM_CAP:
             return d
-    return ho
+    return 0
+
+
+def _x_geom(out_w: int, out_h: int, red_w: int):
+    """Pick (lx, kx, hb) for the x pass: the widest column block in
+    {512, 384, 256, 128} that divides out_w, whose slab fits the reduced
+    width, and whose VMEM budget admits a legal row block.  Wider blocks
+    amortize the fixed ~130-column alignment slack: at lx=512 the slab
+    is 768 wide (1.5x the output) vs 384 at lx=128 (3x) — the dominant
+    HBM read of the whole unwarp at 8K/16K.  Returns (0, 0, 0) when no
+    geometry fits (callers raise the documented ValueError)."""
+    for lx in (512, 384, 256, 128):
+        if out_w % lx:
+            continue
+        kx = _kx(lx)
+        if red_w < kx:
+            continue
+        hb = _hb(out_h, kx, lx)
+        if hb:
+            return lx, kx, hb
+    return 0, 0, 0
 
 
 def _block_geom(idx_lo, idx_hi, num, den, s_cells: int, src_dim: int,
@@ -157,7 +196,7 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
 
 
 def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
-              slab, sem, *, k, q, hb, nbx, nrb):
+              slab, sem, *, k, q, hb, lx, nbx, nrb):
     """One (col-block, row-block) step: DMA the (3, hb, k) window of the
     y-blended intermediate (double-buffered ahead of the grid's
     row-major iteration order), one integer-numerator dot per channel,
@@ -178,7 +217,7 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
     s = s_ref[0, 0, :][None, :]
     nm = n_ref[0, 0, :][None, :].astype(jnp.float32)
     dn = d_ref[0, 0, :][None, :].astype(jnp.float32)
-    ks = jax.lax.broadcasted_iota(jnp.int32, (k, _LX), 0)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (k, lx), 0)
     oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
     outs = []
     for c in range(3):
@@ -227,13 +266,15 @@ def unwarp_rect_fused(
         raise ValueError(f"fused unwarp needs out_width % {_LX} == 0")
     if hr < _KY or wr < _KX:
         raise ValueError(f"fused unwarp needs reduced >= ({_KY}, {_KX})")
-    if _hb(out_height) > 3000:
-        # No 32-multiple row-block divisor under the VMEM budget — fail
+    lx, kx, hb = _x_geom(out_width, out_height, wr)
+    if not lx:
+        # No (column-block, row-block) pair under the VMEM budget — fail
         # loudly here (the documented fall-back-to-"mm" contract) rather
         # than deep inside Mosaic compilation.
         raise ValueError(
-            f"fused unwarp needs out_height <= 3000 or a 32-multiple "
-            f"divisor <= 1440 (got {out_height})"
+            f"fused unwarp: no legal x geometry for {out_width}x"
+            f"{out_height} (needs a 32-multiple row-block divisor under "
+            "the VMEM budget)"
         )
     cx = (center[0] * jnp.float32(out_width)).astype(jnp.int32)
     cy = (center[1] * jnp.float32(out_height)).astype(jnp.int32)
@@ -249,8 +290,8 @@ def unwarp_rect_fused(
     # Wp rounds up to a 128 multiple: the y kernel DMAs the full lane
     # width per window and Mosaic requires DMA slice sizes 128-aligned
     # along the minor dim (extra pad columns are wrap duplicates no x
-    # window reaches — windows end before base + _KX <= wr + _KX).
-    wp = -(-(wr + _KX) // 128) * 128
+    # window reaches — windows end before base + kx <= wr + kx).
+    wp = -(-(wr + kx) // 128) * 128
     pp = jnp.pad(planar, ((0, 0), (0, 0), (0, wp - wr)), mode="wrap")
     ho_pad = -(-out_height // _SY) * _SY
     by, ry_lo, ry_s, ry_n, ry_d, _ = _block_geom(
@@ -281,28 +322,29 @@ def unwarp_rect_fused(
     )(by, ry_lo, ry_s, ry_n, ry_d, pp)
 
     # --- x pass: (3, Ho, W) from gaze-windowed column slabs ------------
-    hb = _hb(out_height)
     bx, rx_lo, rx_s, rx_n, rx_d, badf = _block_geom(
-        ix_lo, ix_hi, nx, dx, _LX, wr, _KX, _QX, wrap=True
+        ix_lo, ix_hi, nx, dx, lx, wr, kx, _QX, wrap=True
     )
-    nbx = out_width // _LX
+    nbx = out_width // lx
     nrb = out_height // hb
     out = pl.pallas_call(
-        functools.partial(_x_kernel, k=_KX, q=_QX, hb=hb, nbx=nbx, nrb=nrb),
+        functools.partial(
+            _x_kernel, k=kx, q=_QX, hb=hb, lx=lx, nbx=nbx, nrb=nrb
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nbx, nrb),
             in_specs=[
-                _vec_spec(_LX), _vec_spec(_LX), _vec_spec(_LX),
-                _vec_spec(_LX),
+                _vec_spec(lx), _vec_spec(lx), _vec_spec(lx),
+                _vec_spec(lx),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (3, hb, _LX), lambda i, j, *_: (0, j, i),
+                (3, hb, lx), lambda i, j, *_: (0, j, i),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, hb, _KX), jnp.uint8),
+                pltpu.VMEM((2, 3, hb, kx), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -311,10 +353,12 @@ def unwarp_rect_fused(
     )(bx, rx_lo, rx_s, rx_n, rx_d, yb)
 
     # --- fixup: out-of-window columns (wrap-jump/edge-collapse cases),
-    # the same exact blend the kernel computes, over placeholders ------
+    # the same exact blend the kernel computes, over placeholders.
+    # Capacity scales with the block width: the worst measured escape is
+    # one full jump block per gaze, so 2*lx keeps the half margin ------
     from foveax.core.unwarp import _jump_fixup
 
     ybv = yb[:, :out_height, :]
-    out = _jump_fixup(out, ybv, badf, ix_lo, ix_hi, nx, dx, _FIX_K)
+    out = _jump_fixup(out, ybv, badf, ix_lo, ix_hi, nx, dx, max(_FIX_K, 2 * lx))
 
     return out if out_layout == "chw" else out.transpose(1, 2, 0)

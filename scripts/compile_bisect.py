@@ -106,7 +106,9 @@ def main() -> int:
         # Same pad_blocks the full pipeline passes (wrap pad for x).
         partial = [
             b.k
-            for b in seg._kernel_bands(gx.tobytes(), sw, seg._SX, 128)
+            for b, _s in seg._adaptive_bands(
+                gx.tobytes(), sw, seg._SX, 128, seg._MINOR_CAP_X, 2
+            )
             if b.k < sw
         ]
         wb = seg._wb(sw)
@@ -122,7 +124,9 @@ def main() -> int:
     elif kind == "samp_x":
         partial = [
             b.k
-            for b in seg._kernel_bands(gx.tobytes(), sw, seg._SX, 128)
+            for b, _s in seg._adaptive_bands(
+                gx.tobytes(), sw, seg._SX, 128, seg._MINOR_CAP_X, 2
+            )
             if b.k < sw
         ]
         wb = seg._wb(sw)

@@ -36,7 +36,7 @@ from foveax.core import golden
 from foveax.core.logrect import make_grid
 from foveax.core.unwarp import unwarp_rect
 from foveax.kernels.segreduce import sample_rect_fused
-from foveax.kernels.unwarp_pl import unwarp_rect_fused
+from foveax.kernels.unwarp_pl import _KX, _KY, unwarp_rect_fused
 
 
 def main() -> int:
@@ -71,7 +71,11 @@ def main() -> int:
                     sat_np, dense, center
                 ).transpose(2, 0, 1)
                 eq = np.array_equal(np.asarray(red), want_red)
-                if rh >= 48 and rw >= 144:
+                # The kernel's own eligibility contract (callers fall
+                # back to "mm" on ValueError); the old literal gate
+                # (rw >= 144) encoded the pre-Mosaic-fix slab width and
+                # miscounted documented ineligibility as failures.
+                if rh >= _KY and rw >= _KX:
                     fused = unwarp_rect_fused(
                         red, fw, fh, c, in_layout="chw", out_layout="chw",
                         interpret=True,

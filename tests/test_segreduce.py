@@ -22,7 +22,6 @@ from foveax.kernels.segreduce import (
     _SX,
     _S,
     _block_geometry,
-    _kernel_bands,
     sample_rect_fused,
 )
 
@@ -75,13 +74,24 @@ def test_fused_chw_layout(setup):
 def _sweep_axis(out_dim, dim, wrap, s_cells, quantum, chunk=1024):
     """Max window violations over all integer gazes for one axis.
 
-    Mirrors the kernel geometry exactly, including the y pass's
-    alignment padding: bands and the non-wrap base clip use the
-    quantum-aligned padded dim (the kernels pad the source rows), while
-    the tap clamps stay at the true dim."""
+    Mirrors the kernel geometry exactly — the ADAPTIVE band split with
+    per-band block widths — including the y pass's alignment padding:
+    bands and the non-wrap base clip use the quantum-aligned padded dim
+    (the kernels pad the source rows), while the tap clamps stay at the
+    true dim."""
+    from foveax.kernels.segreduce import (
+        _MINOR_CAP_X,
+        _MINOR_CAP_Y,
+        _adaptive_bands,
+    )
+
     g = _grid_axis(out_dim, dim).astype(np.int64)
     dim_pad = -(-dim // quantum) * quantum if not wrap else dim
-    bands = _kernel_bands(g.tobytes(), dim_pad, s_cells, quantum)
+    minor_cap, eb = (
+        (_MINOR_CAP_X, 2) if s_cells == _SX else (_MINOR_CAP_Y, 1)
+    )
+    bands = _adaptive_bands(g.tobytes(), dim_pad, s_cells, quantum,
+                            minor_cap, eb)
     viol = 0
     for lo0 in range(0, dim + 1, chunk):
         cs = np.arange(lo0, min(lo0 + chunk, dim + 1))[:, None]
@@ -97,9 +107,9 @@ def _sweep_axis(out_dim, dim, wrap, s_cells, quantum, chunk=1024):
         pc = np.clip(hi, 1, dim - 1)
         pmc = np.clip(lo, 0, pc - 1)
         lo1, hi1 = pmc + 1, pc + 1
-        for b in bands:
-            for bs in range(b.start, b.end, s_cells):
-                be = min(bs + s_cells, b.end)
+        for b, s_band in bands:
+            for bs in range(b.start, b.end, s_band):
+                be = min(bs + s_band, b.end)
                 if wrap and b.k >= dim:
                     # Whole-period window anchors at 0 (see _block_geometry).
                     base = np.zeros(lo1.shape[0], dtype=np.int64)
@@ -170,14 +180,16 @@ def test_wrap_pad_covers_every_window():
     Whole-period bands (k == W) anchor at base 0 and read only [0, W),
     so they consume no pad — the orchestrator sizes the pad from partial
     bands only (zero when every band is whole-period, e.g. 256-wide)."""
+    from foveax.kernels.segreduce import _MINOR_CAP_X, _adaptive_bands
+
     for src_w, out_w in [(1920, 1072), (3840, 2144), (15360, 8544),
                          (640, 352), (256, 144)]:
         g = _grid_axis(out_w, src_w).astype(np.int64)
-        bands = _kernel_bands(g.tobytes(), src_w, _SX, 128)
-        partial = [b.k for b in bands if b.k < src_w]
+        bands = _adaptive_bands(g.tobytes(), src_w, _SX, 128, _MINOR_CAP_X, 2)
+        partial = [b.k for b, _s in bands if b.k < src_w]
         wb = segreduce._wb(src_w)
         pad = -(-max(partial) // wb) * wb if partial else 0
-        for b in bands:
+        for b, _s in bands:
             if b.k < src_w:
                 assert (src_w - 128) + b.k <= src_w + pad
             else:  # base 0, window [0, W): inside even with zero pad
@@ -193,10 +205,13 @@ def test_fused_bit_equality_all_whole_period_bands():
     rng = np.random.default_rng(11)
     frame = rng.integers(0, 256, (fh, fw, 3), np.uint8)
     grid = make_grid(rw, rh, fw, fh)
-    bands = _kernel_bands(
-        np.asarray(grid.gx, np.int64).tobytes(), fw, _SX, 128
+    from foveax.kernels.segreduce import _MINOR_CAP_X, _adaptive_bands
+
+    bands = _adaptive_bands(
+        np.asarray(grid.gx, np.int64).tobytes(), fw, _SX, 128,
+        _MINOR_CAP_X, 2,
     )
-    assert all(b.k >= fw for b in bands)
+    assert all(b.k >= fw for b, _s in bands)
     sat = build_sat(jnp.asarray(frame))
     fr = jnp.asarray(frame.transpose(2, 0, 1))
     for center in ((0.5, 0.5), (0.03, 0.4), (0.999, 0.001), (0.0, 1.0)):

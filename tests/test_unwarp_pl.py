@@ -16,12 +16,11 @@ import pytest
 from foveax.core.unwarp import _axis_vectors, unwarp_rect
 from foveax.kernels.unwarp_pl import (
     _FIX_K,
-    _KX,
     _KY,
-    _LX,
     _QX,
     _QY,
     _SY,
+    _x_geom,
     unwarp_rect_fused,
 )
 
@@ -121,13 +120,21 @@ def test_fused_flagship_size(rng):
     )
 
 
-def _sweep_axis(out_dim, red_dim, wrap, gazes):
-    """(window violations, worst per-gaze fixup load) over given gazes —
-    computed by the REAL kernel geometry (_block_geom), not a
-    transcription, so the sweep can't drift from the implementation."""
+def _sweep_axis(out_dim, red_dim, wrap, gazes, out_h=None):
+    """(window violations, worst per-gaze fixup load, fixup capacity)
+    over given gazes — computed by the REAL kernel geometry (_x_geom +
+    _block_geom), not a transcription, so the sweep can't drift from the
+    implementation.  ``out_h`` feeds the x pass's per-shape geometry
+    chooser (the VMEM-budgeted row block)."""
     from foveax.kernels.unwarp_pl import _block_geom
 
-    s_cells, k, q = (_LX, _KX, _QX) if wrap else (_SY, _KY, _QY)
+    if wrap:
+        lx, kx, _hb = _x_geom(out_dim, out_h, red_dim)
+        assert lx, (out_dim, out_h, red_dim)
+        s_cells, k, q = lx, kx, _QX
+        cap = max(_FIX_K, 2 * lx)
+    else:
+        s_cells, k, q, cap = _SY, _KY, _QY, 0
 
     def geom(cp):
         lo, hi, _r, nm, dn, _ms = _axis_vectors(
@@ -146,7 +153,7 @@ def _sweep_axis(out_dim, red_dim, wrap, gazes):
         else:
             viol += int(badf.sum())
             viol += int((base + k > red_dim).sum())
-    return viol, worst_bad
+    return viol, worst_bad, cap
 
 
 @pytest.mark.parametrize(
@@ -160,12 +167,15 @@ def _sweep_axis(out_dim, red_dim, wrap, gazes):
 )
 def test_kernel_window_invariants_all_integer_gazes(dims):
     red_w, red_h, out_w, out_h = dims
-    vy, _ = _sweep_axis(out_h, red_h, False, range(0, out_h + 1))
+    vy, _, _ = _sweep_axis(out_h, red_h, False, range(0, out_h + 1))
     assert vy == 0, "y windows must never overflow (no fixup on y)"
-    _, worst = _sweep_axis(out_w, red_w, True, range(0, out_w + 1))
-    # Half-capacity margin: a dense 8K/16K sweep measures 127 (one full
-    # jump block), so demand fix_k headroom rather than a margin of one.
-    assert worst <= _FIX_K // 2, worst
+    _, worst, cap = _sweep_axis(
+        out_w, red_w, True, range(0, out_w + 1), out_h=out_h
+    )
+    # Half-capacity margin: a dense 8K/16K sweep measures one full jump
+    # block per gaze, so demand fix_k headroom rather than a margin of
+    # one (capacity is 2*lx at the shape's chosen column-block width).
+    assert worst <= cap // 2, (worst, cap)
 
 
 def test_kernel_window_invariants_large_strided():
@@ -175,10 +185,33 @@ def test_kernel_window_invariants_large_strided():
         (4272, 2400, 7680, 4320),
         (8544, 4800, 15360, 8640),
     ]:
-        vy, _ = _sweep_axis(out_h, red_h, False, range(0, out_h + 1, 97))
+        vy, _, _ = _sweep_axis(out_h, red_h, False, range(0, out_h + 1, 97))
         assert vy == 0
-        _, worst = _sweep_axis(out_w, red_w, True, range(0, out_w + 1, 101))
-        assert worst <= _FIX_K // 2, worst
+        _, worst, cap = _sweep_axis(
+            out_w, red_w, True, range(0, out_w + 1, 101), out_h=out_h
+        )
+        assert worst <= cap // 2, (worst, cap)
+
+
+def test_x_geom_production_shapes():
+    """The per-shape x geometry: wide 512-column blocks at 8K/16K (the
+    slack-amortized slabs), the known-good lx=128 whole-height config at
+    1080p/4K (their heights have no 32-multiple divisor), and a budget
+    that never exceeds the cap."""
+    from foveax.kernels.unwarp_pl import _X_VMEM_CAP, _x_budget
+
+    cases = {
+        (1920, 1080, 1072): (384, 640, 1080),
+        (3840, 2160, 2144): (128, 384, 2160),
+        (7680, 4320, 4272): (512, 768, 480),
+        (15360, 8640, 8544): (512, 768, 576),
+    }
+    for (ow, oh, rw), want in cases.items():
+        lx, kx, hb = _x_geom(ow, oh, rw)
+        assert (lx, kx, hb) == want, ((ow, oh, rw), (lx, kx, hb))
+        assert _x_budget(hb, kx, lx) <= _X_VMEM_CAP
+        assert ow % lx == 0 and oh % hb == 0
+        assert hb == oh or hb % 32 == 0
 
 
 def test_fused_rejects_unsupported_shapes(reduced):
