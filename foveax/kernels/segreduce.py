@@ -170,8 +170,15 @@ def _adaptive_bands(
     and already near 1 byte/cell, and wider blocks there would blow the
     slab budget).  A band widens only when the total slab bytes strictly
     improve AND the widened slab still double-buffers within the VMEM
-    allowance at the worst-case minor dim."""
+    allowance at the worst-case minor dim.
+
+    ``FOVEAX_SEGREDUCE_WIDEN=0`` disables widening (round-3 banding) —
+    the same-window A/B knob and emergency fallback."""
+    import os
+
     bands = _kernel_bands(g_bytes, dim, s_small, quantum)
+    if os.environ.get("FOVEAX_SEGREDUCE_WIDEN", "1") == "0":
+        return tuple((b, s_small) for b in bands)
     g = np.frombuffer(g_bytes, dtype=np.int64)
     d = np.diff(g)
     out = []

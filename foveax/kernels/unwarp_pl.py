@@ -101,18 +101,44 @@ def _hb(ho: int, kx: int = _KX, lx: int = _LX) -> int:
     return 0
 
 
+def _x_candidates() -> tuple[tuple[int, int], ...]:
+    """(lx, kx) candidate list for the x pass, best first.
+
+    Three geometries, selectable via ``FOVEAX_UNWARP_GEOM`` (the
+    same-window A/B knob for the relay's drifting absolute rates, and an
+    emergency fallback):
+
+    - ``shave`` (default): lx=128 with the slack tile SHAVED (kx=256
+      instead of the guaranteed-coverage 384).  The one-hot dot's MXU
+      work and the slab DMA bytes both scale with kx, so this cuts BOTH
+      by 33%.  Coverage: rel <= lo[0]%128 + 127 and the hi tap add one,
+      so only the wrap-jump block escapes — the SAME worst case as
+      kx=384 (127 columns, one full jump block; swept over all integer
+      gazes at every production shape) — and the existing fixup repairs
+      it within the unchanged capacity.
+    - ``wide``: amortize the slack over 512-column blocks (kx=768,
+      1.5x bytes/cell) — fewer bytes than shave but 3x its dot FLOPs.
+    - ``r3``: the round-3 guaranteed-coverage geometry (128/384).
+    """
+    import os
+
+    mode = os.environ.get("FOVEAX_UNWARP_GEOM", "shave")
+    if mode == "r3":
+        return ((128, 384),)
+    if mode == "wide":
+        return tuple((lx, _kx(lx)) for lx in (512, 384, 256, 128))
+    return ((128, 256),)
+
+
 def _x_geom(out_w: int, out_h: int, red_w: int):
-    """Pick (lx, kx, hb) for the x pass: the widest column block in
-    {512, 384, 256, 128} that divides out_w, whose slab fits the reduced
-    width, and whose VMEM budget admits a legal row block.  Wider blocks
-    amortize the fixed ~130-column alignment slack: at lx=512 the slab
-    is 768 wide (1.5x the output) vs 384 at lx=128 (3x) — the dominant
-    HBM read of the whole unwarp at 8K/16K.  Returns (0, 0, 0) when no
-    geometry fits (callers raise the documented ValueError)."""
-    for lx in (512, 384, 256, 128):
+    """Pick (lx, kx, hb) for the x pass: the first candidate geometry
+    whose block width divides out_w, whose slab fits the reduced width,
+    and whose VMEM budget admits a legal row block.  Returns (0, 0, 0)
+    when no geometry fits (callers raise the documented ValueError)."""
+    cands = _x_candidates() + ((128, 384),)  # guaranteed floor
+    for lx, kx in cands:
         if out_w % lx:
             continue
-        kx = _kx(lx)
         if red_w < kx:
             continue
         hb = _hb(out_h, kx, lx)

@@ -172,15 +172,18 @@ def test_kernel_window_invariants_all_integer_gazes(dims):
     _, worst, cap = _sweep_axis(
         out_w, red_w, True, range(0, out_w + 1), out_h=out_h
     )
-    # Half-capacity margin: a dense 8K/16K sweep measures one full jump
-    # block per gaze, so demand fix_k headroom rather than a margin of
-    # one (capacity is 2*lx at the shape's chosen column-block width).
+    # Half-capacity margin: the dense sweeps measure one full jump block
+    # per gaze (127) in every geometry incl. the slack-shaved default —
+    # demand fix_k headroom rather than a margin of one.
     assert worst <= cap // 2, (worst, cap)
 
 
-def test_kernel_window_invariants_large_strided():
-    """8K/16K grids, strided gazes + the worst-case jump-block gazes a
-    dense offline sweep identified (dense sweeps are minutes-long)."""
+@pytest.mark.parametrize("mode", ["shave", "wide", "r3"])
+def test_kernel_window_invariants_large_strided(mode, monkeypatch):
+    """8K/16K grids in every geometry mode, strided gazes + the
+    worst-case jump-block gazes a dense offline sweep identified (dense
+    sweeps are minutes-long)."""
+    monkeypatch.setenv("FOVEAX_UNWARP_GEOM", mode)
     for red_w, red_h, out_w, out_h in [
         (4272, 2400, 7680, 4320),
         (8544, 4800, 15360, 8640),
@@ -190,28 +193,59 @@ def test_kernel_window_invariants_large_strided():
         _, worst, cap = _sweep_axis(
             out_w, red_w, True, range(0, out_w + 1, 101), out_h=out_h
         )
-        assert worst <= cap // 2, (worst, cap)
+        assert worst <= cap // 2, (mode, worst, cap)
 
 
-def test_x_geom_production_shapes():
-    """The per-shape x geometry: wide 512-column blocks at 8K/16K (the
-    slack-amortized slabs), the known-good lx=128 whole-height config at
-    1080p/4K (their heights have no 32-multiple divisor), and a budget
-    that never exceeds the cap."""
+@pytest.mark.parametrize("mode", ["wide", "r3"])
+def test_fused_parity_alternate_geometries(rng, mode, monkeypatch):
+    """The non-default geometries stay <= 1 LSB of exact at the flagship
+    shape (the default 'shave' mode is covered by every other test)."""
+    monkeypatch.setenv("FOVEAX_UNWARP_GEOM", mode)
+    red = rng.integers(0, 256, (608, 1072, 3), np.uint8)
+    c = jnp.asarray([0.83, 0.22], jnp.float32)
+    got = np.asarray(
+        unwarp_rect_fused(jnp.asarray(red), 1920, 1080, c, interpret=True)
+    )
+    monkeypatch.delenv("FOVEAX_UNWARP_GEOM")
+    exact = np.asarray(unwarp_rect(jnp.asarray(red), 1920, 1080, c))
+    d = np.abs(exact.astype(np.int32) - got.astype(np.int32))
+    assert d.max() <= 1, (mode, d.max(), (d > 1).sum())
+
+
+def test_x_geom_production_shapes(monkeypatch):
+    """The per-shape x geometry in all three modes: the default
+    slack-shaved 128/256, the wide 512/768 slabs at 8K/16K, the round-3
+    floor — and a budget that never exceeds the cap."""
     from foveax.kernels.unwarp_pl import _X_VMEM_CAP, _x_budget
 
     cases = {
-        (1920, 1080, 1072): (384, 640, 1080),
-        (3840, 2160, 2144): (128, 384, 2160),
-        (7680, 4320, 4272): (512, 768, 480),
-        (15360, 8640, 8544): (512, 768, 576),
+        "shave": {
+            (1920, 1080, 1072): (128, 256, 1080),
+            (3840, 2160, 2144): (128, 256, 2160),
+            (7680, 4320, 4272): (128, 256, 1440),
+            (15360, 8640, 8544): (128, 256, 1440),
+        },
+        "wide": {
+            (1920, 1080, 1072): (384, 640, 1080),
+            (3840, 2160, 2144): (128, 384, 2160),
+            (7680, 4320, 4272): (512, 768, 480),
+            (15360, 8640, 8544): (512, 768, 576),
+        },
+        "r3": {
+            (1920, 1080, 1072): (128, 384, 1080),
+            (3840, 2160, 2144): (128, 384, 2160),
+            (7680, 4320, 4272): (128, 384, 1440),
+            (15360, 8640, 8544): (128, 384, 1440),
+        },
     }
-    for (ow, oh, rw), want in cases.items():
-        lx, kx, hb = _x_geom(ow, oh, rw)
-        assert (lx, kx, hb) == want, ((ow, oh, rw), (lx, kx, hb))
-        assert _x_budget(hb, kx, lx) <= _X_VMEM_CAP
-        assert ow % lx == 0 and oh % hb == 0
-        assert hb == oh or hb % 32 == 0
+    for mode, shapes in cases.items():
+        monkeypatch.setenv("FOVEAX_UNWARP_GEOM", mode)
+        for (ow, oh, rw), want in shapes.items():
+            lx, kx, hb = _x_geom(ow, oh, rw)
+            assert (lx, kx, hb) == want, (mode, (ow, oh, rw), (lx, kx, hb))
+            assert _x_budget(hb, kx, lx) <= _X_VMEM_CAP
+            assert ow % lx == 0 and oh % hb == 0
+            assert hb == oh or hb % 32 == 0
 
 
 def test_fused_rejects_unsupported_shapes(reduced):
