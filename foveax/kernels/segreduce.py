@@ -248,15 +248,21 @@ def _block_geometry(
     )
 
 
-def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
-              k, q, s, wb, w, nb, nwb, dbuf):
+def _y_kernel(base_ref, va_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab,
+              sem, *, k, q, s, wb, w, nb, nwb, dbuf):
     """One (row-block, width-block) step: DMA the (3, k, wb) source
     window, one-hot dot the rows into ``s`` segment sums, emit uint16.
 
     Width blocks past w/wb wrap to the frame's left edge ((j*wb) % w) —
     they write the 360 wrap pad the x pass's windows read through.
     When ``dbuf`` (static, chosen by VMEM budget) the next block's
-    window streams in behind this block's dots (two slab slots)."""
+    window streams in behind this block's dots (two slab slots).
+
+    ``va_ref`` (scalar prefetch, (nb,)) is the per-row-block any-cell-
+    valid flag: the log-rect grid statically covers ~2x the frame, so at
+    any single gaze about half the periphery cells are off-frame and
+    masked downstream — their blocks skip BOTH the window DMA and the
+    dots and emit zeros (the x pass's validity mask never reads them)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -271,36 +277,52 @@ def _y_kernel(base_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab, sem, *,
             sem.at[sl],
         )
 
+    def act(t2):
+        return va_ref[t2 // nwb] != 0
+
+    t = i * nwb + j
     if dbuf:
-        slot = dbuf_slot(copy, i * nwb + j, nb * nwb)
+        slot = dbuf_slot(copy, t, nb * nwb, active=act)
     else:
         slot = 0
-        dma = copy(i * nwb + j, 0)
-        dma.start()
-        dma.wait()
+
+        @pl.when(act(t))
+        def _():
+            dma = copy(t, 0)
+            dma.start()
+            dma.wait()
+
     # One-hot interval weights: oh[s, r] = 1 iff slab row r lies in cell
     # s's interval.  Zero-width pad cells give all-zero rows.  The cast
     # and dot run in _CH_Y-row chunks so the i32/f32 conversion planes
     # stay ~2 MB regardless of the band's k; chunk partial sums are
     # exact integers < 2^24, so f32 accumulation is exact.
-    lo = lo_ref[0, 0, :][:, None]
-    hi = hi_ref[0, 0, :][:, None]
-    outs = []
-    for c in range(3):
-        y = jnp.zeros((s, wb), jnp.float32)
-        for j0 in range(0, k, _CH_Y):
-            j1 = min(j0 + _CH_Y, k)
-            ks = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, j1 - j0), 1)
-            oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)
-            x = slab[slot, c, j0:j1, :].astype(jnp.int32).astype(jnp.float32)
-            y = y + jax.lax.dot_general(
-                oh,
-                x,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (_S, wb)
-        outs.append(y.astype(jnp.int32).astype(jnp.uint16))
-    out_ref[...] = jnp.stack(outs)
+    @pl.when(act(t))
+    def _():
+        lo = lo_ref[0, 0, :][:, None]
+        hi = hi_ref[0, 0, :][:, None]
+        outs = []
+        for c in range(3):
+            y = jnp.zeros((s, wb), jnp.float32)
+            for j0 in range(0, k, _CH_Y):
+                j1 = min(j0 + _CH_Y, k)
+                ks = j0 + jax.lax.broadcasted_iota(jnp.int32, (s, j1 - j0), 1)
+                oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)
+                x = slab[slot, c, j0:j1, :].astype(jnp.int32).astype(
+                    jnp.float32
+                )
+                y = y + jax.lax.dot_general(
+                    oh,
+                    x,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (s, wb)
+            outs.append(y.astype(jnp.int32).astype(jnp.uint16))
+        out_ref[...] = jnp.stack(outs)
+
+    @pl.when(jnp.logical_not(act(t)))
+    def _():
+        out_ref[...] = jnp.zeros((3, s, wb), jnp.uint16)
 
 
 def y_segment_reduce(
@@ -309,6 +331,7 @@ def y_segment_reduce(
     hi1: jax.Array,
     grid_g: np.ndarray,
     *,
+    valid: jax.Array | None = None,
     pad_blocks: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
@@ -323,7 +346,11 @@ def y_segment_reduce(
     fresh kernel output instead of a post-hoc XLA concat copy.
 
     ``grid_g`` is the CONCRETE int64 grid vector (band geometry is
-    host-computed); ``lo1``/``hi1`` are traced.
+    host-computed); ``lo1``/``hi1`` are traced.  ``valid`` (traced
+    (Hr,) bool) marks cells whose output the x pass's validity mask
+    keeps: row blocks with NO valid cell skip their window DMA and dots
+    entirely and emit zeros (the grid statically covers ~2x the frame,
+    so at any gaze roughly half the periphery blocks skip).
     """
     _, hs, ws = frame.shape
     wb = _wb(ws)
@@ -335,6 +362,10 @@ def y_segment_reduce(
     # height is a multiple of 8 and skips this).  Pad rows are never
     # selected: intervals end at hs <= hp, and rel_hi = hi - base keeps
     # every one-hot column below the pad.
+    import os
+
+    if os.environ.get("FOVEAX_SEGREDUCE_GATE", "1") == "0":
+        valid = None
     hp = -(-hs // 8) * 8
     if hp != hs:
         frame = jnp.pad(frame, ((0, 0), (0, hp - hs), (0, 0)))
@@ -346,6 +377,16 @@ def y_segment_reduce(
             band, lo1, hi1, hp, wrap=False, s_cells=s, quantum=8
         )
         nb = band.blocks(s)
+        pad = nb * s - (band.end - band.start)
+        if valid is None:
+            va = jnp.ones((nb,), jnp.int32)
+        else:
+            va = (
+                jnp.pad(valid[band.start : band.end].astype(jnp.int32),
+                        (0, pad))
+                .reshape(nb, s)
+                .max(axis=1)
+            )
         dbuf = _dbuf_fits(band.k, wb)
         out = pl.pallas_call(
             functools.partial(
@@ -353,22 +394,22 @@ def y_segment_reduce(
                 dbuf=dbuf,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(nb, nwb),
                 in_specs=[
                     pl.BlockSpec(
-                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec(
                     (3, s, wb),
-                    lambda i, j, base_ref: (0, i, j),
+                    lambda i, j, *_: (0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
@@ -378,7 +419,7 @@ def y_segment_reduce(
             ),
             out_shape=jax.ShapeDtypeStruct((3, nb * s, nwb * wb), jnp.uint16),
             interpret=interpret,
-        )(base, rel_lo, rel_hi, frame)
+        )(base, va, rel_lo, rel_hi, frame)
         outs.append(out[:, : band.end - band.start, :])
     full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return full[:, :n, :]
@@ -395,13 +436,19 @@ def _hb(hr: int) -> int:
 
 
 def _x_kernel(
-    base_ref, lo_ref, hi_ref, vx_ref, rows_hbm, dy_ref, vy_ref, out_ref,
-    slab, sem, *, k, q, s, hb, nb, nhb, dbuf
+    base_ref, va_ref, vya_ref, lo_ref, hi_ref, vx_ref, rows_hbm, dy_ref,
+    vy_ref, out_ref, slab, sem, *, k, q, s, hb, nb, nhb, dbuf
 ):
     """One (cell-block, row-block) step: DMA the (3, hb, k) segment-row
     window (double-buffered when the VMEM budget allows), limb-split
     one-hot dots into ``s`` box sums, divide exactly by the rect, mask
-    validity, emit uint8."""
+    validity, emit uint8.
+
+    ``va_ref`` (per cell-block) / ``vya_ref`` (per row-block) are the
+    any-valid flags: a step whose cells are all invalid OR whose rows
+    are all invalid emits exactly the zeros the validity mask would
+    force, skipping both the window DMA and the dots (at any single
+    gaze roughly half the grid's static 2x coverage is off-frame)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -413,61 +460,79 @@ def _x_kernel(
             sem.at[sl],
         )
 
+    def act(t2):
+        ii, jj = t2 // nhb, jax.lax.rem(t2, nhb)
+        return (va_ref[ii] != 0) & (vya_ref[jj] != 0)
+
+    t = i * nhb + j
     if dbuf:
-        slot = dbuf_slot(copy, i * nhb + j, nb * nhb)
+        slot = dbuf_slot(copy, t, nb * nhb, active=act)
     else:
         slot = 0
-        dma = copy(i * nhb + j, 0)
-        dma.start()
-        dma.wait()
-    lo = lo_ref[0, 0, :][None, :]  # (1, s)
-    hi = hi_ref[0, 0, :][None, :]
 
-    # rect = dy * dx; dx is each cell's interval width.  Validity masks
-    # come in as int32 (Mosaic-friendly); invalid texels emit 0.
-    dx = (hi - lo).astype(jnp.float32)  # (1, s)
-    dy = dy_ref[:, 0][:, None].astype(jnp.float32)  # (hb, 1)
-    rect_f = dy * dx
-    rect_u = rect_f.astype(jnp.int32).astype(jnp.uint32)
-    valid = (vy_ref[:, 0][:, None] > 0) & (vx_ref[0, 0, :][None, :] > 0)
+        @pl.when(act(t))
+        def _():
+            dma = copy(t, 0)
+            dma.start()
+            dma.wait()
 
-    outs = []
-    for c in range(3):
-        # uint16 segment sums exceed bf16's exact integers (the MXU
-        # truncates f32 operands to bf16): two <=8-bit limb dots, exact.
-        # Chunked over _CH_X slab columns so the cast/limb planes stay
-        # ~2 MB at any band k; chunk partials are exact ints < 2^24.
-        box_f = jnp.zeros((hb, s), jnp.float32)
-        for j0 in range(0, k, _CH_X):
-            j1 = min(j0 + _CH_X, k)
-            ks = j0 + jax.lax.broadcasted_iota(
-                jnp.int32, (j1 - j0, s), 0
-            )
-            oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)
-            x = slab[slot, c, :, j0:j1].astype(jnp.int32).astype(jnp.float32)
-            xhi = jnp.floor(x * (1.0 / 256.0))
-            xlo = x - 256.0 * xhi
+    @pl.when(act(t))
+    def _():
+        lo = lo_ref[0, 0, :][None, :]  # (1, s)
+        hi = hi_ref[0, 0, :][None, :]
 
-            def dot(a, oh=oh):
-                return jax.lax.dot_general(
-                    a,
-                    oh,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        # rect = dy * dx; dx is each cell's interval width.  Validity
+        # masks come in as int32 (Mosaic-friendly); invalid texels emit 0.
+        dx = (hi - lo).astype(jnp.float32)  # (1, s)
+        dy = dy_ref[:, 0][:, None].astype(jnp.float32)  # (hb, 1)
+        rect_f = dy * dx
+        rect_u = rect_f.astype(jnp.int32).astype(jnp.uint32)
+        valid = (vy_ref[:, 0][:, None] > 0) & (vx_ref[0, 0, :][None, :] > 0)
+
+        outs = []
+        for c in range(3):
+            # uint16 segment sums exceed bf16's exact integers (the MXU
+            # truncates f32 operands to bf16): two <=8-bit limb dots,
+            # exact.  Chunked over _CH_X slab columns so the cast/limb
+            # planes stay ~2 MB at any band k; chunk partials are exact
+            # ints < 2^24.
+            box_f = jnp.zeros((hb, s), jnp.float32)
+            for j0 in range(0, k, _CH_X):
+                j1 = min(j0 + _CH_X, k)
+                ks = j0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (j1 - j0, s), 0
                 )
+                oh = ((ks >= lo) & (ks < hi)).astype(jnp.float32)
+                x = slab[slot, c, :, j0:j1].astype(jnp.int32).astype(
+                    jnp.float32
+                )
+                xhi = jnp.floor(x * (1.0 / 256.0))
+                xlo = x - 256.0 * xhi
 
-            box_f = box_f + 256.0 * dot(xhi) + dot(xlo)  # exact < 2^24
-        box_u = box_f.astype(jnp.int32).astype(jnp.uint32)
-        # Exact box/rect division: f32 quotient estimate + one-step
-        # wraparound fixup (foveax.core.sample._exact_box_div).
-        q0 = (box_f / rect_f).astype(jnp.int32).astype(jnp.uint32)
-        rem = box_u - q0 * rect_u
-        wrapped = rem >= jnp.uint32(0x80000000)
-        over = (~wrapped) & (rem >= rect_u)
-        q = q0 + over.astype(jnp.uint32) - wrapped.astype(jnp.uint32)
-        q = jnp.where(valid, q, jnp.uint32(0))
-        outs.append(q.astype(jnp.int32).astype(jnp.uint8))
-    out_ref[...] = jnp.stack(outs)
+                def dot(a, oh=oh):
+                    return jax.lax.dot_general(
+                        a,
+                        oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                box_f = box_f + 256.0 * dot(xhi) + dot(xlo)  # exact < 2^24
+            box_u = box_f.astype(jnp.int32).astype(jnp.uint32)
+            # Exact box/rect division: f32 quotient estimate + one-step
+            # wraparound fixup (foveax.core.sample._exact_box_div).
+            q0 = (box_f / rect_f).astype(jnp.int32).astype(jnp.uint32)
+            rem = box_u - q0 * rect_u
+            wrapped = rem >= jnp.uint32(0x80000000)
+            over = (~wrapped) & (rem >= rect_u)
+            qq = q0 + over.astype(jnp.uint32) - wrapped.astype(jnp.uint32)
+            qq = jnp.where(valid, qq, jnp.uint32(0))
+            outs.append(qq.astype(jnp.int32).astype(jnp.uint8))
+        out_ref[...] = jnp.stack(outs)
+
+    @pl.when(jnp.logical_not(act(t)))
+    def _():
+        out_ref[...] = jnp.zeros((3, hb, s), jnp.uint8)
 
 
 def x_segment_reduce(
@@ -498,6 +563,17 @@ def x_segment_reduce(
     bands = _adaptive_bands(grid_g.tobytes(), src_w, _SX, 128, _MINOR_CAP_X, 2)
     dy2 = dy.astype(jnp.int32).reshape(hr, 1)
     vy2 = valid_y.astype(jnp.int32).reshape(hr, 1)
+    # Per-row-block any-valid flags: row-block stripes whose y cells are
+    # all off-frame let every (cell-block, row-block) step in the stripe
+    # skip its window DMA (the y pass already wrote zeros there).
+    # FOVEAX_SEGREDUCE_GATE=0 disables all validity-gated skipping (the
+    # same-window A/B knob and emergency fallback).
+    import os
+
+    gate = os.environ.get("FOVEAX_SEGREDUCE_GATE", "1") != "0"
+    vya = valid_y.astype(jnp.int32).reshape(hr // hb, hb).max(axis=1)
+    if not gate:
+        vya = jnp.ones_like(vya)
     outs = []
     for band, s in bands:
         base, rel_lo, rel_hi = _block_geometry(
@@ -505,9 +581,13 @@ def x_segment_reduce(
         )
         nb = band.blocks(s)
         pad = nb * s - (band.end - band.start)
-        vx = jnp.pad(
+        vxf = jnp.pad(
             valid_x[band.start : band.end].astype(jnp.int32), (0, pad)
-        ).reshape(nb, 1, s)
+        )
+        vx = vxf.reshape(nb, 1, s)
+        va = vxf.reshape(nb, s).max(axis=1)
+        if not gate:
+            va = jnp.ones_like(va)
         dbuf = _dbuf_fits(band.k, hb, 2)
         out = pl.pallas_call(
             functools.partial(
@@ -515,34 +595,34 @@ def x_segment_reduce(
                 nhb=hr // hb, dbuf=dbuf,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=3,
                 grid=(nb, hr // hb),
                 in_specs=[
                     pl.BlockSpec(
-                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, 1, s), lambda i, j, base_ref: (i, 0, 0),
+                        (1, 1, s), lambda i, j, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(
-                        (hb, 1), lambda i, j, base_ref: (j, 0),
+                        (hb, 1), lambda i, j, *_: (j, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (hb, 1), lambda i, j, base_ref: (j, 0),
+                        (hb, 1), lambda i, j, *_: (j, 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
                 out_specs=pl.BlockSpec(
                     (3, hb, s),
-                    lambda i, j, base_ref: (0, j, i),
+                    lambda i, j, *_: (0, j, i),
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
@@ -554,7 +634,7 @@ def x_segment_reduce(
             ),
             out_shape=jax.ShapeDtypeStruct((3, hr, nb * s), jnp.uint8),
             interpret=interpret,
-        )(base, rel_lo, rel_hi, vx, rows, dy2, vy2)
+        )(base, va, vya, rel_lo, rel_hi, vx, rows, dy2, vy2)
         outs.append(out[:, :, : band.end - band.start])
     full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
     return full[:, :, :n]
@@ -631,7 +711,7 @@ def sample_rect_fused(
     ]
     pad_blocks = -(-max(partial_ks) // wb) if (wrap_x and partial_ks) else 0
     rows = y_segment_reduce(
-        frame, pymc + 1, pyc + 1, gy, pad_blocks=pad_blocks,
+        frame, pymc + 1, pyc + 1, gy, valid=valid_y, pad_blocks=pad_blocks,
         interpret=interpret,
     )
     out = x_segment_reduce(

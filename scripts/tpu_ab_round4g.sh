@@ -24,11 +24,28 @@ for res in 16k 8k 4k; do
     done
   done
 done
+# Sampler arms: default (widen+gate) / gate-off (isolates the validity-
+# gated DMA skipping) / round-3 (widen off, gate off).
 for res in 16k 8k 4k; do
   for rep in 1 2; do
-    echo "== sampler $res widen rep$rep"
+    echo "== sampler $res default rep$rep"
     timeout 900 $SB --resolutions $res --stages fused
+    echo "== sampler $res nogate rep$rep"
+    FOVEAX_SEGREDUCE_GATE=0 timeout 900 $SB --resolutions $res --stages fused
     echo "== sampler $res r3 rep$rep"
-    FOVEAX_SEGREDUCE_WIDEN=0 timeout 900 $SB --resolutions $res --stages fused
+    FOVEAX_SEGREDUCE_WIDEN=0 FOVEAX_SEGREDUCE_GATE=0 timeout 900 $SB \
+      --resolutions $res --stages fused
   done
 done
+
+# On-chip parity for the fused kernels with the new default geometry
+# (batch G ran this without FOVEAX_TPU_TESTS=1 and it skipped).
+FOVEAX_TPU_TESTS=1 timeout 1200 python -m pytest tests/test_tpu_parity.py \
+  -q -m tpu -k fused -x
+
+# Knee bracket with the new kernels (the fused batch path drives the
+# 240-client density figure) + full path + headline, still same-window.
+timeout 1200 python -m foveax.cli.main perf --resolutions 1080p \
+  --clients 192 240 256 --batch-sampler fused
+timeout 1200 python -m foveax.cli.main perf --resolutions 4k 8k 16k
+FOVEAX_BENCH_FUSED_TIMEOUT=240 timeout 1300 python bench.py
