@@ -113,6 +113,7 @@ def cmd_serve(args) -> int:
         wire_codec=args.wire_codec,
         wire_bitrate=args.wire_bitrate,
         wire_crf=args.wire_crf,
+        wire_preset=args.wire_preset,
         sat_compression=args.sat_compression,
         mesh=mesh,
         adapt_rate=args.adapt_rate,
@@ -827,6 +828,105 @@ def cmd_foveate_no_encoding(args) -> int:
     return _transcode(args, "roundtrip")
 
 
+def cmd_encode_ladder(args) -> int:
+    """Encode-cost ladder: per-frame ms, wire kbit/s, and PSNR for every
+    (codec, preset, size, rate mode) on THIS host — the encode half of
+    the composed serving-capacity model (BENCHMARKS.md).  The reference
+    offloads encode to NVENC silicon (src/video_encoder.cc:3-78) so it
+    never needs this table; software encode makes the preset the
+    members-per-core lever.  members/core = floor(tick / encode_ms),
+    the count one core sustains at the tick without decimation."""
+    import time
+
+    import numpy as np
+
+    from foveax.io.wirecodec import (
+        WIRE_PRESETS,
+        available_wire_codecs,
+        make_wire_decoder,
+        make_wire_encoder,
+        probe_frame,
+    )
+
+    avail = available_wire_codecs()
+    tick_ms = 1e3 / args.fps
+    sizes = []
+    for s in args.sizes:
+        w, h = (int(v) for v in s.split("x"))
+        sizes.append((w, h))
+
+    def run_point(codec, preset, w, h, bitrate, crf):
+        enc = make_wire_encoder(
+            codec, w, h, args.fps, bitrate=bitrate, crf=crf, preset=preset,
+            jpeg_quality=args.jpeg_quality,
+        )
+        dec = make_wire_decoder(
+            getattr(enc, "sample_format", None),
+            getattr(enc, "codec_config", None),
+            size_hint=(w, h),
+        )
+        try:
+            times, nbytes, sq, n_px = [], 0, 0.0, 0
+            for i in range(args.frames + 1):
+                frame = probe_frame(w, h, i)
+                t0 = time.perf_counter()
+                sample, _ = enc.encode(frame)
+                if not i:
+                    dec.decode(sample)
+                    continue  # keyframe + lazy init excluded from median
+                times.append(time.perf_counter() - t0)
+                nbytes += len(sample)
+                out = dec.decode(sample)
+                if out is not None:
+                    d = out.astype(np.float64) - frame.astype(np.float64)
+                    sq += float(np.sum(d * d))
+                    n_px += d.size
+            ms = sorted(times)[len(times) // 2] * 1e3
+            kbitps = nbytes * 8 / args.frames * args.fps / 1e3
+            mse = sq / n_px if n_px else float("inf")
+            psnr = 10 * np.log10(255.0**2 / mse) if mse > 0 else float("inf")
+            return ms, kbitps, psnr
+        finally:
+            enc.close()
+            dec.close()
+
+    modes = [("crf", 0, args.crf)]
+    if args.bitrate > 0:
+        modes.append(("abr", args.bitrate, args.crf))
+    points = []
+    for codec in args.codecs:
+        if codec not in avail:
+            print(f"# {codec}: unavailable on this host, skipped")
+            continue
+        presets = [""] if codec == "jpeg" else list(args.presets)
+        for w, h in sizes:
+            for mode_name, bitrate, crf in modes if codec != "jpeg" else [modes[0]]:
+                for preset in presets:
+                    ms, kbitps, psnr = run_point(codec, preset, w, h, bitrate, crf)
+                    members = int(tick_ms // ms) if ms > 0 else 0
+                    points.append((codec, preset or "-", f"{w}x{h}", mode_name,
+                                   ms, kbitps, psnr, members))
+
+    print(f"# {args.frames} frames of moving probe content, fps={args.fps:g} "
+          f"(tick {tick_ms:.1f} ms), crf={args.crf}"
+          + (f", abr={args.bitrate}" if args.bitrate > 0 else ""))
+    print(f"{'codec':7s} {'preset':10s} {'size':10s} {'mode':5s} "
+          f"{'ms/frame':>9s} {'kbit/s':>9s} {'PSNR':>6s} {'members/core':>12s}")
+    for codec, preset, size, mode, ms, kbitps, psnr, members in points:
+        print(f"{codec:7s} {preset:10s} {size:10s} {mode:5s} "
+              f"{ms:9.2f} {kbitps:9.0f} {psnr:6.2f} {members:12d}")
+    if points:
+        import os
+
+        cores = os.cpu_count() or 1
+        best = max(points, key=lambda p: p[7])
+        print(f"# composed capacity at {sizes[0][0]}x{sizes[0][1]}: "
+              f"min(240/chip device knee, {best[7]}/core x {cores} cores "
+              f"encode half [{best[0]} {best[1]}]) — see BENCHMARKS.md "
+              f"'Composed serving capacity'")
+    return 0
+
+
 def cmd_perf(args) -> int:
     """Device-path throughput across resolutions (1080p/4K/8K) using the
     dependency-chained methodology of bench.py.  With --clients N, also
@@ -1081,6 +1181,14 @@ def build_parser() -> argparse.ArgumentParser:
         "src/video_encoder.cc:43)",
     )
     p.add_argument(
+        "--wire-preset", default="auto",
+        help="software-encoder speed preset (x264 names, ultrafast..medium; "
+        "vp9 maps onto cpu-used): auto = slowest preset whose measured "
+        "per-frame cost on this host fits 40%% of the tick — the serving "
+        "capacity lever, see `encode_ladder` and BENCHMARKS.md "
+        "'Composed serving capacity'; '' = codec default (veryfast)",
+    )
+    p.add_argument(
         "--adapt-rate", action="store_true",
         help="AIMD the per-session wire bitrate on backlog drops "
         "(requires --wire-bitrate > 0; re-negotiates the encoder and "
@@ -1220,6 +1328,28 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_io_args(p)
     p.set_defaults(fn=cmd_ladder)
+
+    p = sub.add_parser(
+        "encode_ladder",
+        help="encode cost/bitrate/PSNR per (codec, preset, size, mode) on "
+        "this host — the encode half of serving capacity",
+    )
+    p.add_argument("--codecs", nargs="*", default=["h264", "vp9", "jpeg"])
+    p.add_argument(
+        "--presets", nargs="*",
+        default=["ultrafast", "superfast", "veryfast", "faster", "fast"],
+    )
+    p.add_argument("--sizes", nargs="*", default=["1072x608", "2144x1200"])
+    p.add_argument("--frames", type=int, default=12)
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--crf", type=int, default=25)
+    p.add_argument(
+        "--bitrate", type=int, default=2_000_000,
+        help="also measure rate-targeted (ABR) mode at this target "
+        "(0 = crf only)",
+    )
+    p.add_argument("--jpeg-quality", type=int, default=90)
+    p.set_defaults(fn=cmd_encode_ladder)
 
     p = sub.add_parser("perf", help="device-path fps across resolutions")
     p.add_argument(

@@ -42,6 +42,14 @@ _DECODERS = {
 
 WIRE_CODECS = ("jpeg",) + tuple(_ENCODERS)
 
+# Speed ladder for the software encoders, fastest first (x264 preset
+# names; libvpx maps them onto cpu-used in the native shim).  The
+# reference's analog is NVENC's PRESET_FAST (src/video_encoder.cc:28) —
+# hardware encode made its speed/quality point nearly free, software
+# encode makes it THE serving capacity lever (BENCHMARKS.md, "Composed
+# serving capacity").
+WIRE_PRESETS = ("ultrafast", "superfast", "veryfast", "faster", "fast", "medium")
+
 
 def _lib():
     from foveax import native
@@ -228,14 +236,18 @@ class WireEncoder:
         bitrate: int = 0,
         crf: int = 25,
         gop_size: int = 30,
+        preset: str = "",
     ):
         if codec not in _ENCODERS:
             raise ValueError(f"unknown wire codec: {codec!r}")
+        if preset and preset not in WIRE_PRESETS:
+            raise ValueError(f"unknown wire preset: {preset!r}")
         lib = _lib()
         if lib is None:
             raise RuntimeError("native codec shim unavailable")
         enc_name, self.sample_format = _ENCODERS[codec]
         self.codec = codec
+        self.preset = preset
         self.width, self.height = width, height
         err = ctypes.create_string_buffer(256)
         self._lib = lib
@@ -254,6 +266,7 @@ class WireEncoder:
             int(bitrate),
             int(crf),
             int(gop_size),
+            preset.encode(),
             err,
             len(err),
         )
@@ -480,12 +493,104 @@ def make_wire_encoder(
     crf: int = 25,
     gop_size: int = 30,
     jpeg_quality: int = 90,
+    preset: str = "",
 ):
     if codec == "jpeg":
         return JpegWireEncoder(width, height, jpeg_quality)
     return WireEncoder(
-        codec, width, height, fps, bitrate=bitrate, crf=crf, gop_size=gop_size
+        codec, width, height, fps, bitrate=bitrate, crf=crf,
+        gop_size=gop_size, preset=preset,
     )
+
+
+def probe_frame(width: int, height: int, i: int) -> np.ndarray:
+    """Moving synthetic probe content for encode-cost measurement: a
+    shifting gradient + texture — all-static frames flatter inter-frame
+    codecs; pure noise punishes them unrealistically."""
+    ys = np.arange(height, dtype=np.uint32)[:, None]
+    xs = np.arange(width, dtype=np.uint32)[None, :]
+    plane = ((xs * 3 + ys * 7 + i * 11) ^ (xs >> 2)) & 0xFF
+    return np.stack(
+        [plane, (plane + 85) & 0xFF, (plane + 170) & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
+def measure_encode(
+    codec: str,
+    width: int,
+    height: int,
+    fps: float = 30.0,
+    *,
+    preset: str = "",
+    bitrate: int = 0,
+    crf: int = 25,
+    frames: int = 4,
+    jpeg_quality: int = 90,
+) -> tuple[float, float]:
+    """(median per-frame encode wall ms, kbit/s at ``fps``) at this exact
+    operating point, measured on THIS host (probe_frame content)."""
+    import time
+
+    enc = make_wire_encoder(
+        codec, width, height, fps,
+        bitrate=bitrate, crf=crf, preset=preset, jpeg_quality=jpeg_quality,
+    )
+    try:
+        times = []
+        nbytes = 0
+        for i in range(frames + 1):
+            frame = probe_frame(width, height, i)
+            t0 = time.perf_counter()
+            sample, _ = enc.encode(frame)
+            if i:  # first frame pays keyframe + lazy-init costs
+                times.append(time.perf_counter() - t0)
+                nbytes += len(sample)
+        ms = sorted(times)[len(times) // 2] * 1e3
+        kbitps = nbytes * 8 / max(frames, 1) * fps / 1e3
+        return ms, kbitps
+    finally:
+        enc.close()
+
+
+def measure_encode_cost(codec, width, height, fps=30.0, **kw) -> float:
+    """Median per-frame encode wall time (ms); see measure_encode."""
+    return measure_encode(codec, width, height, fps, **kw)[0]
+
+
+def pick_wire_preset(
+    codec: str,
+    width: int,
+    height: int,
+    fps: float = 30.0,
+    *,
+    bitrate: int = 0,
+    crf: int = 25,
+    budget_ms: float | None = None,
+    measure=measure_encode_cost,
+) -> str:
+    """Resolve preset="auto": the slowest (best-quality) preset whose
+    measured per-frame encode cost on this host fits ``budget_ms``
+    (default 40% of the frame tick — leaves the executor able to sustain
+    >= 2 members/core before decimation engages).  Walks the ladder
+    fastest-first and stops at the first miss, so the probe cost is a
+    handful of sub-tick encodes at session setup.  The reference never
+    needs this: NVENC silicon makes every preset nearly free to the CPU
+    (src/video_encoder.cc:28-58); software encode makes the preset THE
+    serving-capacity lever (BENCHMARKS.md, "Composed serving capacity").
+    """
+    if codec == "jpeg":
+        return ""
+    if budget_ms is None:
+        budget_ms = 0.4 * 1e3 / (fps if fps > 0 else 30.0)
+    best = WIRE_PRESETS[0]
+    for preset in WIRE_PRESETS:
+        cost = measure(
+            codec, width, height, fps, preset=preset, bitrate=bitrate, crf=crf
+        )
+        if cost > budget_ms:
+            break
+        best = preset
+    return best
 
 
 def make_wire_decoder(

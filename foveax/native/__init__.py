@@ -220,6 +220,7 @@ def _configure_codec(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int64,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_char_p,  # preset ("" = codec default)
         ctypes.c_char_p,
         ctypes.c_int,
     ]

@@ -185,10 +185,13 @@ int fx_codec_probe(const char* codec_name, int encoder) {
 // Open a streaming encoder.  bitrate<=0 means quality-targeted (crf) mode;
 // crf<0 means bitrate mode; gop_size<=0 uses the codec default.  The
 // reference's operating point is bitrate 1e8 + cq 25 + no B-frames + zero
-// encoder delay (src/video_encoder.cc:28-58).
+// encoder delay (src/video_encoder.cc:28-58); its NVENC preset knob is
+// "fast" (src/video_encoder.cc:28) — foveax's software analog is the
+// x264 preset ladder, `preset` (NULL/"" = veryfast).  For libvpx the
+// preset maps onto cpu-used (ultrafast=8 .. medium=3); mpeg4 ignores it.
 void* fx_enc_open(const char* codec_name, int width, int height, double fps,
-                  int64_t bitrate, int crf, int gop_size, char* errbuf,
-                  int errcap) {
+                  int64_t bitrate, int crf, int gop_size, const char* preset,
+                  char* errbuf, int errcap) {
   const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
   if (codec == nullptr) {
     set_err(errbuf, errcap, std::string("no encoder: ") + codec_name);
@@ -213,9 +216,15 @@ void* fx_enc_open(const char* codec_name, int width, int height, double fps,
   // decode-side flag; mpeg4 rejects it on encoders.)
   c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
 
+  const char* p = (preset != nullptr && preset[0] != '\0') ? preset
+                                                           : "veryfast";
   if (std::strcmp(codec_name, "libx264") == 0 ||
       std::strcmp(codec_name, "libx265") == 0) {
-    av_opt_set(c->priv_data, "preset", "veryfast", 0);
+    if (av_opt_set(c->priv_data, "preset", p, 0) < 0) {
+      set_err(errbuf, errcap, std::string("bad preset: ") + p);
+      delete e;
+      return nullptr;
+    }
     av_opt_set(c->priv_data, "tune", "zerolatency", 0);
     if (bitrate > 0) {
       // Rate-targeted mode: x264's rate-control precedence is
@@ -246,7 +255,16 @@ void* fx_enc_open(const char* codec_name, int width, int height, double fps,
     }
   } else if (std::strncmp(codec_name, "libvpx", 6) == 0) {
     av_opt_set(c->priv_data, "deadline", "realtime", 0);
-    av_opt_set_int(c->priv_data, "cpu-used", 8, 0);
+    // Map the x264 preset vocabulary onto vpx's cpu-used speed dial so
+    // one serve flag drives both codecs (default = fastest, the round-2
+    // operating point).
+    int cpu_used = 8;
+    if (std::strcmp(p, "superfast") == 0) cpu_used = 7;
+    else if (std::strcmp(p, "veryfast") == 0) cpu_used = 8;
+    else if (std::strcmp(p, "faster") == 0) cpu_used = 5;
+    else if (std::strcmp(p, "fast") == 0) cpu_used = 4;
+    else if (std::strcmp(p, "medium") == 0) cpu_used = 3;
+    av_opt_set_int(c->priv_data, "cpu-used", cpu_used, 0);
     av_opt_set_int(c->priv_data, "lag-in-frames", 0, 0);
     // libvpx precedence: crf + bit_rate = constrained-quality (crf-led);
     // bitrate mode must therefore omit crf to rate-target for real.

@@ -33,7 +33,12 @@ import numpy as np
 from foveax.config import FoveaxConfig
 from foveax.io.mux import FragmentWriter
 from foveax.io.video import open_video
-from foveax.io.wirecodec import available_wire_codecs, make_wire_encoder
+from foveax.io.wirecodec import (
+    WIRE_PRESETS,
+    available_wire_codecs,
+    make_wire_encoder,
+    pick_wire_preset,
+)
 from foveax.pipeline.frames import FoveationPipeline
 from foveax.serve import protocol
 from foveax.serve.protocol import Ack, FrameMeta, FrameRequest, TextMessage, VideoRequest
@@ -830,6 +835,7 @@ class FoveaxServer:
         wire_codec: str = "auto",
         wire_bitrate: int = 0,
         wire_crf: int = 25,
+        wire_preset: str = "auto",
         sat_compression: str = "none",
         mesh: "object | None" = None,
         encode_workers: int | None = None,
@@ -864,6 +870,14 @@ class FoveaxServer:
         self.wire_codec = wire_codec
         self.wire_bitrate = wire_bitrate
         self.wire_crf = wire_crf
+        # Encoder speed preset: "auto" resolves per operating point by
+        # measured cost on this host (pick_wire_preset — the capacity
+        # lever BENCHMARKS.md "Composed serving capacity" quantifies);
+        # "" keeps the codec default (veryfast).
+        if wire_preset not in ("auto", "") and wire_preset not in WIRE_PRESETS:
+            raise ValueError(f"unknown wire_preset {wire_preset!r}")
+        self.wire_preset = wire_preset
+        self._preset_cache: dict[tuple, str] = {}
         # Live per-session AIMD on the wire bitrate (requires a
         # rate-targeted inter-frame encoder, i.e. wire_bitrate > 0).
         self.adapt_rate = adapt_rate
@@ -1039,6 +1053,30 @@ class FoveaxServer:
         self._place_count += 1
         return device
 
+    def _resolve_preset(self, cfg: FoveaxConfig) -> str:
+        """Resolve --wire-preset auto once per operating point (codec x
+        reduced size): the probe costs a few sub-tick encodes, so cache
+        the answer for every later session at the same point."""
+        if self.wire_preset != "auto":
+            return self.wire_preset
+        key = (self.wire_codec, cfg.reduced_width, cfg.reduced_height)
+        if key not in self._preset_cache:
+            self._preset_cache[key] = pick_wire_preset(
+                self.wire_codec,
+                cfg.reduced_width,
+                cfg.reduced_height,
+                self.config.fps,
+                bitrate=self.wire_bitrate,
+                crf=self.wire_crf,
+            )
+            log.info(
+                "wire preset auto -> %r at %dx%d",
+                self._preset_cache[key],
+                cfg.reduced_width,
+                cfg.reduced_height,
+            )
+        return self._preset_cache[key]
+
     def _make_encoder(self, cfg: FoveaxConfig, bitrate: int | None = None):
         """Per-session wire encoder (inter-frame state is per-client, like
         the reference's per-connection VideoEncoder, src/video_server.h:41).
@@ -1052,6 +1090,7 @@ class FoveaxServer:
             crf=self.wire_crf,
             gop_size=self.config.gop_size,
             jpeg_quality=self.jpeg_quality,
+            preset=self._resolve_preset(cfg),
         )
 
     @staticmethod

@@ -17,8 +17,8 @@
 extern "C" {
 int fx_codec_probe(const char* codec_name, int encoder);
 void* fx_enc_open(const char* codec_name, int width, int height, double fps,
-                  int64_t bitrate, int crf, int gop_size, char* err,
-                  int errcap);
+                  int64_t bitrate, int crf, int gop_size, const char* preset,
+                  char* err, int errcap);
 int fx_enc_extradata(void* enc, uint8_t* out, int cap);
 int fx_enc_encode(void* enc, const uint8_t* rgb, uint8_t* out, int cap,
                   int* is_key);
@@ -62,7 +62,7 @@ int main(int argc, char** argv) {
   for (int it = 0; it < iters; it++) {
     const int w = 16 * int(ri(2, 8)), h = 16 * int(ri(2, 6));
     void* enc = fx_enc_open("libx264", w, h, 30.0, it % 2 ? 200000 : 0, 30, 30,
-                            err, sizeof(err));
+                            it % 3 ? "ultrafast" : "", err, sizeof(err));
     if (!enc) continue;
     std::vector<uint8_t> extradata(4096);
     int xlen = fx_enc_extradata(enc, extradata.data(), int(extradata.size()));

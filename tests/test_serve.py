@@ -1651,3 +1651,40 @@ def test_saturation_real_x264_contention(monkeypatch):
     assert len(all_diffs) >= 64
     decimated_frac = sum(d >= 2 for d in all_diffs) / len(all_diffs)
     assert decimated_frac > 0.5, (decimated_frac, all_diffs[:40])
+
+
+@pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
+def test_wire_preset_auto_probes_once_and_applies(monkeypatch):
+    """--wire-preset auto resolves by measured cost ONCE per operating
+    point (the probe is a few real encodes — later sessions at the same
+    size must not re-pay it) and the result reaches every encoder."""
+    import foveax.serve.server as srv
+
+    calls = []
+
+    def fake_pick(codec, w, h, fps, *, bitrate, crf):
+        calls.append((codec, w, h))
+        return "superfast"
+
+    monkeypatch.setattr(srv, "pick_wire_preset", fake_pick)
+    server = FoveaxServer(CFG, wire_codec="h264")
+    enc1 = server._make_encoder(CFG)
+    enc2 = server._make_encoder(CFG)
+    try:
+        assert enc1.preset == "superfast" and enc2.preset == "superfast"
+        assert calls == [("h264", CFG.reduced_width, CFG.reduced_height)]
+    finally:
+        enc1.close()
+        enc2.close()
+
+    # An explicit preset skips the probe entirely.
+    calls.clear()
+    server = FoveaxServer(CFG, wire_codec="h264", wire_preset="ultrafast")
+    enc = server._make_encoder(CFG)
+    try:
+        assert enc.preset == "ultrafast" and calls == []
+    finally:
+        enc.close()
+
+    with pytest.raises(ValueError):
+        FoveaxServer(CFG, wire_codec="h264", wire_preset="bogus")

@@ -441,3 +441,66 @@ def test_bitrate_mode_wins_over_crf():
             enc.close()
             by_rate[rate] = float(np.mean(sizes[10:]) * 8 * fps)
         assert by_rate[800_000] / by_rate[200_000] > 1.8, (codec, by_rate)
+
+
+@needs_codec
+def test_preset_plumbing_roundtrip():
+    """The preset knob reaches the encoder (bad names rejected; good
+    names open and round-trip decodable streams at every ladder rung)."""
+    from foveax.io.wirecodec import WIRE_PRESETS
+
+    with pytest.raises(ValueError):
+        make_wire_encoder("h264", W, H, preset="bogus")
+    frames = _frames(4)
+    for preset in ("ultrafast", WIRE_PRESETS[-1]):
+        enc = make_wire_encoder("h264", W, H, preset=preset)
+        dec = make_wire_decoder(enc.sample_format, enc.codec_config)
+        assert enc.preset == preset
+        got = 0
+        for f in frames:
+            sample, _ = enc.encode(f)
+            if dec.decode(sample) is not None:
+                got += 1
+        enc.close()
+        dec.close()
+        assert got == len(frames)
+
+
+def test_pick_wire_preset_policy():
+    """auto = slowest preset whose measured cost fits the budget; the
+    walk stops at the first miss (probe cost stays bounded), jpeg has
+    no ladder, and an over-budget host degrades to ultrafast."""
+    from foveax.io.wirecodec import pick_wire_preset
+
+    costs = {
+        "ultrafast": 2.0, "superfast": 4.0, "veryfast": 8.0,
+        "faster": 16.0, "fast": 30.0, "medium": 60.0,
+    }
+    probed = []
+
+    def fake_measure(codec, w, h, fps, *, preset, bitrate, crf):
+        probed.append(preset)
+        return costs[preset]
+
+    got = pick_wire_preset(
+        "h264", 1072, 608, 30.0, budget_ms=13.3, measure=fake_measure
+    )
+    assert got == "veryfast"
+    assert probed == ["ultrafast", "superfast", "veryfast", "faster"]
+
+    assert pick_wire_preset(
+        "h264", 1072, 608, 30.0, budget_ms=1.0, measure=fake_measure
+    ) == "ultrafast"
+    assert pick_wire_preset("jpeg", 1072, 608, 30.0) == ""
+    # Default budget: 40% of the tick at the session fps.
+    assert pick_wire_preset(
+        "h264", 1072, 608, 30.0, measure=fake_measure
+    ) == "veryfast"
+
+
+@needs_codec
+def test_measure_encode_reports_cost_and_rate():
+    ms, kbitps = __import__(
+        "foveax.io.wirecodec", fromlist=["measure_encode"]
+    ).measure_encode("h264", W, H, 30.0, preset="ultrafast", frames=4)
+    assert ms > 0 and kbitps > 0
