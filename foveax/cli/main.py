@@ -115,6 +115,7 @@ def cmd_serve(args) -> int:
         wire_crf=args.wire_crf,
         wire_preset=args.wire_preset,
         sat_compression=args.sat_compression,
+        svd_wire_compress=args.svd_wire_compress,
         mesh=mesh,
         adapt_rate=args.adapt_rate,
         place_videos=args.place_videos,
@@ -1199,6 +1200,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="svd: stream rank-r SAT factors + residual; clients foveate "
         "locally with their own gaze (zero gaze latency, one stream "
         "serves all gazes)",
+    )
+    p.add_argument(
+        "--svd-wire-compress", default="rle",
+        choices=["rle", "deflate", "none"],
+        help="SVD-wire residual coding: rle = zlib Z_RLE + inter-frame "
+        "delta (default), deflate = zlib level-1 + delta, none = raw "
+        "(see BENCHMARKS.md 'SVD wire v2')",
     )
     p.add_argument(
         "--mesh", default="",

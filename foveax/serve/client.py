@@ -137,7 +137,7 @@ class FoveaxClient:
             create_reduced_sat,
             sample_from_reduced_sat,
         )
-        from foveax.io.svdwire import unpack_svd
+        from foveax.io.svdwire import SvdWireUnpacker
 
         grid = make_grid(
             cfg.reduced_width,
@@ -152,8 +152,15 @@ class FoveaxClient:
                 create_reduced_sat(svd, grid, center)
             )
 
-        def decode(sample: bytes, gaze) -> np.ndarray:
-            svd = unpack_svd(sample)
+        # Stateful: v2 delta samples reconstruct against the previous
+        # residual; after any gap (drop, mid-GOP join) unpack returns
+        # None until the next sync sample (the caller skips the frame).
+        unpacker = SvdWireUnpacker()
+
+        def decode(sample: bytes, gaze) -> "np.ndarray | None":
+            svd = unpacker.unpack(sample)
+            if svd is None:
+                return None
             return np.asarray(
                 _reduce(svd, jnp.asarray(gaze, jnp.float32))
             )

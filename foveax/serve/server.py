@@ -337,6 +337,8 @@ class BroadcastChannel:
         # Members that already received streamInfo + the stream header
         # (channel-owned so leave() can force a re-send on rejoin).
         self._sent_header: set[Session] = set()
+        # SVD-mode wire packer (lazy; sync cadence = gop_size ticks).
+        self._svd_packer = None
         # Encode-saturation degradation state: EMA of one wire encode's
         # wall time and the current cadence decimation factor (1 = serve
         # every member every tick).
@@ -613,17 +615,26 @@ class BroadcastChannel:
                 # the SVD mode's whole point: no per-gaze sampling, no
                 # per-member encode.
                 from foveax.core.svd_sat import compress_sat
-                from foveax.io.svdwire import pack_svd
+                from foveax.io.svdwire import SvdWirePacker
 
-                blob = await self._readback(
+                if self._svd_packer is None:
+                    self._svd_packer = SvdWirePacker(
+                        sync_every=self.server.config.gop_size,
+                        compress=self.server.svd_wire_compress,
+                    )
+                packer = self._svd_packer
+                packed = await self._readback(
                     loop,
-                    lambda: pack_svd(
+                    lambda: packer.pack(
                         compress_sat(sat, self.server.config.svd_rank)
                     ),
                 )
-                if blob is None:  # deadline missed: skip, stay alive
+                if packed is None:  # deadline missed: skip, stay alive
+                    # (the packer's seq advanced, so receivers go dark
+                    # until the next sync sample — by design)
                     frame_num += 1
                     continue
+                blob, is_key = packed
                 for session, mux in members:
                     try:
                         if session not in sent_header:
@@ -651,7 +662,7 @@ class BroadcastChannel:
                                 )
                             )
                         )
-                        await session.ws.send(mux.frame(blob))
+                        await session.ws.send(mux.frame(blob, is_sync=is_key))
                         session.frames_sent += 1
                         self.server.total_sent += 1
                     except Exception:
@@ -837,6 +848,7 @@ class FoveaxServer:
         wire_crf: int = 25,
         wire_preset: str = "auto",
         sat_compression: str = "none",
+        svd_wire_compress: str = "rle",
         mesh: "object | None" = None,
         encode_workers: int | None = None,
         adapt_rate: bool = False,
@@ -896,6 +908,15 @@ class FoveaxServer:
         if sat_compression not in ("none", "svd"):
             raise ValueError(f"unknown sat_compression {sat_compression!r}")
         self.sat_compression = sat_compression
+        # Residual entropy-coding strategy for the SVD wire (v2):
+        # rle = zlib Z_RLE (default: ~98% of deflate's ratio at 2.3x
+        # less CPU, measured), deflate = zlib level-1, none = raw
+        # (CPU-starved hosts; every sample self-contained).
+        if svd_wire_compress not in ("rle", "deflate", "none"):
+            raise ValueError(
+                f"unknown svd_wire_compress {svd_wire_compress!r}"
+            )
+        self.svd_wire_compress = svd_wire_compress
         # Broadcast-tick sampling strategy: "sat" amortizes one SAT build
         # per tick across the member batch (vmapped gather sampling —
         # the round-2 design whose gather working set set the measured
@@ -1315,17 +1336,23 @@ class FoveaxServer:
             else:
                 if self.sat_compression == "svd":
                     from foveax.core.svd_sat import compress_sat
-                    from foveax.io.svdwire import pack_svd
+                    from foveax.io.svdwire import SvdWirePacker
 
-                    blob = await _readback(
-                        lambda: pack_svd(
+                    packer = getattr(session, "_svd_packer", None)
+                    if packer is None:
+                        packer = session._svd_packer = SvdWirePacker(
+                            sync_every=self.config.gop_size,
+                            compress=self.svd_wire_compress,
+                        )
+                    packed = await _readback(
+                        lambda: packer.pack(
                             compress_sat(sat, self.config.svd_rank)
                         )
                     )
-                    if blob is None:  # readback deadline missed: skip
+                    if packed is None:  # readback deadline missed: skip
                         frame_num += 1
                         continue
-                    sample, is_key = blob, True
+                    sample, is_key = packed
                 else:
                     if session._rate_dirty and session.wire is not None:
                         # Rate adaptation: new encoder + muxer, then the

@@ -180,6 +180,7 @@ def main() -> int:
                 loop, mode=mode, dtype_name=dtype_name, block_rows=rows,
                 h=h, iters=2 * args.iters,
             )
+            print(f"# compiling {mode}/{dtype_name}/rows={rows}", flush=True)
             fn1(x)
             fn2(x)  # compile + warm both
             # Median-of-3 paired-difference timing: the relay's per-call

@@ -10,9 +10,13 @@ LOG=/tmp/tpu_watch.log
 for i in $(seq 1 "${FOVEAX_WATCH_PROBES:-60}"); do
   echo "[watch] probe $i $(date -u +%H:%M:%S)" >> "$LOG"
   if timeout 120 python -c "
-import jax, jax.numpy as jnp
+import sys, jax, jax.numpy as jnp
 x = jnp.arange(128, dtype=jnp.int32)
 print('probe-ok', int((x*x).sum()), jax.default_backend())
+# A CPU fallback must read as UNhealthy or CPU timings get recorded as
+# TPU measurements (round-4 ADVICE).  The axon plugin registers its
+# devices as platform 'tpu'.
+sys.exit(jax.default_backend() != 'tpu')
 " >> "$LOG" 2>&1; then
     echo "[watch] tunnel healthy, running batch" >> "$LOG"
     bash scripts/tpu_measure_round3.sh >> "$LOG" 2>&1

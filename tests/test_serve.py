@@ -545,7 +545,9 @@ def test_svd_wire_pack_roundtrip():
 
     svd = compress_sat(jnp.asarray(build_sat(frame)), rank=8)
     blob = pack_svd(svd)
-    assert len(blob) == payload_size(40, 64, 8)
+    # v2 entropy-codes the residual: never larger than the v1 layout
+    # (+9 bytes of residual-section header; zlib worst case is < 0.1%).
+    assert len(blob) <= payload_size(40, 64, 8) + 9 + len(blob) // 512
     back = unpack_svd(blob)
     np.testing.assert_array_equal(
         np.asarray(back.residual_q), np.asarray(svd.residual_q)
@@ -1688,3 +1690,87 @@ def test_wire_preset_auto_probes_once_and_applies(monkeypatch):
 
     with pytest.raises(ValueError):
         FoveaxServer(CFG, wire_codec="h264", wire_preset="bogus")
+
+
+def test_svd_wire_delta_stream_and_gap_recovery():
+    """v2 streaming: sync cadence honored, every in-order sample decodes
+    exactly, a missed delta goes dark until the next sync (never a
+    silently corrupt plane), and delta samples on near-static content
+    are much smaller than sync samples."""
+    import jax.numpy as jnp
+
+    from foveax.core.golden import build_sat
+    from foveax.core.svd_sat import compress_sat
+    from foveax.io.svdwire import (
+        SvdWirePacker,
+        SvdWireUnpacker,
+        unpack_svd,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (40, 64, 3), np.uint8)
+    frames = []
+    for i in range(7):
+        f = base.copy()
+        f[i % 40, :, :] ^= 3  # one changed row per frame (near-static)
+        frames.append(f)
+    svds = [
+        compress_sat(jnp.asarray(build_sat(f)), rank=8) for f in frames
+    ]
+
+    packer = SvdWirePacker(sync_every=3)
+    packed = [packer.pack(s) for s in svds]
+    assert [k for _, k in packed] == [True, False, False, True, False, False, True]
+
+    # Delta coding helps but is bounded on CHANGING content: a changed
+    # row perturbs the SAT everywhere below-right of it (prefix sums)
+    # and shifts the quantization ranges.  The structural guarantee is
+    # on STATIC content, asserted below; here just require no regression.
+    sync_sizes = [len(b) for (b, k) in packed if k]
+    delta_sizes = [len(b) for (b, k) in packed if not k]
+    assert max(delta_sizes) < min(sync_sizes), (sync_sizes, delta_sizes)
+
+    # A fully static frame deltas to (near) nothing: compare the
+    # RESIDUAL sections (the f16 factors travel uncompressed and
+    # dominate at this toy size; at production size they are ~8%).
+    p2 = SvdWirePacker(sync_every=8)
+    b_sync, k0 = p2.pack(svds[0])
+    b_delta, k1 = p2.pack(svds[0])
+    assert k0 and not k1
+    factor_bytes = 16 + 12 + 2 * 3 * 40 * 8 + 4 * 3 * 8 + 2 * 3 * 8 * 64
+    res_sync = len(b_sync) - factor_bytes
+    res_delta = len(b_delta) - factor_bytes
+    assert res_delta < 0.1 * res_sync, (res_sync, res_delta)
+
+    unp = SvdWireUnpacker()
+    for (blob, _), svd in zip(packed, svds):
+        got = unp.unpack(blob)
+        assert got is not None
+        np.testing.assert_array_equal(
+            np.asarray(got.residual_q), np.asarray(svd.residual_q)
+        )
+
+    # Gap: drop packed[1] (a delta). packed[2] (delta) must return None;
+    # packed[3] (sync) recovers; packed[4] (delta) chains off it.
+    unp = SvdWireUnpacker()
+    assert unp.unpack(packed[0][0]) is not None
+    assert unp.unpack(packed[2][0]) is None
+    got = unp.unpack(packed[3][0])
+    assert got is not None
+    np.testing.assert_array_equal(
+        np.asarray(got.residual_q), np.asarray(svds[3].residual_q)
+    )
+    got = unp.unpack(packed[4][0])
+    assert got is not None
+    np.testing.assert_array_equal(
+        np.asarray(got.residual_q), np.asarray(svds[4].residual_q)
+    )
+
+    # A mid-GOP joiner (fresh unpacker) is dark until the first sync.
+    unp = SvdWireUnpacker()
+    assert unp.unpack(packed[4][0]) is None
+    assert unp.unpack(packed[6][0]) is not None
+
+    # The stateless helper refuses delta samples loudly.
+    with pytest.raises(ValueError):
+        unpack_svd(packed[1][0])
