@@ -14,7 +14,11 @@ were found and fixed in round 3:
     block's tail -> fixed by anchoring whole-period windows at base 0.
 
 Checks: sampler bit-equality vs the golden SAT path; fused unwarp
-within 1 LSB of the exact path.  Exit 1 on any failure.
+within 1 LSB of the exact path; the BATCHED sampler
+(sample_rect_fused_batch — the round-4 serving hot path through
+batch_pair / jit_serve_parts_fused) bit-equal per gaze on a batch that
+always contains a duplicate pair and an edge-clamped gaze.  Exit 1 on
+any failure.
 
 Usage: python scripts/fuzz_fused.py [seed] [n_shapes]
 """
@@ -35,7 +39,7 @@ from foveax.config import reduced_dim
 from foveax.core import golden
 from foveax.core.logrect import make_grid
 from foveax.core.unwarp import unwarp_rect
-from foveax.kernels.segreduce import sample_rect_fused
+from foveax.kernels.segreduce import sample_rect_fused, sample_rect_fused_batch
 from foveax.kernels.unwarp_pl import _KX, _KY, unwarp_rect_fused
 
 
@@ -100,6 +104,40 @@ def main() -> int:
                 flush=True,
             )
             fails += 0 if ok else 1
+
+        # Batch lane: duplicate pair + edge-clamped gaze + random gazes
+        # in ONE launch; each slice must be bit-equal to the golden.
+        dup = rng.uniform(0.05, 0.95, 2)
+        batch = np.stack(
+            [dup, dup, np.asarray([1.0, 0.0]), rng.uniform(0, 1, 2)]
+        ).astype(np.float32)
+        t0 = time.time()
+        try:
+            reds = np.asarray(
+                sample_rect_fused_batch(
+                    fr, gj, jnp.asarray(batch), out_layout="chw",
+                    interpret=True,
+                )
+            )
+            bad = []
+            for bi, center in enumerate(batch):
+                want = golden.sample_rect(
+                    sat_np, dense, tuple(center)
+                ).transpose(2, 0, 1)
+                if not np.array_equal(reds[bi], want):
+                    bad.append(bi)
+            if not np.array_equal(reds[0], reds[1]):
+                bad.append("dup-mismatch")
+        except Exception as e:  # noqa: BLE001 - report and count
+            print(f"{fw}x{fh} batch: EXC {e!r}", flush=True)
+            fails += 1
+        else:
+            print(
+                f"{fw}x{fh} r{rw}x{rh} batch x{len(batch)}: "
+                f"bad={bad or 'none'} ({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+            fails += 1 if bad else 0
     print("FAILS:", fails)
     return 1 if fails else 0
 

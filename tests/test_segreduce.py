@@ -262,3 +262,26 @@ def test_fused_eligible_probe(setup):
     g2 = make_grid(48, 32, 96, 64)
     for batch in (False, True):
         assert not segreduce.fused_eligible(g2, 64, 96, batch=batch)
+
+
+def test_batch_duplicate_and_edge_clamped_gazes(setup):
+    """One batched launch containing a DUPLICATE gaze pair and
+    edge-clamped gazes (both corners) decodes each slice bit-equal to
+    the single-gaze path — the serving hot path never sees curated
+    batches (pinned from the round-5 fuzz batch lane)."""
+    from foveax.kernels.segreduce import sample_rect_fused_batch
+
+    grid, sat, fr = setup
+    centers = jnp.asarray(
+        [[0.37, 0.81], [0.37, 0.81], [0.0, 0.0], [1.0, 1.0], [0.999, 0.001]],
+        jnp.float32,
+    )
+    got = np.asarray(
+        sample_rect_fused_batch(fr, grid, centers, interpret=True)
+    )
+    for i, c in enumerate(np.asarray(centers)):
+        want = np.asarray(
+            sample_rect_from_sat(sat, grid, jnp.asarray(c, jnp.float32))
+        )
+        np.testing.assert_array_equal(got[i], want, err_msg=f"gaze {i}")
+    np.testing.assert_array_equal(got[0], got[1])
