@@ -928,6 +928,78 @@ def cmd_encode_ladder(args) -> int:
     return 0
 
 
+def cmd_encode_capacity(args) -> int:
+    """Members one host sustains at the tick, encode half only: replays
+    the serve loop's exact encode structure (asyncio.gather of
+    per-member encodes into a bounded executor, one inter-frame encoder
+    per member — serve/server.py broadcast tick) against real encoders
+    at the production reduced size, and reports the largest N whose p90
+    per-tick encode batch fits 90% of the tick — the same threshold at
+    which the channel's saturation decimation engages.  The composed
+    serving capacity is min(device knee, this x cores): BENCHMARKS.md
+    'Composed serving capacity'."""
+    import asyncio as aio
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from foveax.io.wirecodec import make_wire_encoder, probe_frame
+
+    import os
+
+    tick_ms = 1e3 / args.fps
+    budget = 0.9 * tick_ms
+    w, h = (int(v) for v in args.size.split("x"))
+    if args.workers is None:  # the serve loop's executor sizing
+        args.workers = min(32, (os.cpu_count() or 1) + 4)
+
+    async def run_n(n):
+        encs = [
+            make_wire_encoder(
+                args.codec, w, h, args.fps,
+                bitrate=args.bitrate, crf=args.crf, preset=args.preset,
+            )
+            for _ in range(n)
+        ]
+        ex = ThreadPoolExecutor(max_workers=args.workers)
+        loop = aio.get_running_loop()
+        try:
+            ticks = []
+            for i in range(args.ticks + 2):
+                frame = probe_frame(w, h, i)
+                t0 = time.perf_counter()
+                await aio.gather(*(
+                    loop.run_in_executor(ex, e.encode, frame) for e in encs
+                ))
+                if i >= 2:  # keyframe + warmup ticks excluded
+                    ticks.append((time.perf_counter() - t0) * 1e3)
+            return float(np.percentile(ticks, 90))
+        finally:
+            ex.shutdown(wait=True)
+            for e in encs:
+                e.close()
+
+    print(f"# {args.codec} preset={args.preset or '(default)'} {w}x{h} "
+          f"fps={args.fps:g} (budget {budget:.1f} ms = 90% tick), "
+          f"workers={args.workers}, {args.ticks} ticks")
+    best = 0
+    for n in range(1, args.max_members + 1):
+        p90 = aio.run(run_n(n))
+        fits = p90 <= budget
+        print(f"members={n:3d}  p90 tick encode {p90:7.2f} ms  "
+              f"{'OK' if fits else 'DECIMATES'}")
+        if fits:
+            best = n
+        elif n > best + 1:
+            break
+    cores = os.cpu_count() or 1
+    print(f"# sustained: {best} members/host at the {args.fps:g} fps tick "
+          f"({cores} core(s)); composed capacity = min(240/chip device "
+          f"knee, {best} encode half)")
+    return 0
+
+
 def cmd_perf(args) -> int:
     """Device-path throughput across resolutions (1080p/4K/8K) using the
     dependency-chained methodology of bench.py.  With --clients N, also
@@ -1358,6 +1430,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--jpeg-quality", type=int, default=90)
     p.set_defaults(fn=cmd_encode_ladder)
+
+    p = sub.add_parser(
+        "encode_capacity",
+        help="members/host sustained at the tick through the serve "
+        "loop's encode structure (real encoders, bounded executor)",
+    )
+    p.add_argument("--codec", default="h264")
+    p.add_argument("--preset", default="ultrafast")
+    p.add_argument("--size", default="1072x608")
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--crf", type=int, default=25)
+    p.add_argument("--bitrate", type=int, default=2_000_000)
+    p.add_argument("--ticks", type=int, default=60)
+    p.add_argument("--max-members", type=int, default=16)
+    p.add_argument(
+        "--workers", type=int, default=None,
+        help="executor threads (default: the serve loop's sizing)",
+    )
+    p.set_defaults(fn=cmd_encode_capacity)
 
     p = sub.add_parser("perf", help="device-path fps across resolutions")
     p.add_argument(
