@@ -154,6 +154,8 @@ class Session:
         self.ws = ws
         self.server = server
         self.center = (0.5, 0.5)
+        # Earliest not-yet-applied gaze update (gaze-apply latency probe).
+        self._gaze_rx_ts: float | None = None
         # Per-session gaze predictor (Kalman filters carry state).
         from foveax.serve.gazepred import make_predictor
 
@@ -202,8 +204,23 @@ class Session:
         cx = min(max(cx, 0.0), 1.0)
         cy = min(max(cy, 0.0), 1.0)
         self.center = (cx, cy)
+        if self._gaze_rx_ts is None:  # keep the EARLIEST unapplied update
+            self._gaze_rx_ts = time.perf_counter()
         if self.predictor is not None:
             self.predictor.update(cx, cy)
+
+    def mark_gaze_applied(self) -> None:
+        """Record gaze-apply latency: called on the tick that samples a
+        frame with this session's current gaze (apply-at-next-tick, the
+        reference's timing, src/video_server.cc:325-328).  Production
+        observability for the core UX number the two-process demo
+        measures end-to-end (stats loop p50/p90)."""
+        ts = self._gaze_rx_ts
+        if ts is not None:
+            self._gaze_rx_ts = None
+            self.server.gaze_apply_ms.append(
+                (time.perf_counter() - ts) * 1e3
+            )
 
     def effective_center(self) -> tuple[float, float]:
         """Gaze used for the next frame; with prediction enabled the
@@ -653,6 +670,7 @@ class BroadcastChannel:
                             self.server.total_dropped += 1
                             continue
                         cx, cy = session.effective_center()
+                        session.mark_gaze_applied()
                         await session.ws.send(
                             protocol.dumps(
                                 FrameMeta(
@@ -700,6 +718,8 @@ class BroadcastChannel:
                     continue
 
             centers = [s.effective_center() for s, _ in members]
+            for s_, _ in members:
+                s_.mark_gaze_applied()
             slot = self._slot(len(centers))
             if self._sharded is not None:
                 # The data axis shards the batch; round the slot up to a
@@ -993,6 +1013,11 @@ class FoveaxServer:
         self.total_sent = 0
         self.total_dropped = 0
         self.total_decimated = 0
+        # Gaze-apply latency samples (ms), gaze arrival -> sampling tick;
+        # drained each stats period for p50/p90 observability.
+        from collections import deque
+
+        self.gaze_apply_ms: "deque[float]" = deque(maxlen=4096)
         # Per-tick device->host readbacks get a deadline (ReadbackGuard):
         # the tunnel's recorded wedge stalls transfers for minutes while
         # compute keeps working; a serve loop must degrade to skipped
@@ -1321,6 +1346,7 @@ class FoveaxServer:
             next_deadline = max(next_deadline + tick, time.perf_counter())
 
             cx, cy = session.effective_center()
+            session.mark_gaze_applied()
 
             # Drop-on-backlog: a slow consumer must not stall the frame
             # clock (the reference's analog is its bounded 20x1 ms encoder
@@ -1426,15 +1452,25 @@ class FoveaxServer:
             decimated = self.total_decimated
             rb = self.total_readback_skips
             if self.sessions or sent != prev_sent:
+                if self.gaze_apply_ms:
+                    lat = np.asarray(self.gaze_apply_ms)
+                    self.gaze_apply_ms.clear()
+                    gaze_s = "gaze_apply p50=%.0fms p90=%.0fms " % (
+                        float(np.percentile(lat, 50)),
+                        float(np.percentile(lat, 90)),
+                    )
+                else:
+                    gaze_s = ""
                 log.info(
                     "sessions=%d channels=%d fps=%.1f dropped=%d "
-                    "decimated=%d rb_skipped=%d q_avg=%.0f",
+                    "decimated=%d rb_skipped=%d %sq_avg=%.0f",
                     len(self.sessions),
                     len(self.channels),
                     (sent - prev_sent) / period_s,
                     dropped - prev_dropped,
                     decimated - prev_decimated,
                     rb - prev_rb,
+                    gaze_s,
                     np.mean([s.quality for s in self.sessions])
                     if self.sessions
                     else float(self.jpeg_quality),

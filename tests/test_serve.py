@@ -1774,3 +1774,34 @@ def test_svd_wire_delta_stream_and_gap_recovery():
     # The stateless helper refuses delta samples loudly.
     with pytest.raises(ValueError):
         unpack_svd(packed[1][0])
+
+
+def test_gaze_apply_latency_probe():
+    """update_gaze arms the probe at the EARLIEST unapplied update;
+    mark_gaze_applied records arrival->apply ms once and disarms (the
+    stats loop drains server.gaze_apply_ms for p50/p90)."""
+    import time as _time
+
+    from foveax.serve.server import Session
+
+    server = FoveaxServer(CFG)
+    s = Session.__new__(Session)
+    s.server = server
+    s.center = (0.5, 0.5)
+    s.predictor = None
+    s._gaze_rx_ts = None
+
+    s.mark_gaze_applied()  # nothing armed: no sample
+    assert not server.gaze_apply_ms
+
+    s.update_gaze(0.3, 0.4)
+    t0 = s._gaze_rx_ts
+    _time.sleep(0.01)
+    s.update_gaze(0.31, 0.41)  # later update must NOT re-arm
+    assert s._gaze_rx_ts == t0
+    s.mark_gaze_applied()
+    assert len(server.gaze_apply_ms) == 1
+    assert 10.0 <= server.gaze_apply_ms[0] < 5000.0
+    assert s._gaze_rx_ts is None
+    s.mark_gaze_applied()  # disarmed: still one sample
+    assert len(server.gaze_apply_ms) == 1
