@@ -109,6 +109,7 @@ class FoveaxClient:
         frame_sink=None,
         max_frames: int | None = None,
         on_text=None,
+        unwarp: str = "auto",
     ):
         self.uri = uri
         self.video = video
@@ -116,6 +117,14 @@ class FoveaxClient:
         self.gaze_source = gaze_source  # callable i -> (cx, cy)
         self.frame_sink = frame_sink  # callable (frame_np, meta) -> None
         self.max_frames = max_frames
+        # "off" skips the restore entirely (stats/fan-in measurement on a
+        # host whose software unwarp can't sustain the wire rate — the
+        # render half is measured separately; requires no frame_sink).
+        if unwarp not in ("auto", "off"):
+            raise ValueError(f"unknown unwarp mode {unwarp!r}")
+        if unwarp == "off" and frame_sink is not None:
+            raise ValueError("unwarp='off' cannot feed a frame_sink")
+        self.unwarp = unwarp
         # Server text messages carry stream-level errors (e.g. "stream
         # ended: encoder renegotiation failed") — surface them.
         self.on_text = on_text or (lambda m: log.info("server: %s", m))
@@ -334,25 +343,29 @@ class FoveaxClient:
                         center = (
                             (meta.centerX, meta.centerY) if meta else (0.5, 0.5)
                         )
-                    t0 = time.perf_counter()
-                    # Backend-tuned precision (<= 1 LSB of exact): the
-                    # client is latency-critical, like the reference's
-                    # GPU unwarp (src/video_client.cc:313-322).
-                    full = pipeline.unwarp_auto(
-                        jnp.asarray(reduced),
-                        jnp.asarray(center, jnp.float32),
-                    )
-                    if self.frame_sink is not None:
-                        full_np = np.asarray(full)
-                    else:
-                        # Stats-only client: force completion with a
-                        # data-dependent scalar readback instead of the
-                        # full-frame transfer (block_until_ready is not a
-                        # reliable fence through remote-attached
-                        # transports — see CLAUDE.md / bench.py).
-                        _ = int(full[0, 0, 0])
+                    if self.unwarp == "off":
+                        unw_ms = 0.0
                         full_np = None
-                    unw_ms = (time.perf_counter() - t0) * 1e3
+                    else:
+                        t0 = time.perf_counter()
+                        # Backend-tuned precision (<= 1 LSB of exact): the
+                        # client is latency-critical, like the reference's
+                        # GPU unwarp (src/video_client.cc:313-322).
+                        full = pipeline.unwarp_auto(
+                            jnp.asarray(reduced),
+                            jnp.asarray(center, jnp.float32),
+                        )
+                        if self.frame_sink is not None:
+                            full_np = np.asarray(full)
+                        else:
+                            # Stats-only client: force completion with a
+                            # data-dependent scalar readback instead of the
+                            # full-frame transfer (block_until_ready is not
+                            # a reliable fence through remote-attached
+                            # transports — see CLAUDE.md / bench.py).
+                            _ = int(full[0, 0, 0])
+                            full_np = None
+                        unw_ms = (time.perf_counter() - t0) * 1e3
 
                     self.stats.record(
                         gaze_to_index(*center), recv_ms, dec_ms, unw_ms

@@ -28,6 +28,8 @@ timeout 600 python scripts/stage_bench.py --resolutions 16k --stages fused
 timeout 600 python scripts/stage_bench.py --resolutions 16k --stages unwarp \
   --precision fused
 
+timeout 1500 python scripts/unwarp_diag.py --res 16k --iters 12
+
 timeout 1200 python -m foveax.cli.main perf --resolutions 4k 8k 16k
 
 timeout 1200 python -m foveax.cli.main perf --resolutions 4k \

@@ -37,7 +37,8 @@ def free_port() -> int:
         return s.getsockname()[1]
 
 
-async def run_client(port: int, video: str, w: int, h: int, frames: int):
+async def run_client(port: int, video: str, w: int, h: int, frames: int,
+                     unwarp: str = "auto"):
     from foveax.config import FoveaxConfig
     from foveax.serve.client import FoveaxClient
 
@@ -48,6 +49,7 @@ async def run_client(port: int, video: str, w: int, h: int, frames: int):
         config=cfg,
         gaze_source=lambda i: ((0.3 + 0.01 * i) % 1.0, 0.5),
         max_frames=frames,
+        unwarp=unwarp,
     )
     return await client.run()
 
@@ -71,6 +73,13 @@ def main() -> int:
         help="server-side gaze prediction (note: with prediction on, the "
         "echoed center is the predicted one, so the matched gaze-apply "
         "metric reads n/a — compare delivered quality instead)",
+    )
+    ap.add_argument(
+        "--client-unwarp", default="auto", choices=["auto", "off"],
+        help="off: the client skips the restore — fan-in then measures "
+        "the gaze round trip through the production wire even on a host "
+        "whose software unwarp cannot sustain the wire rate (the render "
+        "half is measured separately: BENCHMARKS stage table)",
     )
     ap.add_argument(
         "--server-args", default="",
@@ -122,7 +131,9 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
         t0 = time.perf_counter()
-        stats = asyncio.run(run_client(port, video, w, h, args.frames))
+        stats = asyncio.run(
+            run_client(port, video, w, h, args.frames, args.client_unwarp)
+        )
         dt = time.perf_counter() - t0
         a = stats.averages()
         print(f"[demo] frames: {a['frames']} in {dt:.1f}s "
@@ -143,6 +154,17 @@ def main() -> int:
               f"kbit/frame)")
         print("[demo] traffic: JSON gaze messages up, encoded fMP4 down — "
               "no unencoded pixels crossed the process boundary")
+        server.terminate()
+        try:
+            rest = server.stdout.read()
+        except Exception:
+            rest = ""
+        for line in (rest or "").splitlines():
+            # Server-side gaze-apply percentiles (arrival -> sampling
+            # tick): the apply-at-tick number independent of the
+            # client/transport half.
+            if "gaze_apply" in line:
+                print(f"[demo] server {line.strip()}")
         return 0
     finally:
         server.terminate()
