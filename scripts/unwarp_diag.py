@@ -13,6 +13,8 @@ removed, timing each with dependency-chained paired-difference loops:
   nodot     DMA + write (the byte path alone)
   nodma     cast + dots + write on resident scratch (the compute path)
   dotconst  dots on a constant plane + write (dot cost without the cast)
+  nodiv     full, but x * (1/dn) with the reciprocal hoisted to one
+            divide per column (is the per-element f32 divide the cost?)
 
 cast cost ~= nodma - dotconst; DMA vs compute overlap shows as
 full < nodot + nodma.  Synthetic one-hot metadata (step-1 windows) keeps
@@ -99,6 +101,7 @@ def main() -> int:
         dn = d_ref[0, 0, :][None, :].astype(jnp.float32)
         ks = jax.lax.broadcasted_iota(jnp.int32, (kx, lx), 0)
         oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
+        rdn = 1.0 / dn  # one divide per column (nodiv variant)
         outs = []
         for c in range(3):
             if variant == "dotconst":
@@ -109,7 +112,11 @@ def main() -> int:
                 x, oh, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            outs.append((numdot / dn + 0.01).astype(jnp.int32).astype(jnp.uint8))
+            if variant == "nodiv":
+                q = numdot * rdn + 0.01
+            else:
+                q = numdot / dn + 0.01
+            outs.append(q.astype(jnp.int32).astype(jnp.uint8))
         out_ref[...] = jnp.stack(outs)
 
     def build(variant):
@@ -160,7 +167,7 @@ def main() -> int:
     )()
 
     n1, n2 = args.iters, 2 * args.iters
-    for variant in ("full", "nodot", "nodma", "dotconst"):
+    for variant in ("full", "nodot", "nodma", "dotconst", "nodiv"):
         f1 = functools.partial(loop, variant=variant, iters=n1)
         f2 = functools.partial(loop, variant=variant, iters=n2)
         print(f"# compiling {variant}", flush=True)
