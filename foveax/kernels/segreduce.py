@@ -487,6 +487,15 @@ def _x_kernel(
         dy = dy_ref[:, 0][:, None].astype(jnp.float32)  # (hb, 1)
         rect_f = dy * dx
         rect_u = rect_f.astype(jnp.int32).astype(jnp.uint32)
+        # Separable reciprocal: hb + s divides instead of hb*s per
+        # channel (VPU divides are many-times-slower than multiplies).
+        # (1/dy)(1/dx) carries <= 2 ulp of extra rounding vs 1/(dy*dx) —
+        # well inside the +-1 tolerance of the wraparound fixup below.
+        # Masked cells can have dx = 0 (inf recip): the quotient is
+        # masked to 0 by `valid` below, and inf*0 NaN never forms
+        # because box sums over empty intervals are exactly 0.0, and
+        # 0 * inf... guard anyway by clamping the empty-interval width.
+        rrect = (1.0 / jnp.maximum(dy, 1.0)) * (1.0 / jnp.maximum(dx, 1.0))
         valid = (vy_ref[:, 0][:, None] > 0) & (vx_ref[0, 0, :][None, :] > 0)
 
         outs = []
@@ -521,7 +530,10 @@ def _x_kernel(
             box_u = box_f.astype(jnp.int32).astype(jnp.uint32)
             # Exact box/rect division: f32 quotient estimate + one-step
             # wraparound fixup (foveax.core.sample._exact_box_div).
-            q0 = (box_f / rect_f).astype(jnp.int32).astype(jnp.uint32)
+            # Estimate via the separable recip-multiply; the fixup
+            # corrects any +-1 estimate error, so exactness is unchanged
+            # by construction.
+            q0 = (box_f * rrect).astype(jnp.int32).astype(jnp.uint32)
             rem = box_u - q0 * rect_u
             wrapped = rem >= jnp.uint32(0x80000000)
             over = (~wrapped) & (rem >= rect_u)

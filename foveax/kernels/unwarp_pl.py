@@ -210,6 +210,16 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
     dn = d_ref[0, 0, :][:, None].astype(jnp.float32)
     ks = jax.lax.broadcasted_iota(jnp.int32, (_SY, k), 1)
     oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
+    # One reciprocal per output ROW instead of a full-width f32 divide
+    # per element: VPU divides are many-times-slower than multiplies and
+    # this quotient runs once per output cell (round-5 ceiling work).
+    # Exactness: q' = num x fl(1/dn) has |q' - q| <= q * 2^-22 <= 1e-4.
+    # True quotients are multiples of 1/dn, so a non-half quotient sits
+    # >= 1/(2*dn) >= 1/66 from the .5 rounding boundary (>> 1e-4 + bias)
+    # and an exact-half quotient (round-half-up in the exact path) gets
+    # the explicit +2^-10 bias, which clears the boundary past the error
+    # without reaching the next 1/dn step.
+    rdn = 1.0 / dn
     outs = []
     for c in range(3):
         x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
@@ -217,7 +227,10 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
             oh, x, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (_SY, Wp)
-        outs.append((numdot / dn + 0.5).astype(jnp.int32).astype(jnp.uint8))
+        outs.append(
+            (numdot * rdn + (0.5 + 2.0 ** -10))
+            .astype(jnp.int32).astype(jnp.uint8)
+        )
     out_ref[...] = jnp.stack(outs)
 
 
@@ -245,6 +258,10 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
     dn = d_ref[0, 0, :][None, :].astype(jnp.float32)
     ks = jax.lax.broadcasted_iota(jnp.int32, (k, lx), 0)
     oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
+    # One reciprocal per output COLUMN instead of a per-element divide
+    # (see _y_kernel); the recip-multiply's relative error (<= 2^-22) is
+    # far inside the existing +0.01 truncation guard's margin.
+    rdn = 1.0 / dn
     outs = []
     for c in range(3):
         x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
@@ -252,7 +269,7 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
             x, oh, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (hb, _LX)
-        outs.append((numdot / dn + 0.01).astype(jnp.int32).astype(jnp.uint8))
+        outs.append((numdot * rdn + 0.01).astype(jnp.int32).astype(jnp.uint8))
     out_ref[...] = jnp.stack(outs)
 
 
