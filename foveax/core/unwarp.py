@@ -108,23 +108,62 @@ def _mm_tiles(idx_lo, idx_hi, num, den, out_dim, maxstep: int):
     return t, base, bad, ws, scale, den_t
 
 
+def _fixup_blend(yb, cols, ix_lo, ix_hi, nx, dx):
+    """Exact integer blend for the given output columns: two column
+    gathers from the y-blended intermediate + the rational weights."""
+    left = jnp.take(yb, ix_lo[cols], axis=2).astype(jnp.float32)
+    right = jnp.take(yb, ix_hi[cols], axis=2).astype(jnp.float32)
+    nf = nx[cols].astype(jnp.float32)[None, None, :]
+    df = dx[cols].astype(jnp.float32)[None, None, :]
+    return ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
+
+
 def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int):
-    """Scatter the exact integer blend over output columns whose taps
-    escaped their tile/slab window (wrap-jump and edge-collapse cases):
-    top_k selects the <= fix_k flagged column indices, direct gathers
-    recompute them, and a drop-mode scatter overwrites the placeholder
-    values.  Shared by the mm col pass and the fused Pallas unwarp."""
+    """Repair output columns whose taps escaped their tile/slab window
+    (wrap-jump and edge-collapse cases).  Shared by the mm col pass and
+    the fused Pallas unwarp.
+
+    The escaped set is one contiguous run: dense sweeps over EVERY
+    integer gaze at every production shape (1080p/4K/8K/16K) measure a
+    worst bad-span of 127 columns — the single jump block (the kernels
+    snap the center to integer pixels, so the sweep is exhaustive).  The
+    repair is therefore a fix_k-wide window anchored at the first bad
+    column: dynamic_slice the current values, blend in the recomputed
+    columns, dynamic_update_slice back — contiguous traffic instead of a
+    minor-axis scatter into the full-size output, which measured 4.3 ms
+    of the 16K fused stage's 8.1 (scripts/unwarp_diag2.py, 2026-08-20).
+    A top_k + scatter fallback guards non-production shapes via lax.cond
+    (the shape fuzzer explores geometries the sweep does not cover)."""
     w_out = badf.shape[0]
-    scores = jnp.where(badf, jnp.arange(w_out, dtype=jnp.int32), -1)
-    fix = jax.lax.top_k(scores, min(fix_k, w_out))[0]  # -1 padded
-    safe = jnp.maximum(fix, 0)
-    left = jnp.take(yb, ix_lo[safe], axis=2).astype(jnp.float32)
-    right = jnp.take(yb, ix_hi[safe], axis=2).astype(jnp.float32)
-    nf = nx[safe].astype(jnp.float32)[None, None, :]
-    df = dx[safe].astype(jnp.float32)[None, None, :]
-    vals = ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
-    idx = jnp.where(fix < 0, w_out, fix)               # pads dropped
-    return out.at[:, :, idx].set(vals, mode="drop")
+    width = min(fix_k, w_out)
+    positions = jnp.arange(w_out, dtype=jnp.int32)
+
+    start = jnp.clip(
+        jnp.argmax(badf).astype(jnp.int32), 0, max(w_out - width, 0)
+    )
+    cols = start + jnp.arange(width, dtype=jnp.int32)
+    vals = _fixup_blend(yb, cols, ix_lo, ix_hi, nx, dx)
+    cur = jax.lax.dynamic_slice(
+        out, (0, 0, start), (out.shape[0], out.shape[1], width)
+    )
+    merged = jnp.where(badf[cols][None, None, :], vals, cur)
+    windowed = jax.lax.dynamic_update_slice(out, merged, (0, 0, start))
+
+    outside = badf & ((positions < start) | (positions >= start + width))
+
+    def scatter_rest(args):
+        fixed, outside = args
+        scores = jnp.where(outside, positions, -1)
+        fix = jax.lax.top_k(scores, width)[0]  # -1 padded
+        safe = jnp.maximum(fix, 0)
+        vals = _fixup_blend(yb, safe, ix_lo, ix_hi, nx, dx)
+        idx = jnp.where(fix < 0, w_out, fix)   # pads dropped
+        return fixed.at[:, :, idx].set(vals, mode="drop")
+
+    return jax.lax.cond(
+        jnp.any(outside), scatter_rest, lambda args: args[0],
+        (windowed, outside),
+    )
 
 
 def _mm_dot(slab, ws, scale: int, spec: str):
