@@ -123,37 +123,66 @@ def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int):
     (wrap-jump and edge-collapse cases).  Shared by the mm col pass and
     the fused Pallas unwarp.
 
-    The escaped set is one contiguous run: dense sweeps over EVERY
-    integer gaze at every production shape (1080p/4K/8K/16K) measure a
-    worst bad-span of 127 columns — the single jump block (the kernels
-    snap the center to integer pixels, so the sweep is exhaustive).  The
-    repair is therefore a fix_k-wide window anchored at the first bad
-    column: dynamic_slice the current values, blend in the recomputed
-    columns, dynamic_update_slice back — contiguous traffic instead of a
-    minor-axis scatter into the full-size output, which measured 4.3 ms
-    of the 16K fused stage's 8.1 (scripts/unwarp_diag2.py, 2026-08-20).
-    A top_k + scatter fallback guards non-production shapes via lax.cond
-    (the shape fuzzer explores geometries the sweep does not cover)."""
+    The escaped set is one contiguous run, and so are its source taps:
+    dense sweeps over EVERY integer gaze at every production shape
+    (1080p/4K/8K/16K) measure a worst bad-span of 127 columns — the
+    single jump block, whose post-jump lo indices advance 0-or-1 per
+    column (the kernels snap the center to integer pixels, so the sweep
+    is exhaustive).  The repair is therefore windowed on BOTH sides:
+    a fix_k-wide output window anchored at the first bad column, blended
+    from a fix_k-wide dynamic_slice of the SOURCE rows — contiguous
+    traffic end to end.  Neither a minor-axis scatter into the full-size
+    output nor a column gather from the full-size intermediate appears
+    on this path (the round-4 scatter version measured 4.3 ms of the 16K
+    fused stage's 8.1, scripts/unwarp_diag2.py 2026-08-20; gathers from
+    a >200 MB operand carry their own relayout cost).  Bad columns the
+    window pair cannot cover (non-production fuzz geometries) fall back
+    to the top_k + scatter repair via lax.cond."""
     w_out = badf.shape[0]
     width = min(fix_k, w_out)
+    w_src = yb.shape[2]
+    width_s = min(fix_k, w_src)
     positions = jnp.arange(w_out, dtype=jnp.int32)
 
     start = jnp.clip(
         jnp.argmax(badf).astype(jnp.int32), 0, max(w_out - width, 0)
     )
     cols = start + jnp.arange(width, dtype=jnp.int32)
-    vals = _fixup_blend(yb, cols, ix_lo, ix_hi, nx, dx)
+    bad_w = badf[cols]
+    lo_w = ix_lo[cols]
+    hi_w = ix_hi[cols]
+    # Source window anchored at the smallest bad-column lo tap.
+    src0 = jnp.clip(
+        jnp.min(jnp.where(bad_w, lo_w, w_src)).astype(jnp.int32),
+        0,
+        max(w_src - width_s, 0),
+    )
+    src = jax.lax.dynamic_slice(
+        yb, (0, 0, src0), (yb.shape[0], yb.shape[1], width_s)
+    )
+    rel_lo = jnp.clip(lo_w - src0, 0, width_s - 1)
+    rel_hi = jnp.clip(hi_w - src0, 0, width_s - 1)
+    left = jnp.take(src, rel_lo, axis=2).astype(jnp.float32)
+    right = jnp.take(src, rel_hi, axis=2).astype(jnp.float32)
+    nf = nx[cols].astype(jnp.float32)[None, None, :]
+    df = dx[cols].astype(jnp.float32)[None, None, :]
+    vals = ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
+
     cur = jax.lax.dynamic_slice(
         out, (0, 0, start), (out.shape[0], out.shape[1], width)
     )
-    merged = jnp.where(badf[cols][None, None, :], vals, cur)
+    # Only bad columns whose taps the source window covers are repaired
+    # here; the rest (none at any production shape) go to the fallback.
+    covered = bad_w & (lo_w >= src0) & (hi_w < src0 + width_s)
+    merged = jnp.where(covered[None, None, :], vals, cur)
     windowed = jax.lax.dynamic_update_slice(out, merged, (0, 0, start))
 
-    outside = badf & ((positions < start) | (positions >= start + width))
+    in_window = jnp.zeros((w_out,), bool).at[cols].set(covered)
+    residual = badf & ~in_window
 
     def scatter_rest(args):
-        fixed, outside = args
-        scores = jnp.where(outside, positions, -1)
+        fixed, residual = args
+        scores = jnp.where(residual, positions, -1)
         fix = jax.lax.top_k(scores, width)[0]  # -1 padded
         safe = jnp.maximum(fix, 0)
         vals = _fixup_blend(yb, safe, ix_lo, ix_hi, nx, dx)
@@ -161,8 +190,8 @@ def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int):
         return fixed.at[:, :, idx].set(vals, mode="drop")
 
     return jax.lax.cond(
-        jnp.any(outside), scatter_rest, lambda args: args[0],
-        (windowed, outside),
+        jnp.any(residual), scatter_rest, lambda args: args[0],
+        (windowed, residual),
     )
 
 
