@@ -237,3 +237,53 @@ def test_mm_tile_window_precondition():
     check(96, reduced_dim(96), range(96))
     check(320, reduced_dim(320), range(320))
     check(1920, reduced_dim(1920), range(0, 1920, 37))
+
+
+def test_jump_fixup_windowed_and_fallback_paths():
+    """_jump_fixup repairs (a) a contiguous bad run via the two-sided
+    window path and (b) bad columns the window pair cannot cover via the
+    scatter fallback — both bit-exact against a NumPy blend."""
+    import jax.numpy as jnp
+
+    from foveax.core.unwarp import _jump_fixup
+
+    rng = np.random.default_rng(5)
+    H, W_SRC, W_OUT, FIX_K = 8, 64, 80, 16
+    yb = rng.integers(0, 256, (3, H, W_SRC), np.uint8)
+    ix_lo = rng.integers(0, W_SRC - 1, W_OUT).astype(np.int32)
+    ix_hi = np.minimum(ix_lo + rng.integers(0, 2, W_OUT), W_SRC - 1).astype(
+        np.int32
+    )
+    dx = rng.integers(1, 24, W_OUT).astype(np.int32)
+    nx = (rng.integers(0, 100, W_OUT) % dx).astype(np.int32)
+
+    # Run A: one contiguous bad run with contiguous source taps (the
+    # production shape) -> pure window path.
+    badf = np.zeros(W_OUT, bool)
+    badf[20:29] = True
+    ix_lo_a = ix_lo.copy()
+    ix_lo_a[20:29] = np.arange(40, 49)  # monotone source run
+    ix_hi_a = ix_lo_a + (ix_hi - ix_lo)
+    ix_hi_a = np.minimum(ix_hi_a, W_SRC - 1).astype(np.int32)
+
+    # Run B: two far-apart bad runs -> window + scatter fallback.
+    badf_b = badf.copy()
+    badf_b[70:73] = True
+
+    for bad in (badf, badf_b):
+        out = rng.integers(0, 256, (3, H, W_OUT), np.uint8)
+        got = np.asarray(
+            _jump_fixup(
+                jnp.asarray(out), jnp.asarray(yb), jnp.asarray(bad),
+                jnp.asarray(ix_lo_a), jnp.asarray(ix_hi_a),
+                jnp.asarray(nx), jnp.asarray(dx), FIX_K,
+            )
+        )
+        want = out.copy()
+        for j in np.flatnonzero(bad):
+            left = yb[:, :, ix_lo_a[j]].astype(np.float64)
+            right = yb[:, :, ix_hi_a[j]].astype(np.float64)
+            want[:, :, j] = (
+                (left * (dx[j] - nx[j]) + right * nx[j]) / dx[j]
+            ).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
