@@ -1,42 +1,64 @@
 #!/bin/bash
-# Round-5 measurement batch A (run once per healthy window):
+# Round-5 measurement batch (run under tpu_watch_round5.sh, which
+# retries the whole batch until it completes in one healthy stretch):
 #   0. on-chip fused parity — GATES everything below (a batch must never
 #      publish headline numbers for a kernel configuration whose parity
 #      just failed: round-4 ADVICE item 3)
 #   1. pure-stream HBM ceiling microbench (fresh process)
-#   2. scan + fused sampler + fused unwarp stage costs in the SAME
-#      window (fresh processes) -> %-of-delivered per stage
-#   3. full-path refresh at 4k/8k/16k (the 16K two-window question)
+#   2. 16K stage costs + the unwarp decompositions in the SAME window
+#   3. full-path refresh at 4k/8k/16k
 #   4. batched-sampler knee points at 4K and 8K (round-4 only measured
 #      1080p) + the 1080p 240/256 bracket re-check
 #   5. bench.py headline
-# Every item is timeout-bounded so a mid-batch wedge cannot hold the
-# tunnel when the round-end driver runs bench.py.
+# Each step is timeout-bounded AND preceded by a fast health probe: a
+# mid-batch tunnel wedge exits 1 immediately (the watcher resumes
+# probing) instead of burning every remaining step's timeout.
 set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/tmp/foveax_jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
 
+probe() {
+  timeout 150 python -c "
+import sys, jax, jax.numpy as jnp
+x = jnp.arange(128, dtype=jnp.int32)
+ok = int((x*x).sum()) == 690880 and jax.default_backend() == 'tpu'
+sys.exit(0 if ok else 1)
+" || { echo "WEDGED: aborting batch for re-probe"; exit 1; }
+}
+
+probe
 FOVEAX_TPU_TESTS=1 timeout 900 python -m pytest tests/test_tpu_parity.py \
-  -q -m tpu -k fused -x || { echo "PARITY-FAILED: batch aborted"; exit 1; }
+  -q -m tpu -k fused -x || { echo "PARITY-FAILED: batch aborted"; exit 2; }
 
-timeout 1500 python scripts/hbm_stream_bench.py --iters 8 --mb 128
+probe
+timeout 1500 python scripts/hbm_stream_bench.py --iters 48 --mb 128 || exit 1
 
-timeout 600 python scripts/stage_bench.py --resolutions 16k --stages sat
-timeout 600 python scripts/stage_bench.py --resolutions 16k --stages fused
-timeout 600 python scripts/stage_bench.py --resolutions 16k --stages unwarp \
-  --precision fused
+probe
+timeout 900 python scripts/stage_bench.py --resolutions 16k --stages fused \
+  || exit 1
+probe
+timeout 900 python scripts/stage_bench.py --resolutions 16k --stages unwarp \
+  --precision fused || exit 1
+probe
+timeout 1500 python scripts/unwarp_diag2.py --res 16k --iters 10 || exit 1
+probe
+timeout 1500 python scripts/unwarp_diag3.py --res 16k --iters 10 || exit 1
 
-timeout 1500 python scripts/unwarp_diag.py --res 16k --iters 12
+probe
+timeout 1500 python -m foveax.cli.main perf --resolutions 4k 8k 16k || exit 1
 
-timeout 1200 python -m foveax.cli.main perf --resolutions 4k 8k 16k
-
-timeout 1200 python -m foveax.cli.main perf --resolutions 4k \
-  --clients 8 16 32 48 64 --batch-sampler fused
+probe
+timeout 1500 python -m foveax.cli.main perf --resolutions 4k \
+  --clients 8 16 32 48 64 --batch-sampler fused || exit 1
+probe
 timeout 1200 python -m foveax.cli.main perf --resolutions 8k \
-  --clients 4 8 12 16 --batch-sampler fused
+  --clients 4 8 12 16 --batch-sampler fused || exit 1
+probe
 timeout 900 python -m foveax.cli.main perf --resolutions 1080p \
-  --clients 240 256 --batch-sampler fused
+  --clients 240 256 --batch-sampler fused || exit 1
 
-FOVEAX_BENCH_FUSED_TIMEOUT=240 timeout 1300 python bench.py
+probe
+FOVEAX_BENCH_FUSED_TIMEOUT=240 timeout 1300 python bench.py || exit 1
+echo "BATCH-COMPLETE"

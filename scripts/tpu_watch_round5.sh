@@ -22,7 +22,11 @@ sys.exit(jax.default_backend() != 'tpu')
     bash "$BATCH" >> "$LOG" 2>&1
     rc=$?
     echo "[watch] batch done rc=$rc" >> "$LOG"
-    exit $rc
+    # rc 0 = complete; rc 2 = parity failed (do NOT retry — the numbers
+    # would be for a broken kernel config); rc 1 = wedged mid-batch, so
+    # keep probing and retry the whole batch in the next healthy window.
+    [ $rc -ne 1 ] && exit $rc
+    echo "[watch] batch wedged; resuming probes" >> "$LOG"
   fi
   sleep 240
 done
