@@ -130,3 +130,34 @@ def test_doctor(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "pallas:" in out and "native muxer:" in out
+
+
+def test_encode_ladder_smoke(capsys):
+    """encode_ladder reports ms/kbit/PSNR/members per point and the
+    composed-capacity line (tiny size + 1 preset so it stays fast)."""
+    from foveax.io.wirecodec import available_wire_codecs
+
+    codec = "h264" if "h264" in available_wire_codecs() else "jpeg"
+    rc = main([
+        "encode_ladder", "--codecs", codec, "--presets", "ultrafast",
+        "--sizes", "192x96", "--frames", "3", "--bitrate", "0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "members/core" in out
+    assert "composed capacity" in out
+    assert codec in out
+
+
+def test_encode_capacity_smoke(capsys):
+    from foveax.io.wirecodec import available_wire_codecs
+
+    if "h264" not in available_wire_codecs():
+        pytest.skip("native h264 shim not built")
+    rc = main([
+        "encode_capacity", "--size", "192x96", "--ticks", "4",
+        "--max-members", "2", "--workers", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sustained:" in out and "p90 tick encode" in out
