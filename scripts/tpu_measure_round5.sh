@@ -45,6 +45,8 @@ probe
 timeout 1500 python scripts/unwarp_diag2.py --res 16k --iters 10 || exit 1
 probe
 timeout 1500 python scripts/unwarp_diag3.py --res 16k --iters 10 || exit 1
+probe
+timeout 1500 python scripts/sampler_diag.py --res 16k --iters 10 || exit 1
 
 probe
 timeout 1500 python -m foveax.cli.main perf --resolutions 4k 8k 16k || exit 1
