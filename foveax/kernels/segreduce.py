@@ -338,7 +338,7 @@ def y_segment_reduce(
     """(3, H, W) uint8 + exact y tap intervals -> uint16 segment rows
     (3, Hr, W + pad_blocks*wb).
 
-    Row j of the result is the sum of frame rows [lo1[j], hi1[j]) — the
+    Row j of the result is the sum of frame rows [lo1[j], hi1[j)) — the
     y half of the 4-tap box filter (height-1 intervals pass raw pixel
     rows through, so the foveal crop needs no special case).  With
     ``pad_blocks`` extra width blocks, the columns past W repeat the
@@ -352,7 +352,37 @@ def y_segment_reduce(
     entirely and emit zeros (the grid statically covers ~2x the frame,
     so at any gaze roughly half the periphery blocks skip).
     """
+    out = y_segment_reduce_batch(
+        frame,
+        lo1[None],
+        hi1[None],
+        grid_g,
+        valid=None if valid is None else valid[None],
+        pad_blocks=pad_blocks,
+        interpret=interpret,
+    )
+    return out[:, 0]
+
+
+def y_segment_reduce_batch(
+    frame: jax.Array,
+    lo1s: jax.Array,
+    hi1s: jax.Array,
+    grid_g: np.ndarray,
+    *,
+    valid: jax.Array | None = None,
+    pad_blocks: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Gaze-batched y pass: N gazes' tap intervals (N, Hr) against ONE
+    shared frame -> (3, N, Hr, Wp) in a single kernel invocation per
+    band (the gaze axis rides the grid: per-gaze block metadata is
+    concatenated along the block axis, so the kernel is byte-for-byte
+    the single-gaze one — round 5's launch-amortization lever for the
+    serving knee, reference: src/video_server.cc:62-85's per-connection
+    engine stacks -> batched launches)."""
     _, hs, ws = frame.shape
+    ng = lo1s.shape[0]
     wb = _wb(ws)
     n = grid_g.shape[0] - 1
     # Quantized DMA bases need an 8-aligned clip bound: with an unaligned
@@ -373,29 +403,36 @@ def y_segment_reduce(
     nwb = ws // wb + pad_blocks
     outs = []
     for band, s in bands:
-        base, rel_lo, rel_hi = _block_geometry(
-            band, lo1, hi1, hp, wrap=False, s_cells=s, quantum=8
-        )
+        base, rel_lo, rel_hi = jax.vmap(
+            lambda lo, hi: _block_geometry(
+                band, lo, hi, hp, wrap=False, s_cells=s, quantum=8
+            )
+        )(lo1s, hi1s)
         nb = band.blocks(s)
         pad = nb * s - (band.end - band.start)
+        base = base.reshape(ng * nb)
+        rel_lo = rel_lo.reshape(ng * nb, 1, s)
+        rel_hi = rel_hi.reshape(ng * nb, 1, s)
         if valid is None:
-            va = jnp.ones((nb,), jnp.int32)
+            va = jnp.ones((ng * nb,), jnp.int32)
         else:
             va = (
-                jnp.pad(valid[band.start : band.end].astype(jnp.int32),
-                        (0, pad))
-                .reshape(nb, s)
+                jnp.pad(
+                    valid[:, band.start : band.end].astype(jnp.int32),
+                    ((0, 0), (0, pad)),
+                )
+                .reshape(ng * nb, s)
                 .max(axis=1)
             )
         dbuf = _dbuf_fits(band.k, wb)
         out = pl.pallas_call(
             functools.partial(
-                _y_kernel, k=band.k, q=8, s=s, wb=wb, w=ws, nb=nb, nwb=nwb,
-                dbuf=dbuf,
+                _y_kernel, k=band.k, q=8, s=s, wb=wb, w=ws, nb=ng * nb,
+                nwb=nwb, dbuf=dbuf,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(nb, nwb),
+                grid=(ng * nb, nwb),
                 in_specs=[
                     pl.BlockSpec(
                         (1, 1, s), lambda i, j, *_: (i, 0, 0),
@@ -417,12 +454,18 @@ def y_segment_reduce(
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
-            out_shape=jax.ShapeDtypeStruct((3, nb * s, nwb * wb), jnp.uint16),
+            out_shape=jax.ShapeDtypeStruct(
+                (3, ng * nb * s, nwb * wb), jnp.uint16
+            ),
             interpret=interpret,
         )(base, va, rel_lo, rel_hi, frame)
-        outs.append(out[:, : band.end - band.start, :])
-    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    return full[:, :n, :]
+        outs.append(
+            out.reshape(3, ng, nb * s, nwb * wb)[
+                :, :, : band.end - band.start, :
+            ]
+        )
+    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+    return full[:, :, :n, :]
 
 
 def _hb(hr: int) -> int:
@@ -437,7 +480,7 @@ def _hb(hr: int) -> int:
 
 def _x_kernel(
     base_ref, va_ref, vya_ref, lo_ref, hi_ref, vx_ref, rows_hbm, dy_ref,
-    vy_ref, out_ref, slab, sem, *, k, q, s, hb, nb, nhb, dbuf
+    vy_ref, out_ref, slab, sem, *, k, q, s, hb, nb, nhb, dbuf, nbg, hr
 ):
     """One (cell-block, row-block) step: DMA the (3, hb, k) segment-row
     window (double-buffered when the VMEM budget allows), limb-split
@@ -452,17 +495,23 @@ def _x_kernel(
     i = pl.program_id(0)
     j = pl.program_id(1)
 
+    # Gaze-batched grids flatten the cell-block axis to ng*nbg and stack
+    # the per-gaze segment rows along rows_hbm's row axis (stride hr);
+    # single-gaze calls pass nbg = nb, making g identically 0.
     def copy(t2, sl):
         ii, jj = t2 // nhb, jax.lax.rem(t2, nhb)
+        g = ii // nbg
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(jj * hb, hb), pl.ds(base_ref[ii] * q, k)],
+            rows_hbm.at[
+                :, pl.ds(g * hr + jj * hb, hb), pl.ds(base_ref[ii] * q, k)
+            ],
             slab.at[sl],
             sem.at[sl],
         )
 
     def act(t2):
         ii, jj = t2 // nhb, jax.lax.rem(t2, nhb)
-        return (va_ref[ii] != 0) & (vya_ref[jj] != 0)
+        return (va_ref[ii] != 0) & (vya_ref[(ii // nbg) * nhb + jj] != 0)
 
     t = i * nhb + j
     if dbuf:
@@ -569,12 +618,47 @@ def x_segment_reduce(
     window when ``wrap`` (y_segment_reduce's ``pad_blocks``); whole-
     period bands anchor at base 0 and never read the pad.
     """
-    _, hr, _ = rows.shape
+    out = x_segment_reduce_batch(
+        rows[:, None],
+        lo1[None],
+        hi1[None],
+        valid_x[None],
+        valid_y[None],
+        dy[None],
+        grid_g,
+        src_w,
+        wrap=wrap,
+        interpret=interpret,
+    )
+    return out[:, 0]
+
+
+def x_segment_reduce_batch(
+    rows: jax.Array,
+    lo1s: jax.Array,
+    hi1s: jax.Array,
+    valid_x: jax.Array,
+    valid_y: jax.Array,
+    dy: jax.Array,
+    grid_g: np.ndarray,
+    src_w: int,
+    *,
+    wrap: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Gaze-batched x pass: ``rows`` (3, N, Hr, Wp) per-gaze segment
+    rows (y_segment_reduce_batch output), per-gaze metadata (N, ...) ->
+    (3, N, Hr, Wr) in ONE kernel invocation per band (the gaze axis
+    rides the grid; the kernel decodes the gaze from the flattened
+    cell-block index for its DMA row offset and validity lookups)."""
+    _, ng, hr, wp = rows.shape
+    rows = rows.reshape(3, ng * hr, wp)
     hb = _hb(hr)
+    nhb = hr // hb
     n = grid_g.shape[0] - 1
     bands = _adaptive_bands(grid_g.tobytes(), src_w, _SX, 128, _MINOR_CAP_X, 2)
-    dy2 = dy.astype(jnp.int32).reshape(hr, 1)
-    vy2 = valid_y.astype(jnp.int32).reshape(hr, 1)
+    dy2 = dy.astype(jnp.int32).reshape(ng * hr, 1)
+    vy2 = valid_y.astype(jnp.int32).reshape(ng * hr, 1)
     # Per-row-block any-valid flags: row-block stripes whose y cells are
     # all off-frame let every (cell-block, row-block) step in the stripe
     # skip its window DMA (the y pass already wrote zeros there).
@@ -583,18 +667,25 @@ def x_segment_reduce(
     import os
 
     gate = os.environ.get("FOVEAX_SEGREDUCE_GATE", "1") != "0"
-    vya = valid_y.astype(jnp.int32).reshape(hr // hb, hb).max(axis=1)
+    vya = valid_y.astype(jnp.int32).reshape(ng * nhb, hb).max(axis=1)
     if not gate:
         vya = jnp.ones_like(vya)
     outs = []
     for band, s in bands:
-        base, rel_lo, rel_hi = _block_geometry(
-            band, lo1, hi1, src_w, wrap=wrap, s_cells=s, quantum=128
-        )
-        nb = band.blocks(s)
-        pad = nb * s - (band.end - band.start)
+        base, rel_lo, rel_hi = jax.vmap(
+            lambda lo, hi: _block_geometry(
+                band, lo, hi, src_w, wrap=wrap, s_cells=s, quantum=128
+            )
+        )(lo1s, hi1s)
+        nbg = band.blocks(s)
+        nb = ng * nbg
+        base = base.reshape(nb)
+        rel_lo = rel_lo.reshape(nb, 1, s)
+        rel_hi = rel_hi.reshape(nb, 1, s)
+        pad = nbg * s - (band.end - band.start)
         vxf = jnp.pad(
-            valid_x[band.start : band.end].astype(jnp.int32), (0, pad)
+            valid_x[:, band.start : band.end].astype(jnp.int32),
+            ((0, 0), (0, pad)),
         )
         vx = vxf.reshape(nb, 1, s)
         va = vxf.reshape(nb, s).max(axis=1)
@@ -604,11 +695,11 @@ def x_segment_reduce(
         out = pl.pallas_call(
             functools.partial(
                 _x_kernel, k=band.k, q=128, s=s, hb=hb, nb=nb,
-                nhb=hr // hb, dbuf=dbuf,
+                nhb=nhb, dbuf=dbuf, nbg=nbg, hr=hr,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
-                grid=(nb, hr // hb),
+                grid=(nb, nhb),
                 in_specs=[
                     pl.BlockSpec(
                         (1, 1, s), lambda i, j, *_: (i, 0, 0),
@@ -624,17 +715,25 @@ def x_segment_reduce(
                     ),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(
-                        (hb, 1), lambda i, j, *_: (j, 0),
+                        (hb, 1),
+                        lambda i, j, *_, nbg=nbg, nhb=nhb: (
+                            (i // nbg) * nhb + j, 0
+                        ),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (hb, 1), lambda i, j, *_: (j, 0),
+                        (hb, 1),
+                        lambda i, j, *_, nbg=nbg, nhb=nhb: (
+                            (i // nbg) * nhb + j, 0
+                        ),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
                 out_specs=pl.BlockSpec(
                     (3, hb, s),
-                    lambda i, j, *_: (0, j, i),
+                    lambda i, j, *_, nbg=nbg, nhb=nhb: (
+                        0, (i // nbg) * nhb + j, jax.lax.rem(i, nbg)
+                    ),
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
@@ -644,12 +743,14 @@ def x_segment_reduce(
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
-            out_shape=jax.ShapeDtypeStruct((3, hr, nb * s), jnp.uint8),
+            out_shape=jax.ShapeDtypeStruct((3, ng * hr, nbg * s), jnp.uint8),
             interpret=interpret,
         )(base, va, vya, rel_lo, rel_hi, vx, rows, dy2, vy2)
-        outs.append(out[:, :, : band.end - band.start])
-    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
-    return full[:, :, :n]
+        outs.append(
+            out.reshape(3, ng, hr, nbg * s)[:, :, :, : band.end - band.start]
+        )
+    full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=3)
+    return full[:, :, :, :n]
 
 
 def sample_rect_fused_batch(
@@ -662,24 +763,104 @@ def sample_rect_fused_batch(
     out_layout: str = "hwc",
     interpret: bool = False,
 ) -> jax.Array:
-    """N gazes against one shared frame: sequential fused launches inside
-    one jit (``lax.map`` over the gaze axis).
+    """N gazes against one shared frame, one kernel invocation per band
+    (round 5): the gaze axis rides the Pallas GRID — per-gaze block
+    metadata concatenates along the block axis, outputs stack along a
+    gaze-major row axis — so N gazes amortize every per-invocation cost
+    (semaphores, grid setup) that made the round-4 ``lax.map`` marginal
+    ~0.13 ms/client.  Memory is bounded by chunking: groups of
+    ``FOVEAX_BATCH_GRID_CHUNK`` (default 32) gazes run per grid batch,
+    scanned with ``lax.map`` (each chunk materializes chunk x one
+    intermediate rows plane).  ``FOVEAX_BATCH_GRID=0`` restores the
+    round-4 pure ``lax.map`` path (the same-window A/B knob).
 
-    Pallas grids don't vmap, so the batch is a device-side scan reusing
-    ONE compiled kernel set per gaze — no per-gaze recompile, no SAT,
-    no gathers.  Gaze is already a traced scalar-prefetch input to the
-    kernels, which is exactly what makes the scan body gaze-uniform.
     ``centers``: (N, 2) traced f32; output batched like
     :func:`foveax.core.direct.sample_rect_direct_batch`.
     """
+    import os
+
     if in_layout == "hwc":
         frame = frame.transpose(2, 0, 1)
-    return jax.lax.map(
-        lambda c: sample_rect_fused(
-            frame, grid, c, wrap_x=wrap_x, in_layout="chw",
-            out_layout=out_layout, interpret=interpret,
-        ),
-        centers,
+    if os.environ.get("FOVEAX_BATCH_GRID", "1") == "0":
+        return jax.lax.map(
+            lambda c: sample_rect_fused(
+                frame, grid, c, wrap_x=wrap_x, in_layout="chw",
+                out_layout=out_layout, interpret=interpret,
+            ),
+            centers,
+        )
+    n = centers.shape[0]
+    chunk = max(1, int(os.environ.get("FOVEAX_BATCH_GRID_CHUNK", "32")))
+    if n <= chunk:
+        out = _sample_rect_fused_grid(
+            frame, grid, centers, wrap_x=wrap_x, interpret=interpret
+        )  # (3, n, Hr, Wr)
+    else:
+        groups = -(-n // chunk)
+        padded = jnp.concatenate(
+            [centers, jnp.broadcast_to(centers[-1:], (groups * chunk - n, 2))]
+        ).reshape(groups, chunk, 2)
+        outs = jax.lax.map(
+            lambda cs: _sample_rect_fused_grid(
+                frame, grid, cs, wrap_x=wrap_x, interpret=interpret
+            ),
+            padded,
+        )  # (groups, 3, chunk, Hr, Wr)
+        out = outs.transpose(1, 0, 2, 3, 4).reshape(
+            3, groups * chunk, outs.shape[3], outs.shape[4]
+        )[:, :n]
+    if out_layout == "chw":
+        return out.transpose(1, 0, 2, 3)
+    return out.transpose(1, 2, 3, 0)
+
+
+def _sample_rect_fused_grid(
+    frame: jax.Array,
+    grid,
+    centers: jax.Array,
+    *,
+    wrap_x: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """One grid-batched fused launch set: (3, H, W) frame + (n, 2)
+    centers -> (3, n, Hr, Wr).  Metadata is the vmapped single-gaze
+    math; the kernels are the single-gaze ones over an n-times grid."""
+    from foveax.core.sample import _axis_taps
+
+    _, hs, ws = frame.shape
+    cxs = (centers[:, 0] * jnp.float32(ws)).astype(jnp.int32)
+    cys = (centers[:, 1] * jnp.float32(hs)).astype(jnp.int32)
+    pxc, pxmc, valid_x, _, _ = jax.vmap(
+        lambda cx: _axis_taps(grid.gx, cx, ws, wrap=wrap_x)
+    )(cxs)
+    pyc, pymc, valid_y, _, _ = jax.vmap(
+        lambda cy: _axis_taps(grid.gy, cy, hs, wrap=False)
+    )(cys)
+    gx = np.asarray(grid.gx, dtype=np.int64)
+    gy = np.asarray(grid.gy, dtype=np.int64)
+
+    wb = _wb(ws)
+    partial_ks = [
+        b.k
+        for b, _s in _adaptive_bands(gx.tobytes(), ws, _SX, 128, _MINOR_CAP_X, 2)
+        if b.k < ws
+    ]
+    pad_blocks = -(-max(partial_ks) // wb) if (wrap_x and partial_ks) else 0
+    rows = y_segment_reduce_batch(
+        frame, pymc + 1, pyc + 1, gy, valid=valid_y, pad_blocks=pad_blocks,
+        interpret=interpret,
+    )
+    return x_segment_reduce_batch(
+        rows,
+        pxmc + 1,
+        pxc + 1,
+        valid_x,
+        valid_y,
+        pyc - pymc,
+        gx,
+        ws,
+        wrap=wrap_x,
+        interpret=interpret,
     )
 
 

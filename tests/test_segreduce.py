@@ -285,3 +285,25 @@ def test_batch_duplicate_and_edge_clamped_gazes(setup):
         )
         np.testing.assert_array_equal(got[i], want, err_msg=f"gaze {i}")
     np.testing.assert_array_equal(got[0], got[1])
+
+
+def test_batch_grid_matches_lax_map(setup, monkeypatch):
+    """The round-5 grid-batched path (gaze axis in the Pallas grid,
+    chunked) is bit-identical to the round-4 lax.map path, including
+    chunk padding (5 gazes at chunk=2 -> 3 groups with a padded tail)."""
+    from foveax.kernels import segreduce
+
+    grid, sat, fr = setup
+    centers = jnp.asarray(
+        [[0.5, 0.5], [0.03, 0.4], [0.97, 0.6], [0.0, 1.0], [0.42, 0.13]],
+        jnp.float32,
+    )
+    monkeypatch.setenv("FOVEAX_BATCH_GRID_CHUNK", "2")
+    got = np.asarray(
+        segreduce.sample_rect_fused_batch(fr, grid, centers, interpret=True)
+    )
+    monkeypatch.setenv("FOVEAX_BATCH_GRID", "0")
+    want = np.asarray(
+        segreduce.sample_rect_fused_batch(fr, grid, centers, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)

@@ -87,3 +87,24 @@ def test_sat_scan_lowers_for_tpu(sw, sh, rw, rh):
         return build_sat_pallas(frame, in_layout="chw")
 
     _lower_tpu(f, jax.ShapeDtypeStruct((3, sh, sw), jnp.uint8))
+
+
+@pytest.mark.parametrize("sw,sh,rw,rh", SHAPES[:2], ids=IDS[:2])
+def test_batch_grid_sampler_lowers_for_tpu(sw, sh, rw, rh):
+    # The round-5 grid-batched sampler adds gaze-decoding index maps
+    # ((i // nbg) * nhb + j etc.) that only the real Mosaic block-mapping
+    # validation checks — interpret-mode parity cannot see a rejection.
+    from foveax.kernels.segreduce import sample_rect_fused_batch
+
+    grid = make_grid(rw, rh, sw, sh)
+
+    def f(frame, centers):
+        return sample_rect_fused_batch(
+            frame, grid, centers, in_layout="chw", out_layout="chw"
+        )
+
+    _lower_tpu(
+        f,
+        jax.ShapeDtypeStruct((3, sh, sw), jnp.uint8),
+        jax.ShapeDtypeStruct((4, 2), jnp.float32),
+    )
