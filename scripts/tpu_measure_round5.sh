@@ -59,7 +59,10 @@ timeout 1200 python -m foveax.cli.main perf --resolutions 8k \
   --clients 4 8 12 16 --batch-sampler fused || exit 1
 probe
 timeout 900 python -m foveax.cli.main perf --resolutions 1080p \
-  --clients 240 256 --batch-sampler fused || exit 1
+  --clients 64 240 256 320 --batch-sampler fused || exit 1
+probe
+FOVEAX_BATCH_GRID=0 timeout 900 python -m foveax.cli.main perf \
+  --resolutions 1080p --clients 64 240 --batch-sampler fused || exit 1
 
 probe
 FOVEAX_BENCH_FUSED_TIMEOUT=240 timeout 1300 python bench.py || exit 1
