@@ -249,7 +249,7 @@ def _block_geometry(
 
 
 def _y_kernel(base_ref, va_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab,
-              sem, *, k, q, s, wb, w, nb, nwb, dbuf):
+              sem, *, k, q, s, wb, w, nb, nwb, dbuf, int8):
     """One (row-block, width-block) step: DMA the (3, k, wb) source
     window, one-hot dot the rows into ``s`` segment sums, emit uint16.
 
@@ -297,12 +297,41 @@ def _y_kernel(base_ref, va_ref, lo_ref, hi_ref, frame_hbm, out_ref, slab,
     # and dot run in _CH_Y-row chunks so the i32/f32 conversion planes
     # stay ~2 MB regardless of the band's k; chunk partial sums are
     # exact integers < 2^24, so f32 accumulation is exact.
+    #
+    # ``int8`` (FOVEAX_SEGREDUCE_INT8, round-5 ceiling work): the same
+    # dot on the MXU's int8 path (measured 310 TOP/s vs 183 TF bf16,
+    # BENCHMARKS.md "delivered ceilings").  Pixels shift to x-128 (an
+    # XOR of the sign bit, so both operands fit s8: weights are 0/1),
+    # the s32-accumulated dot is exact, and the shift is undone by
+    # +128*(hi-lo) per cell — the interval width is exactly the number
+    # of ones in the cell's one-hot row (windows cover every interval:
+    # the invariant the sweeps pin).  Bit-identical by construction,
+    # and it drops the per-chunk u8->i32->f32 VPU cast planes.
     @pl.when(act(t))
     def _():
         lo = lo_ref[0, 0, :][:, None]
         hi = hi_ref[0, 0, :][:, None]
         outs = []
         for c in range(3):
+            if int8:
+                acc = jnp.zeros((s, wb), jnp.int32)
+                for j0 in range(0, k, _CH_Y):
+                    j1 = min(j0 + _CH_Y, k)
+                    ks = j0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (s, j1 - j0), 1
+                    )
+                    oh = ((ks >= lo) & (ks < hi)).astype(jnp.int8)
+                    x = (slab[slot, c, j0:j1, :] ^ jnp.uint8(128)).astype(
+                        jnp.int8
+                    )
+                    acc = acc + jax.lax.dot_general(
+                        oh,
+                        x,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )  # (s, wb)
+                outs.append((acc + 128 * (hi - lo)).astype(jnp.uint16))
+                continue
             y = jnp.zeros((s, wb), jnp.float32)
             for j0 in range(0, k, _CH_Y):
                 j1 = min(j0 + _CH_Y, k)
@@ -429,6 +458,7 @@ def y_segment_reduce_batch(
             functools.partial(
                 _y_kernel, k=band.k, q=8, s=s, wb=wb, w=ws, nb=ng * nb,
                 nwb=nwb, dbuf=dbuf,
+                int8=os.environ.get("FOVEAX_SEGREDUCE_INT8", "0") == "1",
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
@@ -480,7 +510,7 @@ def _hb(hr: int) -> int:
 
 def _x_kernel(
     base_ref, va_ref, vya_ref, lo_ref, hi_ref, vx_ref, rows_hbm, dy_ref,
-    vy_ref, out_ref, slab, sem, *, k, q, s, hb, nb, nhb, dbuf, nbg, hr
+    vy_ref, out_ref, slab, sem, *, k, q, s, hb, nb, nhb, dbuf, nbg, hr, int8
 ):
     """One (cell-block, row-block) step: DMA the (3, hb, k) segment-row
     window (double-buffered when the VMEM budget allows), limb-split
@@ -554,6 +584,47 @@ def _x_kernel(
             # exact.  Chunked over _CH_X slab columns so the cast/limb
             # planes stay ~2 MB at any band k; chunk partials are exact
             # ints < 2^24.
+            #
+            # ``int8``: the SAME two limb dots on the MXU's int8 path
+            # (1.7x the bf16 rate, BENCHMARKS.md).  The hi limb
+            # (v >> 8 <= 22) fits s8 directly; the lo limb shifts to
+            # (v & 255) - 128 via a sign-bit XOR and the shift is
+            # undone by +128*dx per cell (dx ones per one-hot column).
+            # s32 accumulation is exact; bit-identical by construction.
+            if int8:
+                acc = jnp.zeros((hb, s), jnp.int32)
+                for j0 in range(0, k, _CH_X):
+                    j1 = min(j0 + _CH_X, k)
+                    ks = j0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (j1 - j0, s), 0
+                    )
+                    oh = ((ks >= lo) & (ks < hi)).astype(jnp.int8)
+                    xs = slab[slot, c, :, j0:j1]
+                    xhi8 = (xs >> 8).astype(jnp.int8)
+                    xlo8 = (
+                        (xs & jnp.uint16(255)) ^ jnp.uint16(128)
+                    ).astype(jnp.int8)
+
+                    def dot8(a, oh=oh):
+                        return jax.lax.dot_general(
+                            a,
+                            oh,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+
+                    acc = acc + 256 * dot8(xhi8) + dot8(xlo8)
+                box_i = acc + 128 * (hi - lo)  # exact int < 2^24
+                box_f = box_i.astype(jnp.float32)
+                box_u = box_i.astype(jnp.uint32)
+                q0 = (box_f * rrect).astype(jnp.int32).astype(jnp.uint32)
+                rem = box_u - q0 * rect_u
+                wrapped = rem >= jnp.uint32(0x80000000)
+                over = (~wrapped) & (rem >= rect_u)
+                qq = q0 + over.astype(jnp.uint32) - wrapped.astype(jnp.uint32)
+                qq = jnp.where(valid, qq, jnp.uint32(0))
+                outs.append(qq.astype(jnp.int32).astype(jnp.uint8))
+                continue
             box_f = jnp.zeros((hb, s), jnp.float32)
             for j0 in range(0, k, _CH_X):
                 j1 = min(j0 + _CH_X, k)
@@ -696,6 +767,7 @@ def x_segment_reduce_batch(
             functools.partial(
                 _x_kernel, k=band.k, q=128, s=s, hb=hb, nb=nb,
                 nhb=nhb, dbuf=dbuf, nbg=nbg, hr=hr,
+                int8=os.environ.get("FOVEAX_SEGREDUCE_INT8", "0") == "1",
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,

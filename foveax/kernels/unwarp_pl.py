@@ -190,7 +190,7 @@ def _block_geom(idx_lo, idx_hi, num, den, s_cells: int, src_dim: int,
 
 
 def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
-              slab, sem, *, k, q, nby):
+              slab, sem, *, k, q, nby, int8):
     """One 32-row output block: DMA the (3, k, Wp) source row window
     (double-buffered: block i+1's window streams in behind block i's
     dots), blend via one exact integer-numerator dot per channel, divide
@@ -206,10 +206,11 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
     slot = dbuf_slot(copy, i, nby)
     lo = lo_ref[0, 0, :][:, None]
     s = s_ref[0, 0, :][:, None]
-    nm = n_ref[0, 0, :][:, None].astype(jnp.float32)
-    dn = d_ref[0, 0, :][:, None].astype(jnp.float32)
+    nmi = n_ref[0, 0, :][:, None]
+    dni = d_ref[0, 0, :][:, None]
+    nm = nmi.astype(jnp.float32)
+    dn = dni.astype(jnp.float32)
     ks = jax.lax.broadcasted_iota(jnp.int32, (_SY, k), 1)
-    oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
     # One reciprocal per output ROW instead of a full-width f32 divide
     # per element: VPU divides are many-times-slower than multiplies and
     # this quotient runs once per output cell (round-5 ceiling work).
@@ -220,8 +221,35 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
     # the explicit +2^-10 bias, which clears the boundary past the error
     # without reaching the next 1/dn step.
     rdn = 1.0 / dn
+    # MXU int8 path (FOVEAX_UNWARP_INT8, eligible when steps <= 127 —
+    # every production grid): integer weights ride s8 directly, pixels
+    # shift to x-128 via a sign-bit XOR, and the exact numerator is
+    # numdot + 128*dn (the weight row sums to dn).  s32 accumulation is
+    # exact; the quotient path is unchanged, so the <= 1 LSB contract
+    # holds identically.  Also drops the u8->i32->f32 cast plane.
+    if int8:
+        oh8 = (
+            jnp.where(ks == lo, dni - nmi, 0)
+            + jnp.where(ks == lo + s, nmi, 0)
+        ).astype(jnp.int8)
+    else:
+        oh = (
+            jnp.where(ks == lo, dn - nm, 0.0)
+            + jnp.where(ks == lo + s, nm, 0.0)
+        )
     outs = []
     for c in range(3):
+        if int8:
+            x8 = (slab[slot, c, :, :] ^ jnp.uint8(128)).astype(jnp.int8)
+            numi = jax.lax.dot_general(
+                oh8, x8, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + 128 * dni  # (_SY, Wp) exact < 2^24
+            outs.append(
+                (numi.astype(jnp.float32) * rdn + (0.5 + 2.0 ** -10))
+                .astype(jnp.int32).astype(jnp.uint8)
+            )
+            continue
         x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
         numdot = jax.lax.dot_general(
             oh, x, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -235,7 +263,7 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
 
 
 def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
-              slab, sem, *, k, q, hb, lx, nbx, nrb):
+              slab, sem, *, k, q, hb, lx, nbx, nrb, int8):
     """One (col-block, row-block) step: DMA the (3, hb, k) window of the
     y-blended intermediate (double-buffered ahead of the grid's
     row-major iteration order), one integer-numerator dot per channel,
@@ -254,16 +282,40 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
     slot = dbuf_slot(copy, i * nrb + j, nbx * nrb)
     lo = lo_ref[0, 0, :][None, :]
     s = s_ref[0, 0, :][None, :]
-    nm = n_ref[0, 0, :][None, :].astype(jnp.float32)
-    dn = d_ref[0, 0, :][None, :].astype(jnp.float32)
+    nmi = n_ref[0, 0, :][None, :]
+    dni = d_ref[0, 0, :][None, :]
+    nm = nmi.astype(jnp.float32)
+    dn = dni.astype(jnp.float32)
     ks = jax.lax.broadcasted_iota(jnp.int32, (k, lx), 0)
-    oh = jnp.where(ks == lo, dn - nm, 0.0) + jnp.where(ks == lo + s, nm, 0.0)
     # One reciprocal per output COLUMN instead of a per-element divide
     # (see _y_kernel); the recip-multiply's relative error (<= 2^-22) is
     # far inside the existing +0.01 truncation guard's margin.
     rdn = 1.0 / dn
+    # int8 variant: same scheme as _y_kernel (s8 weights, x-128 pixels,
+    # +128*dn exact correction, s32 accumulation).
+    if int8:
+        oh8 = (
+            jnp.where(ks == lo, dni - nmi, 0)
+            + jnp.where(ks == lo + s, nmi, 0)
+        ).astype(jnp.int8)
+    else:
+        oh = (
+            jnp.where(ks == lo, dn - nm, 0.0)
+            + jnp.where(ks == lo + s, nm, 0.0)
+        )
     outs = []
     for c in range(3):
+        if int8:
+            x8 = (slab[slot, c, :, :] ^ jnp.uint8(128)).astype(jnp.int8)
+            numi = jax.lax.dot_general(
+                x8, oh8, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + 128 * dni  # (hb, lx) exact < 2^24
+            outs.append(
+                (numi.astype(jnp.float32) * rdn + 0.01)
+                .astype(jnp.int32).astype(jnp.uint8)
+            )
+            continue
         x = slab[slot, c, :, :].astype(jnp.int32).astype(jnp.float32)
         numdot = jax.lax.dot_general(
             x, oh, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -325,6 +377,16 @@ def unwarp_rect_fused(
     iy_lo, iy_hi, _ry, ny, dy, msy = _axis_vectors(out_height, hr, cy, wrap=False)
     if max(msx, msy) > 255:
         raise ValueError("fused unwarp needs delta steps <= 255")
+    # MXU int8 dots (round-5 A/B knob): weights must fit s8, so the
+    # path is eligible only when every delta step <= 127 (production
+    # grids peak at ~23; the contract allows up to 255, where the bf16
+    # path remains the fallback).
+    import os
+
+    int8 = (
+        os.environ.get("FOVEAX_UNWARP_INT8", "0") == "1"
+        and max(msx, msy) <= 127
+    )
 
     # --- y pass: (3, hr, Wr) -> (3, Ho_pad32, Wp) u8 -------------------
     # The input-side circular pad (cheap: the reduced frame is small)
@@ -342,7 +404,7 @@ def unwarp_rect_fused(
     )
     nby = ho_pad // _SY
     yb = pl.pallas_call(
-        functools.partial(_y_kernel, k=_KY, q=_QY, nby=nby),
+        functools.partial(_y_kernel, k=_KY, q=_QY, nby=nby, int8=int8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nby,),
@@ -372,7 +434,7 @@ def unwarp_rect_fused(
     nrb = out_height // hb
     out = pl.pallas_call(
         functools.partial(
-            _x_kernel, k=kx, q=_QX, hb=hb, lx=lx, nbx=nbx, nrb=nrb
+            _x_kernel, k=kx, q=_QX, hb=hb, lx=lx, nbx=nbx, nrb=nrb, int8=int8
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -67,3 +67,29 @@ FOVEAX_BATCH_GRID=0 timeout 900 python -m foveax.cli.main perf \
 probe
 FOVEAX_BENCH_FUSED_TIMEOUT=240 timeout 1300 python bench.py || exit 1
 echo "BATCH-COMPLETE"
+
+# --- optional tail: MXU int8-dot A/B (round 5).  Mosaic s8-dot support
+# is unverified on this chip, so every step is NON-fatal (a failure
+# logs a marker; the batch is already complete above).  A tunnel wedge
+# here exits 0 — the mandatory results are in.
+sprobe() {
+  timeout 150 python -c "
+import sys, jax, jax.numpy as jnp
+x = jnp.arange(128, dtype=jnp.int32)
+ok = int((x*x).sum()) == 690880 and jax.default_backend() == 'tpu'
+sys.exit(0 if ok else 1)
+" || { echo "WEDGED in optional int8 tail; batch already complete"; exit 0; }
+}
+
+sprobe
+FOVEAX_SEGREDUCE_INT8=1 FOVEAX_UNWARP_INT8=1 FOVEAX_TPU_TESTS=1 \
+  timeout 900 python -m pytest tests/test_tpu_parity.py -q -m tpu -k fused -x \
+  || echo "INT8-PARITY-FAILED"
+sprobe
+FOVEAX_SEGREDUCE_INT8=1 timeout 1200 python scripts/stage_bench.py \
+  --resolutions 4k 16k --stages fused || echo "INT8-SAMPLER-FAILED"
+sprobe
+FOVEAX_UNWARP_INT8=1 timeout 1200 python scripts/stage_bench.py \
+  --resolutions 4k 16k --stages unwarp --precision fused \
+  || echo "INT8-UNWARP-FAILED"
+echo "INT8-TAIL-COMPLETE"

@@ -307,3 +307,16 @@ def test_batch_grid_matches_lax_map(setup, monkeypatch):
         segreduce.sample_rect_fused_batch(fr, grid, centers, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("center", [(0.5, 0.5), (0.03, 0.4), (0.999, 0.001)])
+def test_fused_int8_dots_bit_equal(setup, center, monkeypatch):
+    """FOVEAX_SEGREDUCE_INT8=1 (MXU int8 dots, round 5) stays bit-equal
+    to the SAT path: 0/1 weights and x-128 pixels fit s8, the s32 dot is
+    exact, and +128*(interval width) undoes the shift."""
+    monkeypatch.setenv("FOVEAX_SEGREDUCE_INT8", "1")
+    grid, sat, fr = setup
+    c = jnp.asarray(center, jnp.float32)
+    ref = np.asarray(sample_rect_from_sat(sat, grid, c))
+    got = np.asarray(sample_rect_fused(fr, grid, c, interpret=True))
+    np.testing.assert_array_equal(ref, got)

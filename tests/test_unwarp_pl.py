@@ -259,3 +259,23 @@ def test_fused_rejects_unsupported_shapes(reduced):
         # > 3000 with no 32-multiple row-block divisor: must fail loudly
         # here, not deep inside Mosaic compilation.
         unwarp_rect_fused(reduced, OUT_W, 4322, c, interpret=True)
+
+
+@pytest.mark.parametrize("center", [(0.5, 0.5), (0.03, 0.4), (0.999, 0.001)])
+def test_fused_int8_dots_match_f32(reduced, center, monkeypatch):
+    """FOVEAX_UNWARP_INT8=1 (MXU int8 dots, round 5) is bit-identical to
+    the bf16/f32 one-hot path: the s8 weight/pixel transform plus the
+    +128*dn correction reconstructs the exact integer numerator."""
+    monkeypatch.setenv("FOVEAX_UNWARP_INT8", "1")
+    c = jnp.asarray(center, jnp.float32)
+    got8 = np.asarray(
+        unwarp_rect_fused(reduced, OUT_W, OUT_H, c, interpret=True)
+    )
+    monkeypatch.setenv("FOVEAX_UNWARP_INT8", "0")
+    got = np.asarray(
+        unwarp_rect_fused(reduced, OUT_W, OUT_H, c, interpret=True)
+    )
+    np.testing.assert_array_equal(got, got8)
+    exact = np.asarray(unwarp_rect(reduced, OUT_W, OUT_H, c))
+    d = np.abs(exact.astype(np.int32) - got8.astype(np.int32))
+    assert d.max() <= 1
