@@ -320,3 +320,22 @@ def test_fused_int8_dots_bit_equal(setup, center, monkeypatch):
     ref = np.asarray(sample_rect_from_sat(sat, grid, c))
     got = np.asarray(sample_rect_fused(fr, grid, c, interpret=True))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_batch_int8_dots_bit_equal(setup, monkeypatch):
+    """The gaze-batched kernels honor FOVEAX_SEGREDUCE_INT8 too (they
+    share _y_kernel/_x_kernel) — bit-equal to the SAT batch."""
+    from foveax.kernels.segreduce import sample_rect_fused_batch
+
+    monkeypatch.setenv("FOVEAX_SEGREDUCE_INT8", "1")
+    grid, sat, fr = setup
+    centers = jnp.asarray(
+        [[0.5, 0.5], [0.03, 0.4], [0.999, 0.001]], jnp.float32
+    )
+    ref = np.asarray(
+        jax.vmap(lambda c: sample_rect_from_sat(sat, grid, c))(centers)
+    )
+    got = np.asarray(
+        sample_rect_fused_batch(fr, grid, centers, interpret=True)
+    )
+    np.testing.assert_array_equal(ref, got)
