@@ -5,14 +5,19 @@
 #      publish headline numbers for a kernel configuration whose parity
 #      just failed: round-4 ADVICE item 3)
 #   1. pure-stream HBM ceiling microbench (fresh process)
-#   2. 16K stage costs + the unwarp decompositions in the SAME window
+#   2. 16K stage costs + the unwarp/sampler decompositions
 #   3. full-path refresh at 4k/8k/16k
 #   4. batched-sampler knee points at 4K and 8K (round-4 only measured
-#      1080p) + the 1080p 240/256 bracket re-check
+#      1080p) + the 1080p 240/256 bracket re-check + grid-vs-map A/B
 #   5. bench.py headline
+#   6. optional MXU int8-dot A/B tail (non-fatal)
 # Each step is timeout-bounded AND preceded by a fast health probe: a
 # mid-batch tunnel wedge exits 1 immediately (the watcher resumes
-# probing) instead of burning every remaining step's timeout.
+# probing) instead of burning every remaining step's timeout.  Completed
+# steps leave a /tmp/r5_<name>.done stamp so a retry after a mid-batch
+# wedge RESUMES instead of re-measuring (the wedge cadence on 2026-08-21
+# was ~20-30 min of health between multi-hour outages — a from-scratch
+# retry can starve the tail steps forever).
 set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -28,44 +33,41 @@ sys.exit(0 if ok else 1)
 " || { echo "WEDGED: aborting batch for re-probe"; exit 1; }
 }
 
-probe
-FOVEAX_TPU_TESTS=1 timeout 900 python -m pytest tests/test_tpu_parity.py \
-  -q -m tpu -k fused -x || { echo "PARITY-FAILED: batch aborted"; exit 2; }
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  [ -f "/tmp/r5_${name}.done" ] && return 0
+  probe
+  timeout "$to" "$@" || exit 1
+  touch "/tmp/r5_${name}.done"
+}
 
-probe
-timeout 1500 python scripts/hbm_stream_bench.py --iters 48 --mb 128 || exit 1
+# Gate on parity, but distinguish a TUNNEL WEDGE from a genuine test
+# failure: a wedged pytest hangs with no output and is killed by
+# `timeout` (rc=124) — that must re-probe (rc 1), not permanently brand
+# the kernels broken (rc 2).  Observed 2026-08-21: a zero-output 900 s
+# hang right after a passing probe was mislabeled PARITY-FAILED.
+if [ ! -f /tmp/r5_parity.done ]; then
+  probe
+  FOVEAX_TPU_TESTS=1 timeout 900 python -m pytest tests/test_tpu_parity.py \
+    -q -m tpu -k fused -x
+  rc=$?
+  if [ $rc -eq 124 ]; then echo "WEDGED during parity; re-probe"; exit 1; fi
+  if [ $rc -ne 0 ]; then echo "PARITY-FAILED: batch aborted"; exit 2; fi
+  touch /tmp/r5_parity.done
+fi
 
-probe
-timeout 900 python scripts/stage_bench.py --resolutions 16k --stages fused \
-  || exit 1
-probe
-timeout 900 python scripts/stage_bench.py --resolutions 16k --stages unwarp \
-  --precision fused || exit 1
-probe
-timeout 1500 python scripts/unwarp_diag2.py --res 16k --iters 10 || exit 1
-probe
-timeout 1500 python scripts/unwarp_diag3.py --res 16k --iters 10 || exit 1
-probe
-timeout 1500 python scripts/sampler_diag.py --res 16k --iters 10 || exit 1
-
-probe
-timeout 1500 python -m foveax.cli.main perf --resolutions 4k 8k 16k || exit 1
-
-probe
-timeout 1500 python -m foveax.cli.main perf --resolutions 4k \
-  --clients 8 16 32 48 64 --batch-sampler fused || exit 1
-probe
-timeout 1200 python -m foveax.cli.main perf --resolutions 8k \
-  --clients 4 8 12 16 --batch-sampler fused || exit 1
-probe
-timeout 900 python -m foveax.cli.main perf --resolutions 1080p \
-  --clients 64 240 256 320 --batch-sampler fused || exit 1
-probe
-FOVEAX_BATCH_GRID=0 timeout 900 python -m foveax.cli.main perf \
-  --resolutions 1080p --clients 64 240 --batch-sampler fused || exit 1
-
-probe
-FOVEAX_BENCH_FUSED_TIMEOUT=240 timeout 1300 python bench.py || exit 1
+step hbm      1500 python scripts/hbm_stream_bench.py --iters 48 --mb 128
+step st16f     900 python scripts/stage_bench.py --resolutions 16k --stages fused
+step st16u     900 python scripts/stage_bench.py --resolutions 16k --stages unwarp --precision fused
+step udiag2   1500 python scripts/unwarp_diag2.py --res 16k --iters 10
+step udiag3   1500 python scripts/unwarp_diag3.py --res 16k --iters 10
+step sdiag    1500 python scripts/sampler_diag.py --res 16k --iters 10
+step perf     1500 python -m foveax.cli.main perf --resolutions 4k 8k 16k
+step knee4k   1500 python -m foveax.cli.main perf --resolutions 4k --clients 8 16 32 48 64 --batch-sampler fused
+step knee8k   1200 python -m foveax.cli.main perf --resolutions 8k --clients 4 8 12 16 --batch-sampler fused
+step knee1080  900 python -m foveax.cli.main perf --resolutions 1080p --clients 64 240 256 320 --batch-sampler fused
+step kneemap   900 env FOVEAX_BATCH_GRID=0 python -m foveax.cli.main perf --resolutions 1080p --clients 64 240 --batch-sampler fused
+step bench    1300 env FOVEAX_BENCH_FUSED_TIMEOUT=240 python bench.py
 echo "BATCH-COMPLETE"
 
 # --- optional tail: MXU int8-dot A/B (round 5).  Mosaic s8-dot support
@@ -81,15 +83,17 @@ sys.exit(0 if ok else 1)
 " || { echo "WEDGED in optional int8 tail; batch already complete"; exit 0; }
 }
 
-sprobe
-FOVEAX_SEGREDUCE_INT8=1 FOVEAX_UNWARP_INT8=1 FOVEAX_TPU_TESTS=1 \
-  timeout 900 python -m pytest tests/test_tpu_parity.py -q -m tpu -k fused -x \
-  || echo "INT8-PARITY-FAILED"
-sprobe
-FOVEAX_SEGREDUCE_INT8=1 timeout 1200 python scripts/stage_bench.py \
-  --resolutions 4k 16k --stages fused || echo "INT8-SAMPLER-FAILED"
-sprobe
-FOVEAX_UNWARP_INT8=1 timeout 1200 python scripts/stage_bench.py \
-  --resolutions 4k 16k --stages unwarp --precision fused \
-  || echo "INT8-UNWARP-FAILED"
+ostep() {  # ostep <name> <timeout_s> <marker> <cmd...>
+  local name=$1 to=$2 marker=$3; shift 3
+  [ -f "/tmp/r5_${name}.done" ] && return 0
+  sprobe
+  if timeout "$to" "$@"; then touch "/tmp/r5_${name}.done"; else echo "$marker"; fi
+}
+
+ostep i8par 900 INT8-PARITY-FAILED env FOVEAX_SEGREDUCE_INT8=1 FOVEAX_UNWARP_INT8=1 FOVEAX_TPU_TESTS=1 \
+  python -m pytest tests/test_tpu_parity.py -q -m tpu -k fused -x
+ostep i8samp 1200 INT8-SAMPLER-FAILED env FOVEAX_SEGREDUCE_INT8=1 \
+  python scripts/stage_bench.py --resolutions 4k 16k --stages fused
+ostep i8unw 1200 INT8-UNWARP-FAILED env FOVEAX_UNWARP_INT8=1 \
+  python scripts/stage_bench.py --resolutions 4k 16k --stages unwarp --precision fused
 echo "INT8-TAIL-COMPLETE"
