@@ -9,7 +9,9 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=${FOVEAX_WATCH_LOG:-/tmp/tpu_watch_r5.log}
 BATCH=${FOVEAX_WATCH_BATCH:-scripts/tpu_measure_round5.sh}
-: > "$LOG"
+# APPEND, never truncate: a restart must not wipe a previous attempt's
+# recorded measurements (lost the window-2 HBM table this way once).
+echo "[watch] ==== new watcher run $(date -u +%F" "%H:%M:%S) ====" >> "$LOG"
 for i in $(seq 1 "${FOVEAX_WATCH_PROBES:-40}"); do
   echo "[watch] probe $i $(date -u +%H:%M:%S)" >> "$LOG"
   if timeout 120 python -c "
