@@ -306,6 +306,23 @@ def main(fused_probe: bool = False) -> None:
         )
         return reduced, restored
 
+    @jax.jit
+    def step_fused_int8(frame_chw, center):
+        # Same full-fused pipeline traced under the MXU int8-dot knobs
+        # (round 5; the env is set around this candidate's measure() in
+        # the probe loop below — the kernels read it at trace time).
+        # Bit-identical output; candidate exists so the headline adopts
+        # the int8 path automatically wherever it measures faster.
+        from foveax.kernels.segreduce import sample_rect_fused
+        from foveax.kernels.unwarp_pl import unwarp_rect_fused
+
+        reduced = sample_rect_fused(frame_chw, grid, center, out_layout="chw")
+        restored = unwarp_rect_fused(
+            reduced, src_w, src_h, center,
+            in_layout="chw", out_layout="chw",
+        )
+        return reduced, restored
+
     rng = np.random.default_rng(0)
     frame = jax.device_put(
         rng.integers(0, 256, size=(3, src_h, src_w), dtype=np.uint8)
@@ -379,10 +396,24 @@ def main(fused_probe: bool = False) -> None:
         # FOVEAX_BENCH_TRY_FUSED_FULL=0 opts out.
         if os.environ.get("FOVEAX_BENCH_TRY_FUSED_FULL", "1") == "1":
             candidates.append(("fused_full", step_fused))
+            # int8 variant last: Mosaic s8-dot support is A/B-gated
+            # (BENCHMARKS "delivered ceilings") — if it fails to lower,
+            # the proven candidates' lines have already landed.
+            if os.environ.get("FOVEAX_BENCH_TRY_INT8", "1") == "1":
+                candidates.append(("fused_full_int8", step_fused_int8))
+        int8_knobs = ("FOVEAX_SEGREDUCE_INT8", "FOVEAX_UNWARP_INT8")
         for name, step in candidates:
             try:
                 print(f"# probe: measuring {name}", file=sys.stderr, flush=True)
-                print(f"cand-fps {name} {measure(step):.2f}", flush=True)
+                if name.endswith("_int8"):
+                    for kn in int8_knobs:
+                        os.environ[kn] = "1"
+                try:
+                    print(f"cand-fps {name} {measure(step):.2f}", flush=True)
+                finally:
+                    if name.endswith("_int8"):
+                        for kn in int8_knobs:
+                            os.environ.pop(kn, None)
             except Exception as e:  # pragma: no cover - toolchain dependent
                 print(f"# candidate {name} failed: {e!r}"[:160], file=sys.stderr)
         return
