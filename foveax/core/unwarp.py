@@ -108,17 +108,20 @@ def _mm_tiles(idx_lo, idx_hi, num, den, out_dim, maxstep: int):
     return t, base, bad, ws, scale, den_t
 
 
-def _fixup_blend(yb, cols, ix_lo, ix_hi, nx, dx):
+def _fixup_blend(yb, cols, ix_lo, ix_hi, nx, dx, bias=0.0):
     """Exact integer blend for the given output columns: two column
-    gathers from the y-blended intermediate + the rational weights."""
+    gathers from the y-blended intermediate + the rational weights.
+    ``bias`` selects the quantization the repaired pass used: 0.0 for
+    the final truncating pass (default), 0.5 + 2^-10 when the repaired
+    pass is a round-half-up intermediate (x-first order)."""
     left = jnp.take(yb, ix_lo[cols], axis=2).astype(jnp.float32)
     right = jnp.take(yb, ix_hi[cols], axis=2).astype(jnp.float32)
     nf = nx[cols].astype(jnp.float32)[None, None, :]
     df = dx[cols].astype(jnp.float32)[None, None, :]
-    return ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
+    return ((left * (df - nf) + right * nf) / df + bias).astype(jnp.uint8)
 
 
-def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int):
+def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int, bias=0.0):
     """Repair output columns whose taps escaped their tile/slab window
     (wrap-jump and edge-collapse cases).  Shared by the mm col pass and
     the fused Pallas unwarp.
@@ -166,7 +169,7 @@ def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int):
     right = jnp.take(src, rel_hi, axis=2).astype(jnp.float32)
     nf = nx[cols].astype(jnp.float32)[None, None, :]
     df = dx[cols].astype(jnp.float32)[None, None, :]
-    vals = ((left * (df - nf) + right * nf) / df).astype(jnp.uint8)
+    vals = ((left * (df - nf) + right * nf) / df + bias).astype(jnp.uint8)
 
     cur = jax.lax.dynamic_slice(
         out, (0, 0, start), (out.shape[0], out.shape[1], width)
@@ -185,7 +188,7 @@ def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int):
         scores = jnp.where(residual, positions, -1)
         fix = jax.lax.top_k(scores, width)[0]  # -1 padded
         safe = jnp.maximum(fix, 0)
-        vals = _fixup_blend(yb, safe, ix_lo, ix_hi, nx, dx)
+        vals = _fixup_blend(yb, safe, ix_lo, ix_hi, nx, dx, bias)
         idx = jnp.where(fix < 0, w_out, fix)   # pads dropped
         return fixed.at[:, :, idx].set(vals, mode="drop")
 

@@ -190,7 +190,7 @@ def _block_geom(idx_lo, idx_hi, num, den, s_cells: int, src_dim: int,
 
 
 def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
-              slab, sem, *, k, q, nby, int8):
+              slab, sem, *, k, q, nby, int8, bias=0.5 + 2.0 ** -10):
     """One 32-row output block: DMA the (3, k, Wp) source row window
     (double-buffered: block i+1's window streams in behind block i's
     dots), blend via one exact integer-numerator dot per channel, divide
@@ -246,7 +246,7 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
                 preferred_element_type=jnp.int32,
             ) + 128 * dni  # (_SY, Wp) exact < 2^24
             outs.append(
-                (numi.astype(jnp.float32) * rdn + (0.5 + 2.0 ** -10))
+                (numi.astype(jnp.float32) * rdn + bias)
                 .astype(jnp.int32).astype(jnp.uint8)
             )
             continue
@@ -256,14 +256,13 @@ def _y_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, frame_hbm, out_ref,
             preferred_element_type=jnp.float32,
         )  # (_SY, Wp)
         outs.append(
-            (numdot * rdn + (0.5 + 2.0 ** -10))
-            .astype(jnp.int32).astype(jnp.uint8)
+            (numdot * rdn + bias).astype(jnp.int32).astype(jnp.uint8)
         )
     out_ref[...] = jnp.stack(outs)
 
 
 def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
-              slab, sem, *, k, q, hb, lx, nbx, nrb, int8):
+              slab, sem, *, k, q, hb, lx, nbx, nrb, int8, bias=0.01):
     """One (col-block, row-block) step: DMA the (3, hb, k) window of the
     y-blended intermediate (double-buffered ahead of the grid's
     row-major iteration order), one integer-numerator dot per channel,
@@ -312,7 +311,7 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
                 preferred_element_type=jnp.int32,
             ) + 128 * dni  # (hb, lx) exact < 2^24
             outs.append(
-                (numi.astype(jnp.float32) * rdn + 0.01)
+                (numi.astype(jnp.float32) * rdn + bias)
                 .astype(jnp.int32).astype(jnp.uint8)
             )
             continue
@@ -321,8 +320,105 @@ def _x_kernel(base_ref, lo_ref, s_ref, n_ref, d_ref, rows_hbm, out_ref,
             x, oh, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (hb, _LX)
-        outs.append((numdot * rdn + 0.01).astype(jnp.int32).astype(jnp.uint8))
+        outs.append((numdot * rdn + bias).astype(jnp.int32).astype(jnp.uint8))
     out_ref[...] = jnp.stack(outs)
+
+
+def _unwarp_fused_xy(planar, out_w, out_h, ix_lo, ix_hi, nx, dx,
+                     iy_lo, iy_hi, ny, dy, int8, out_layout, interpret):
+    """Column-first fused unwarp (FOVEAX_UNWARP_ORDER=xy): the x pass
+    runs on the wrap-padded REDUCED frame (hr rows instead of Ho — the
+    dot-FLOP and byte saving), its jump fixup repairs the intermediate
+    with round-half-up semantics, and the y pass finishes with the
+    truncating +0.01 guard over the full output width."""
+    from foveax.core.unwarp import _jump_fixup
+
+    _, hr, wr = planar.shape
+    lx = kx = hbx = 0
+    for lxc, kxc in _x_candidates() + ((128, 384),):
+        if out_w % lxc or wr < kxc:
+            continue
+        hbc = _hb(hr, kxc, lxc)
+        if hbc:
+            lx, kx, hbx = lxc, kxc, hbc
+            break
+    if not lx:
+        raise ValueError(
+            f"fused unwarp (xy): no legal x geometry for {out_w}x{out_h} "
+            f"over reduced height {hr}"
+        )
+
+    # --- x pass: (3, hr, Wrp) -> (3, hr, Wo), round-half intermediate --
+    wrp = -(-(wr + kx) // 128) * 128
+    ppx = jnp.pad(planar, ((0, 0), (0, 0), (0, wrp - wr)), mode="wrap")
+    bx, rx_lo, rx_s, rx_n, rx_d, badf = _block_geom(
+        ix_lo, ix_hi, nx, dx, lx, wr, kx, _QX, wrap=True
+    )
+    nbx = out_w // lx
+    nrbx = hr // hbx
+    half_up = 0.5 + 2.0 ** -10
+    xb = pl.pallas_call(
+        functools.partial(
+            _x_kernel, k=kx, q=_QX, hb=hbx, lx=lx, nbx=nbx, nrb=nrbx,
+            int8=int8, bias=half_up,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nbx, nrbx),
+            in_specs=[
+                _vec_spec(lx), _vec_spec(lx), _vec_spec(lx),
+                _vec_spec(lx),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, hbx, lx), lambda i, j, *_: (0, j, i),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, hbx, kx), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, hr, out_w), jnp.uint8),
+        interpret=interpret,
+    )(bx, rx_lo, rx_s, rx_n, rx_d, ppx)
+    xb = _jump_fixup(
+        xb, planar, badf, ix_lo, ix_hi, nx, dx, max(_FIX_K, 2 * lx),
+        bias=half_up,
+    )
+
+    # --- y pass: (3, hr, Wo) -> (3, Ho, Wo), truncating final ----------
+    ho_pad = -(-out_h // _SY) * _SY
+    by, ry_lo, ry_s, ry_n, ry_d, _ = _block_geom(
+        iy_lo, iy_hi, ny, dy, _SY, hr, _KY, _QY, wrap=False
+    )
+    nby = ho_pad // _SY
+    out = pl.pallas_call(
+        functools.partial(
+            _y_kernel, k=_KY, q=_QY, nby=nby, int8=int8, bias=0.01
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nby,),
+            in_specs=[
+                _vec_spec(_SY), _vec_spec(_SY), _vec_spec(_SY),
+                _vec_spec(_SY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, _SY, out_w), lambda i, *_: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, _KY, out_w), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, ho_pad, out_w), jnp.uint8),
+        interpret=interpret,
+    )(by, ry_lo, ry_s, ry_n, ry_d, xb)
+    out = out[:, :out_h, :]
+    return out if out_layout == "chw" else out.transpose(1, 2, 0)
 
 
 def _vec_spec(s_cells):
@@ -387,6 +483,24 @@ def unwarp_rect_fused(
         os.environ.get("FOVEAX_UNWARP_INT8", "0") == "1"
         and max(msx, msy) <= 127
     )
+    # Pass order (round-5 A/B knob): "yx" (rows then columns, the
+    # round-3 shipped order) or "xy" — columns FIRST, on the SMALL
+    # reduced frame.  Bilinear blending is separable in either order;
+    # commuting the passes moves the expensive column pass from the
+    # tall (Ho, ~Wr) intermediate onto the (hr, ~Wr) reduced frame —
+    # at 16K that is 113 + 38 GFLOP of one-hot dots instead of
+    # 204 + 22 (the x dot runs over hr rows instead of Ho) and ~6%
+    # fewer slab bytes.  The quantization roles swap with the passes
+    # (the intermediate pass rounds half-up, the final pass truncates
+    # with the +0.01 guard — the ``bias`` kernel params), so the
+    # <= 1 LSB-of-exact / fovea-bit-exact contract argument is the
+    # mirror image of the shipped order's.
+    order = os.environ.get("FOVEAX_UNWARP_ORDER", "yx")
+    if order == "xy":
+        return _unwarp_fused_xy(
+            planar, out_width, out_height, ix_lo, ix_hi, nx, dx,
+            iy_lo, iy_hi, ny, dy, int8, out_layout, interpret,
+        )
 
     # --- y pass: (3, hr, Wr) -> (3, Ho_pad32, Wp) u8 -------------------
     # The input-side circular pad (cheap: the reduced frame is small)

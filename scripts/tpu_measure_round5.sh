@@ -96,4 +96,13 @@ ostep i8samp 1200 INT8-SAMPLER-FAILED env FOVEAX_SEGREDUCE_INT8=1 \
   python scripts/stage_bench.py --resolutions 4k 16k --stages fused
 ostep i8unw 1200 INT8-UNWARP-FAILED env FOVEAX_UNWARP_INT8=1 \
   python scripts/stage_bench.py --resolutions 4k 16k --stages unwarp --precision fused
+
+# xy pass order (round-5 dot-FLOP lever): on-chip parity first, then the
+# stage A/B, then the combined xy+int8 point.
+ostep xypar 900 XY-PARITY-FAILED env FOVEAX_UNWARP_ORDER=xy FOVEAX_TPU_TESTS=1 \
+  python -m pytest tests/test_tpu_parity.py -q -m tpu -k "fused and unwarp" -x
+ostep xyunw 1200 XY-UNWARP-FAILED env FOVEAX_UNWARP_ORDER=xy \
+  python scripts/stage_bench.py --resolutions 4k 16k --stages unwarp --precision fused
+ostep xyi8unw 1200 XY-INT8-UNWARP-FAILED env FOVEAX_UNWARP_ORDER=xy FOVEAX_UNWARP_INT8=1 \
+  python scripts/stage_bench.py --resolutions 4k 16k --stages unwarp --precision fused
 echo "INT8-TAIL-COMPLETE"

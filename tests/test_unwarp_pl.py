@@ -279,3 +279,50 @@ def test_fused_int8_dots_match_f32(reduced, center, monkeypatch):
     exact = np.asarray(unwarp_rect(reduced, OUT_W, OUT_H, c))
     d = np.abs(exact.astype(np.int32) - got8.astype(np.int32))
     assert d.max() <= 1
+
+
+@pytest.mark.parametrize("center", CENTERS)
+def test_fused_xy_order_within_one_lsb_of_exact(reduced, center, monkeypatch):
+    """FOVEAX_UNWARP_ORDER=xy (column pass first, on the reduced frame —
+    round 5's dot-FLOP lever) keeps the same <= 1 LSB-of-exact contract:
+    the quantization roles swap with the passes (round-half intermediate,
+    truncating final), mirroring the shipped order's error argument."""
+    monkeypatch.setenv("FOVEAX_UNWARP_ORDER", "xy")
+    c = jnp.asarray(center, jnp.float32)
+    exact = np.asarray(unwarp_rect(reduced, OUT_W, OUT_H, c))
+    got = np.asarray(
+        unwarp_rect_fused(reduced, OUT_W, OUT_H, c, interpret=True)
+    )
+    d = np.abs(exact.astype(np.int32) - got.astype(np.int32))
+    assert d.max() <= 1, (center, d.max(), (d > 1).sum())
+
+
+def test_fused_xy_order_fovea_bit_exact(reduced, monkeypatch):
+    """In the fovea both axes carry identity weights (num = 0, passthrough)
+    in EITHER pass order — the gaze-centered crop must be bit-exact."""
+    monkeypatch.setenv("FOVEAX_UNWARP_ORDER", "xy")
+    c = jnp.asarray((0.5, 0.5), jnp.float32)
+    exact = np.asarray(unwarp_rect(reduced, OUT_W, OUT_H, c))
+    got = np.asarray(
+        unwarp_rect_fused(reduced, OUT_W, OUT_H, c, interpret=True)
+    )
+    ch, cw = OUT_H // 2, OUT_W // 2
+    s = OUT_H // 16
+    np.testing.assert_array_equal(
+        exact[ch - s : ch + s, cw - s : cw + s],
+        got[ch - s : ch + s, cw - s : cw + s],
+    )
+
+
+def test_fused_xy_int8_matches_xy_f32(reduced, monkeypatch):
+    """xy order composes with the int8 dot knob bit-identically."""
+    monkeypatch.setenv("FOVEAX_UNWARP_ORDER", "xy")
+    c = jnp.asarray((0.31, 0.87), jnp.float32)
+    base = np.asarray(
+        unwarp_rect_fused(reduced, OUT_W, OUT_H, c, interpret=True)
+    )
+    monkeypatch.setenv("FOVEAX_UNWARP_INT8", "1")
+    got8 = np.asarray(
+        unwarp_rect_fused(reduced, OUT_W, OUT_H, c, interpret=True)
+    )
+    np.testing.assert_array_equal(base, got8)
