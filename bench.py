@@ -306,22 +306,25 @@ def main(fused_probe: bool = False) -> None:
         )
         return reduced, restored
 
-    @jax.jit
-    def step_fused_int8(frame_chw, center):
-        # Same full-fused pipeline traced under the MXU int8-dot knobs
-        # (round 5; the env is set around this candidate's measure() in
-        # the probe loop below — the kernels read it at trace time).
-        # Bit-identical output; candidate exists so the headline adopts
-        # the int8 path automatically wherever it measures faster.
-        from foveax.kernels.segreduce import sample_rect_fused
-        from foveax.kernels.unwarp_pl import unwarp_rect_fused
+    def make_fused_step():
+        # A fresh @jax.jit per env-knob candidate: the kernels read the
+        # knobs at trace time, so each candidate needs its own function
+        # object (its own trace) with the env set around measure().
+        @jax.jit
+        def step(frame_chw, center):
+            from foveax.kernels.segreduce import sample_rect_fused
+            from foveax.kernels.unwarp_pl import unwarp_rect_fused
 
-        reduced = sample_rect_fused(frame_chw, grid, center, out_layout="chw")
-        restored = unwarp_rect_fused(
-            reduced, src_w, src_h, center,
-            in_layout="chw", out_layout="chw",
-        )
-        return reduced, restored
+            reduced = sample_rect_fused(
+                frame_chw, grid, center, out_layout="chw"
+            )
+            restored = unwarp_rect_fused(
+                reduced, src_w, src_h, center,
+                in_layout="chw", out_layout="chw",
+            )
+            return reduced, restored
+
+        return step
 
     rng = np.random.default_rng(0)
     frame = jax.device_put(
@@ -394,26 +397,34 @@ def main(fused_probe: bool = False) -> None:
         # therefore on by default — still inside this killable probe
         # (the wedge itself remains real), with partial output honored.
         # FOVEAX_BENCH_TRY_FUSED_FULL=0 opts out.
+        candidate_env: dict[str, dict[str, str]] = {}
         if os.environ.get("FOVEAX_BENCH_TRY_FUSED_FULL", "1") == "1":
             candidates.append(("fused_full", step_fused))
-            # int8 variant last: Mosaic s8-dot support is A/B-gated
-            # (BENCHMARKS "delivered ceilings") — if it fails to lower,
-            # the proven candidates' lines have already landed.
+            # Env-knob variants last: Mosaic support for the s8 dots is
+            # A/B-gated (BENCHMARKS "delivered ceilings") — if one fails
+            # to lower, the proven candidates' lines have already landed.
             if os.environ.get("FOVEAX_BENCH_TRY_INT8", "1") == "1":
-                candidates.append(("fused_full_int8", step_fused_int8))
-        int8_knobs = ("FOVEAX_SEGREDUCE_INT8", "FOVEAX_UNWARP_INT8")
+                candidates.append(("fused_full_int8", make_fused_step()))
+                candidate_env["fused_full_int8"] = {
+                    "FOVEAX_SEGREDUCE_INT8": "1",
+                    "FOVEAX_UNWARP_INT8": "1",
+                }
+                candidates.append(("fused_full_xy8", make_fused_step()))
+                candidate_env["fused_full_xy8"] = {
+                    "FOVEAX_SEGREDUCE_INT8": "1",
+                    "FOVEAX_UNWARP_INT8": "1",
+                    "FOVEAX_UNWARP_ORDER": "xy",
+                }
         for name, step in candidates:
             try:
                 print(f"# probe: measuring {name}", file=sys.stderr, flush=True)
-                if name.endswith("_int8"):
-                    for kn in int8_knobs:
-                        os.environ[kn] = "1"
+                env = candidate_env.get(name, {})
+                os.environ.update(env)
                 try:
                     print(f"cand-fps {name} {measure(step):.2f}", flush=True)
                 finally:
-                    if name.endswith("_int8"):
-                        for kn in int8_knobs:
-                            os.environ.pop(kn, None)
+                    for kn in env:
+                        os.environ.pop(kn, None)
             except Exception as e:  # pragma: no cover - toolchain dependent
                 print(f"# candidate {name} failed: {e!r}"[:160], file=sys.stderr)
         return
