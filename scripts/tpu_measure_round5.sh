@@ -59,15 +59,18 @@ fi
 step hbm      1500 python scripts/hbm_stream_bench.py --iters 48 --mb 128
 step st16f     900 python scripts/stage_bench.py --resolutions 16k --stages fused
 step st16u     900 python scripts/stage_bench.py --resolutions 16k --stages unwarp --precision fused
-step udiag2   1500 python scripts/unwarp_diag2.py --res 16k --iters 10
-step udiag3   1500 python scripts/unwarp_diag3.py --res 16k --iters 10
-step sdiag    1500 python scripts/sampler_diag.py --res 16k --iters 10
+# Headline-bearing steps FIRST (healthy windows are ~20-30 min between
+# multi-hour wedges; the per-pass diagnostics moved to the tail so a
+# starved batch still refreshes perf/knee/bench before anything else).
+step bench    1300 env FOVEAX_BENCH_FUSED_TIMEOUT=240 python bench.py
 step perf     1500 python -m foveax.cli.main perf --resolutions 4k 8k 16k
 step knee4k   1500 python -m foveax.cli.main perf --resolutions 4k --clients 8 16 32 48 64 --batch-sampler fused
 step knee8k   1200 python -m foveax.cli.main perf --resolutions 8k --clients 4 8 12 16 --batch-sampler fused
 step knee1080  900 python -m foveax.cli.main perf --resolutions 1080p --clients 64 240 256 320 --batch-sampler fused
 step kneemap   900 env FOVEAX_BATCH_GRID=0 python -m foveax.cli.main perf --resolutions 1080p --clients 64 240 --batch-sampler fused
-step bench    1300 env FOVEAX_BENCH_FUSED_TIMEOUT=240 python bench.py
+step udiag2   1500 python scripts/unwarp_diag2.py --res 16k --iters 10
+step udiag3   1500 python scripts/unwarp_diag3.py --res 16k --iters 10
+step sdiag    1500 python scripts/sampler_diag.py --res 16k --iters 10
 echo "BATCH-COMPLETE"
 
 # --- optional tail: MXU int8-dot A/B (round 5).  Mosaic s8-dot support
