@@ -415,13 +415,44 @@ def main(fused_probe: bool = False) -> None:
                     "FOVEAX_UNWARP_INT8": "1",
                     "FOVEAX_UNWARP_ORDER": "xy",
                 }
+        def knob_parity_ok(step) -> bool:
+            # The env-knob candidates (s8 dots, xy order) are A/B variants
+            # whose Mosaic lowering is chip-dependent: a lowering that
+            # *runs* but miscomputes must not take the headline on speed.
+            # Contract: sampler bit-identical to the knobs-off fused pair;
+            # unwarp <= 1 LSB of exact each, so <= 2 LSB between two
+            # variants.  One extra frame + scalar readbacks (~2 ms + RPC).
+            r_ref, u_ref = step_fused(frame, centers[0])
+            r_c, u_c = step(frame, centers[0])
+            samp_bad = int(jnp.sum((r_ref != r_c).astype(jnp.int32)))
+            unw_err = int(
+                jnp.max(
+                    jnp.abs(
+                        u_ref.astype(jnp.int32) - u_c.astype(jnp.int32)
+                    )
+                )
+            )
+            print(
+                f"# probe: knob parity samp_mismatch={samp_bad} "
+                f"unwarp_maxerr={unw_err}",
+                file=sys.stderr, flush=True,
+            )
+            return samp_bad == 0 and unw_err <= 2
+
         for name, step in candidates:
             try:
                 print(f"# probe: measuring {name}", file=sys.stderr, flush=True)
                 env = candidate_env.get(name, {})
                 os.environ.update(env)
                 try:
-                    print(f"cand-fps {name} {measure(step):.2f}", flush=True)
+                    fps_val = measure(step)
+                    if env and not knob_parity_ok(step):
+                        print(
+                            f"# candidate {name} DISCARDED: knob parity "
+                            "check failed", file=sys.stderr,
+                        )
+                        continue
+                    print(f"cand-fps {name} {fps_val:.2f}", flush=True)
                 finally:
                     for kn in env:
                         os.environ.pop(kn, None)
