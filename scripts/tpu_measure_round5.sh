@@ -108,4 +108,10 @@ ostep xyunw 1200 XY-UNWARP-FAILED env FOVEAX_UNWARP_ORDER=xy \
   python scripts/stage_bench.py --resolutions 4k 16k --stages unwarp --precision fused
 ostep xyi8unw 1200 XY-INT8-UNWARP-FAILED env FOVEAX_UNWARP_ORDER=xy FOVEAX_UNWARP_INT8=1 \
   python scripts/stage_bench.py --resolutions 4k 16k --stages unwarp --precision fused
+
+# Scan-kernel budget decomposition (closes the "scan sits 5x above its
+# byte floor" question from the delivered-ceiling section with a
+# measured attribution: dots vs column scan vs cast/DMA floor).
+ostep scandiag 1500 SCAN-DIAG-FAILED python scripts/scan_diag.py --res 16k --iters 10
+ostep scandiag8 1200 SCAN-DIAG8-FAILED python scripts/scan_diag.py --res 8k --iters 10
 echo "INT8-TAIL-COMPLETE"
