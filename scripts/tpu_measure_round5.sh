@@ -62,6 +62,13 @@ step st16u     900 python scripts/stage_bench.py --resolutions 16k --stages unwa
 # Headline-bearing steps FIRST (healthy windows are ~20-30 min between
 # multi-hour wedges; the per-pass diagnostics moved to the tail so a
 # starved batch still refreshes perf/knee/bench before anything else).
+# Prewarm: the round-5 kernel edits invalidated the persistent-cache
+# entries for bench's 4K candidate shapes (observed 02:03Z: the probe
+# child died at its 240 s bound still compiling the FIRST candidate).
+# Running the probe child alone with a generous bound populates the
+# cache (15-40 s per remote compile x up to 8 traces); the bench step
+# after it then probes from cache in seconds.
+step prewarm  2000 python bench.py --fused-probe
 step bench    1300 env FOVEAX_BENCH_FUSED_TIMEOUT=240 python bench.py
 step perf     1500 python -m foveax.cli.main perf --resolutions 4k 8k 16k
 step knee4k   1500 python -m foveax.cli.main perf --resolutions 4k --clients 8 16 32 48 64 --batch-sampler fused
