@@ -48,7 +48,7 @@ def _log_scan_sublanes(x: jax.Array, rows: int) -> jax.Array:
     return x
 
 
-def _sat_kernel(frame_ref, out_ref, carry_ref):
+def _sat_kernel(frame_ref, out_ref, carry_ref, *, int8: bool = False):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -59,22 +59,52 @@ def _sat_kernel(frame_ref, out_ref, carry_ref):
     c, r, w = blk.shape
     nch = w // _LANE
 
-    # Mosaic has no direct u8->f32 cast; hop through int32.
-    x = blk.astype(jnp.int32).astype(jnp.float32).reshape(c * r, nch, _LANE)
-
     # 128x128 lower-triangular ones: L[k, l] = (k <= l).
     ks = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
     ls = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
-    tri = (ks <= ls).astype(jnp.float32)
 
-    local = jax.lax.dot_general(
-        x,
-        tri,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (c*r, nch, 128): inclusive scan within each chunk
+    if int8:
+        # MXU int8 path (FOVEAX_SCAN_INT8, round-5 ceiling work — same
+        # scheme as the fused families' one-hot dots, segreduce.py): u8
+        # pixels shift to x-128 via a sign-bit XOR so they fit s8, the
+        # triangular scan runs as an s8 dot with exact s32 accumulation
+        # (measured 310 TOP/s vs 183 TF bf16), and the shift is undone
+        # by the CONSTANT per-lane correction 128*(l+1) — the inclusive
+        # scan of the constant 128.  Exact integers end to end; also
+        # drops the u8->i32->f32 conversion planes (Mosaic materializes
+        # those full-size).
+        xs8 = (blk ^ jnp.uint8(128)).astype(jnp.int8).reshape(
+            c * r, nch, _LANE
+        )
+        tri8 = (ks <= ls).astype(jnp.int8)
+        local_raw = jax.lax.dot_general(
+            xs8,
+            tri8,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (c*r, nch, 128): scan of (x - 128) within each chunk
+        lane_fix = 128 * (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANE), 2) + 1
+        )
+        local_i = local_raw + lane_fix  # exact inclusive scan of x
+        # Chunk-offset scan stays on the f32 limb matmul (totals exceed
+        # s8 range; the two tiny strict-tri matmuls are ~free).
+        totals = local_i[..., _LANE - 1].astype(jnp.float32)
+    else:
+        # Mosaic has no direct u8->f32 cast; hop through int32.
+        x = blk.astype(jnp.int32).astype(jnp.float32).reshape(
+            c * r, nch, _LANE
+        )
+        tri = (ks <= ls).astype(jnp.float32)
 
-    totals = local[..., _LANE - 1]  # (c*r, nch) chunk sums
+        local = jax.lax.dot_general(
+            x,
+            tri,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (c*r, nch, 128): inclusive scan within each chunk
+
+        totals = local[..., _LANE - 1]  # (c*r, nch) chunk sums
     # Exclusive chunk-offset scan as ONE strict-lower-triangular matmul.
     # Chunk totals reach 255*128 = 32640, beyond bf16's exact-integer range
     # (and the MXU truncates f32 operands to bf16), so split totals =
@@ -98,8 +128,21 @@ def _sat_kernel(frame_ref, out_ref, carry_ref):
         )
 
     excl = _mm(t_hi) * _LANE + _mm(t_lo)
-    # f32 -> u32 also needs an int32 hop in Mosaic (values < 2^24).
-    rows = (local + excl[..., None]).reshape(c, r, w).astype(jnp.int32).astype(jnp.uint32)
+    if int8:
+        # local is already exact i32; only the (small) excl plane casts.
+        rows = (
+            (local_i + excl.astype(jnp.int32)[..., None])
+            .reshape(c, r, w)
+            .astype(jnp.uint32)
+        )
+    else:
+        # f32 -> u32 also needs an int32 hop in Mosaic (values < 2^24).
+        rows = (
+            (local + excl[..., None])
+            .reshape(c, r, w)
+            .astype(jnp.int32)
+            .astype(jnp.uint32)
+        )
 
     cols = _log_scan_sublanes(rows, r)
     out_ref[...] = cols + carry_ref[...]
@@ -150,9 +193,15 @@ def build_sat_pallas(
             )
     planes = frame if in_layout == "chw" else frame.transpose(2, 0, 1)
 
+    # Read at TRACE time (like the fused families' knobs): an A/B
+    # process sets the env before its first call; a live flip needs a
+    # fresh traced function.
+    import os
+
+    int8 = os.environ.get("FOVEAX_SCAN_INT8", "0") == "1"
     grid = (h // block_rows,)
     return pl.pallas_call(
-        _sat_kernel,
+        functools.partial(_sat_kernel, int8=int8),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

@@ -121,4 +121,13 @@ ostep xyi8unw 1200 XY-INT8-UNWARP-FAILED env FOVEAX_UNWARP_ORDER=xy FOVEAX_UNWAR
 # measured attribution: dots vs column scan vs cast/DMA floor).
 ostep scandiag 1500 SCAN-DIAG-FAILED python scripts/scan_diag.py --res 16k --iters 10
 ostep scandiag8 1200 SCAN-DIAG8-FAILED python scripts/scan_diag.py --res 8k --iters 10
+
+# int8 triangular-scan A/B (FOVEAX_SCAN_INT8): on-chip parity, then the
+# sat stage at 8k/16k with the knob on (baseline sat numbers come from
+# the perf/stage steps above).
+ostep scani8par 900 SCAN-INT8-PARITY-FAILED env FOVEAX_SCAN_INT8=1 FOVEAX_TPU_TESTS=1 \
+  python -m pytest tests/test_tpu_parity.py -q -m tpu -k "sat or scan" -x
+ostep scani8 1200 SCAN-INT8-FAILED env FOVEAX_SCAN_INT8=1 \
+  python scripts/stage_bench.py --resolutions 8k 16k --stages sat
+ostep scanbase 1200 SCAN-BASE-FAILED python scripts/stage_bench.py --resolutions 8k 16k --stages sat
 echo "INT8-TAIL-COMPLETE"

@@ -17,6 +17,27 @@ def test_scan2d_interpret_parity(rng, shape, block):
     np.testing.assert_array_equal(a, b)
 
 
+def test_scan2d_int8_interpret_parity(rng, monkeypatch):
+    """FOVEAX_SCAN_INT8: the s8 triangular-scan dot (sign-bit shift +
+    constant per-lane correction) must be bit-identical — including
+    extreme pixel values at both s8 range ends."""
+    monkeypatch.setenv("FOVEAX_SCAN_INT8", "1")
+    # The knob is read at trace time: drop any cached non-int8 trace for
+    # these shapes, and drop the int8 traces afterwards so later tests
+    # at shared shapes re-trace with the knob off.
+    build_sat_pallas.clear_cache()
+    try:
+        f = jnp.asarray(
+            rng.integers(0, 256, size=(64, 256, 3), dtype=np.uint8)
+        )
+        f = f.at[0, :, :].set(255).at[1, :, :].set(0)
+        a = np.asarray(build_sat_pallas(f, block_rows=8, interpret=True))
+        b = np.asarray(build_sat(f))
+        np.testing.assert_array_equal(a, b)
+    finally:
+        build_sat_pallas.clear_cache()
+
+
 def test_scan2d_block_rows_fallback(rng):
     # H=40 not divisible by 64 -> internal fallback divisor.
     f = jnp.asarray(rng.integers(0, 256, size=(40, 128, 3), dtype=np.uint8))
