@@ -362,6 +362,12 @@ class BroadcastChannel:
         self._enc_ema = 0.0
         self.decimation = 1
         self._relax_ticks = 0  # consecutive ticks below the current k
+        # Preset-pressure interplay: ticks to hold a decimation raise
+        # after a preset step (the cheaper encoders + EMA need time to
+        # land), and consecutive deep-headroom ticks before asking the
+        # server to relax the pressure.
+        self._preset_hold = 0
+        self._preset_relax_ticks = 0
         self._rb_guard = (
             ReadbackGuard(server.readback_deadline_s)
             if server.readback_deadline_s > 0
@@ -560,6 +566,30 @@ class BroadcastChannel:
         budget = 0.9 * tick
         est = self._enc_ema * n_members
         k_target = max(1, min(16, math.ceil(est / budget)))
+        # Preset ladder first (software encode's cheapest degradation is
+        # quality, not frames): before RAISING k, try stepping the wire
+        # preset a rung cheaper and hold the raise ~1.5 s so the
+        # renegotiated encoders can pull the EMA back under budget; only
+        # an exhausted ladder decimates.  Pressure relaxes (slowly, via
+        # the server's rate limit) after sustained deep headroom.
+        if k_target > self.decimation and self._preset_hold > 0:
+            self._preset_hold -= 1
+            return self.decimation
+        if (
+            k_target > self.decimation
+            and self.pipeline is not None
+            and self.server._bump_preset_pressure(self.pipeline.config)
+        ):
+            self._preset_hold = 45
+            self._preset_relax_ticks = 0
+            return self.decimation
+        if self.decimation == 1 and k_target == 1 and est <= 0.5 * budget:
+            self._preset_relax_ticks += 1
+            if self._preset_relax_ticks >= 150:
+                self.server._drop_preset_pressure()
+                self._preset_relax_ticks = 0
+        else:
+            self._preset_relax_ticks = 0
         # Hysteresis: raising is immediate (overload protection), but
         # lowering waits for ~half a second of sustained headroom — a
         # k flap near a boundary would re-phase every member's schedule
@@ -754,8 +784,19 @@ class BroadcastChannel:
                     self.server.total_dropped += 1
                     session.on_frame_outcome(True)
                     continue
-                if session._rate_dirty and session.wire is not None:
-                    # Rate adaptation: fresh encoder + muxer; dropping
+                stale_preset = session.wire is not None and (
+                    getattr(
+                        session.wire,
+                        "_foveax_preset_gen",
+                        self.server._preset_gen,
+                    )
+                    != self.server._preset_gen
+                )
+                if (
+                    session._rate_dirty or stale_preset
+                ) and session.wire is not None:
+                    # Rate adaptation (or a preset-pressure change):
+                    # fresh encoder + muxer; dropping
                     # the member from sent_header re-sends streamInfo +
                     # the new init segment before the next sample.  The
                     # check sits AFTER the backlog drop so a member that
@@ -910,6 +951,18 @@ class FoveaxServer:
             raise ValueError(f"unknown wire_preset {wire_preset!r}")
         self.wire_preset = wire_preset
         self._preset_cache: dict[tuple, str] = {}
+        # Encode-saturation preset pressure (auto mode only): before a
+        # channel decimates member cadence, the server steps the wire
+        # preset DOWN the WIRE_PRESETS ladder (toward ultrafast) —
+        # software encode's cheapest degradation is quality, not frames
+        # (the reference never faces this: NVENC silicon,
+        # src/video_encoder.cc:28-58).  Sessions pick the change up
+        # lazily through the rate-renegotiation machinery (a preset
+        # generation stamp on each encoder).
+        self._preset_pressure = 0
+        self._preset_gen = 0
+        self._preset_changed_at = float("-inf")
+        self.total_preset_downgrades = 0
         # Live per-session AIMD on the wire bitrate (requires a
         # rate-targeted inter-frame encoder, i.e. wire_bitrate > 0).
         self.adapt_rate = adapt_rate
@@ -1099,7 +1152,7 @@ class FoveaxServer:
         self._place_count += 1
         return device
 
-    def _resolve_preset(self, cfg: FoveaxConfig) -> str:
+    def _resolve_preset_base(self, cfg: FoveaxConfig) -> str:
         """Resolve --wire-preset auto once per operating point (codec x
         reduced size): the probe costs a few sub-tick encodes, so cache
         the answer for every later session at the same point."""
@@ -1123,11 +1176,67 @@ class FoveaxServer:
             )
         return self._preset_cache[key]
 
+    def _resolve_preset(self, cfg: FoveaxConfig) -> str:
+        """Effective preset = the resolved base stepped down the ladder
+        by the current encode-saturation pressure (auto mode only)."""
+        base = self._resolve_preset_base(cfg)
+        if self._preset_pressure and base in WIRE_PRESETS:
+            i = WIRE_PRESETS.index(base)
+            return WIRE_PRESETS[max(0, i - self._preset_pressure)]
+        return base
+
+    # One preset step per second at most: a renegotiation wave must
+    # land (and the encode EMA re-converge) before the next verdict.
+    _PRESET_STEP_MIN_S = 1.0
+    _PRESET_RELAX_MIN_S = 5.0
+
+    def _bump_preset_pressure(self, cfg: FoveaxConfig) -> bool:
+        """Step the wire preset one rung cheaper if possible.  True when
+        a step happened (or one landed within the last second — callers
+        hold their cadence response either way); False when the ladder
+        is exhausted, pinned (non-auto), or preset-less (jpeg)."""
+        if self.wire_preset != "auto":
+            return False
+        base = self._resolve_preset_base(cfg)
+        if base not in WIRE_PRESETS:
+            return False
+        now = time.monotonic()
+        if now - self._preset_changed_at < self._PRESET_STEP_MIN_S:
+            return True
+        if WIRE_PRESETS.index(base) - self._preset_pressure <= 0:
+            return False
+        self._preset_pressure += 1
+        self._preset_gen += 1
+        self._preset_changed_at = now
+        self.total_preset_downgrades += 1
+        log.info(
+            "encode saturation: wire preset pressure -> %d (%r at the "
+            "flagship point)", self._preset_pressure,
+            self._resolve_preset(cfg),
+        )
+        return True
+
+    def _drop_preset_pressure(self) -> bool:
+        """Relax one rung after sustained headroom (channel-judged)."""
+        if self._preset_pressure <= 0:
+            return False
+        now = time.monotonic()
+        if now - self._preset_changed_at < self._PRESET_RELAX_MIN_S:
+            return False
+        self._preset_pressure -= 1
+        self._preset_gen += 1
+        self._preset_changed_at = now
+        log.info(
+            "encode headroom: wire preset pressure -> %d",
+            self._preset_pressure,
+        )
+        return True
+
     def _make_encoder(self, cfg: FoveaxConfig, bitrate: int | None = None):
         """Per-session wire encoder (inter-frame state is per-client, like
         the reference's per-connection VideoEncoder, src/video_server.h:41).
         ``bitrate`` overrides the configured target (rate adaptation)."""
-        return make_wire_encoder(
+        enc = make_wire_encoder(
             self.wire_codec,
             cfg.reduced_width,
             cfg.reduced_height,
@@ -1138,6 +1247,11 @@ class FoveaxServer:
             jpeg_quality=self.jpeg_quality,
             preset=self._resolve_preset(cfg),
         )
+        # Preset-generation stamp: a later pressure change makes this
+        # encoder stale, and the encode fan-out renegotiates it through
+        # the same path rate adaptation uses.
+        enc._foveax_preset_gen = self._preset_gen
+        return enc
 
     @staticmethod
     def _backlog(ws) -> int:
@@ -1380,8 +1494,19 @@ class FoveaxServer:
                         continue
                     sample, is_key = packed
                 else:
-                    if session._rate_dirty and session.wire is not None:
-                        # Rate adaptation: new encoder + muxer, then the
+                    stale_preset = session.wire is not None and (
+                        getattr(
+                            session.wire,
+                            "_foveax_preset_gen",
+                            self._preset_gen,
+                        )
+                        != self._preset_gen
+                    )
+                    if (
+                        session._rate_dirty or stale_preset
+                    ) and session.wire is not None:
+                        # Rate adaptation (or a preset-pressure change):
+                        # new encoder + muxer, then the
                         # new init segment goes out before the sample.
                         # An encoder-open failure must not die silently
                         # in the task (the socket is healthy, so the
@@ -1463,13 +1588,15 @@ class FoveaxServer:
                     gaze_s = ""
                 log.info(
                     "sessions=%d channels=%d fps=%.1f dropped=%d "
-                    "decimated=%d rb_skipped=%d %sq_avg=%.0f",
+                    "decimated=%d rb_skipped=%d preset_pressure=%d "
+                    "%sq_avg=%.0f",
                     len(self.sessions),
                     len(self.channels),
                     (sent - prev_sent) / period_s,
                     dropped - prev_dropped,
                     decimated - prev_decimated,
                     rb - prev_rb,
+                    self._preset_pressure,
                     gaze_s,
                     np.mean([s.quality for s in self.sessions])
                     if self.sessions

@@ -1587,6 +1587,12 @@ def test_saturation_real_x264_contention(monkeypatch):
     server = FoveaxServer(
         cfg, max_frames=3000, broadcast=True, wire_codec="h264",
         encode_workers=1, loop_videos=True,
+        # Pin the preset: this test isolates the DECIMATION mechanism.
+        # With --wire-preset auto the round-5 pressure ladder engages
+        # first (cheaper presets instead of dropped ticks) and real
+        # saturation may never reach the decimator — that behavior has
+        # its own tests (test_preset_ladder_engages_before_decimation).
+        wire_preset="veryfast",
     )
 
     locked = []  # (k, ema, n) at every tick, measured EMAs only
@@ -1805,3 +1811,141 @@ def test_gaze_apply_latency_probe():
     assert s._gaze_rx_ts is None
     s.mark_gaze_applied()  # disarmed: still one sample
     assert len(server.gaze_apply_ms) == 1
+
+
+# -- encode-saturation preset pressure (round 5) ------------------------
+
+
+@pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
+def test_preset_ladder_engages_before_decimation():
+    """Under encode saturation the server steps the wire preset down the
+    ladder (toward ultrafast) and holds cadence decimation; only an
+    exhausted ladder decimates.  Software encode's cheapest degradation
+    is quality, not frames (the reference's NVENC never faces this)."""
+    from foveax.serve.server import BroadcastChannel
+
+    server = FoveaxServer(CFG, wire_codec="h264", wire_preset="auto")
+    server._preset_cache[
+        ("h264", CFG.reduced_width, CFG.reduced_height)
+    ] = "veryfast"
+    server._PRESET_STEP_MIN_S = 0.0
+    ch = BroadcastChannel(server, "v")
+    ch.pipeline = type("P", (), {"config": CFG})()
+    tick = 1.0 / 30.0
+    ch._enc_ema = 0.021  # k_target = 6 at 8 members
+
+    # First raise attempt steps the preset instead and holds cadence.
+    assert ch._update_decimation(8, tick) == 1
+    assert server._preset_pressure == 1
+    assert server.total_preset_downgrades == 1
+    assert server._resolve_preset(CFG) == "superfast"
+    gen_after_first = server._preset_gen
+    assert gen_after_first == 1
+
+    # The hold window absorbs raises without stepping again.
+    assert ch._update_decimation(8, tick) == 1
+    assert server._preset_pressure == 1
+
+    ch._preset_hold = 0
+    assert ch._update_decimation(8, tick) == 1
+    assert server._preset_pressure == 2
+    assert server._resolve_preset(CFG) == "ultrafast"
+
+    # Ladder exhausted: decimation raises exactly as before.
+    ch._preset_hold = 0
+    assert ch._update_decimation(8, tick) == 6
+    assert server._preset_pressure == 2
+
+    # Encoders stamped with the old generation read as stale.
+    enc = server._make_encoder(CFG)
+    try:
+        assert enc._foveax_preset_gen == server._preset_gen
+    finally:
+        enc.close()
+
+
+@pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
+def test_preset_pressure_relaxes_after_sustained_headroom():
+    from foveax.serve.server import BroadcastChannel
+
+    server = FoveaxServer(CFG, wire_codec="h264", wire_preset="auto")
+    server._preset_cache[
+        ("h264", CFG.reduced_width, CFG.reduced_height)
+    ] = "veryfast"
+    server._PRESET_RELAX_MIN_S = 0.0
+    server._preset_pressure = 1
+    server._preset_gen = 1
+    ch = BroadcastChannel(server, "v")
+    ch.pipeline = type("P", (), {"config": CFG})()
+    tick = 1.0 / 30.0
+    ch._enc_ema = 1e-4  # deep headroom: est << 0.5 * budget
+
+    for _ in range(149):
+        assert ch._update_decimation(4, tick) == 1
+    assert server._preset_pressure == 1  # not yet: 150 sustained ticks
+    ch._update_decimation(4, tick)
+    assert server._preset_pressure == 0
+    assert server._preset_gen == 2
+
+    # A pinned (non-auto) preset never engages the ladder.
+    pinned = FoveaxServer(CFG, wire_codec="h264", wire_preset="ultrafast")
+    assert not pinned._bump_preset_pressure(CFG)
+
+
+@pytest.mark.skipif("h264" not in _INTER, reason="native h264 shim not built")
+def test_preset_pressure_renegotiates_midstream(monkeypatch):
+    """A mid-stream preset-pressure step renegotiates every member's
+    encoder through the rate-adaptation path (new init segment, client
+    keeps decoding) without any bitrate change."""
+    from foveax.serve import server as server_mod
+    from foveax.serve.server import Session
+
+    monkeypatch.setattr(
+        server_mod, "pick_wire_preset", lambda *a, **k: "veryfast"
+    )
+    port = _free_port()
+    server = FoveaxServer(
+        CFG, max_frames=25, wire_codec="h264", wire_preset="auto"
+    )
+
+    reneg = []
+    orig_reneg = Session.renegotiate_wire
+
+    def spy(self, cfg):
+        reneg.append(self.rate_bps)
+        return orig_reneg(self, cfg)
+
+    monkeypatch.setattr(Session, "renegotiate_wire", spy)
+
+    ticks = {"n": 0}
+
+    def gaze(i):
+        ticks["n"] += 1
+        if ticks["n"] == 5:
+            assert server._bump_preset_pressure(CFG)
+        return (0.5, 0.5)
+
+    frames_seen = []
+    client = FoveaxClient(
+        f"ws://127.0.0.1:{port}",
+        video="synthetic://96x64@30/40",
+        config=CFG,
+        gaze_source=gaze,
+        frame_sink=lambda f, meta: frames_seen.append(f),
+        max_frames=12,
+    )
+
+    async def main():
+        import websockets
+
+        async with websockets.serve(
+            server.handle, "127.0.0.1", port, max_size=64 * 1024 * 1024
+        ):
+            return await asyncio.wait_for(client.run(), timeout=90)
+
+    stats = asyncio.run(main())
+    assert server._preset_pressure == 1
+    assert reneg == [0], reneg  # exactly one renegotiation, rate untouched
+    assert stats.frames == 12
+    assert all(f.shape == (64, 96, 3) for f in frames_seen)
+    assert frames_seen[-1].std() > 5.0
