@@ -30,7 +30,10 @@ sys.exit(jax.default_backend() != 'tpu')
     [ $rc -ne 1 ] && exit $rc
     echo "[watch] batch wedged; resuming probes" >> "$LOG"
   fi
-  sleep 240
+  # 90 s cadence: with ~20-min healthy windows between wedges, the old
+  # 240 s sleep + 120 s probe bound could burn a third of a window just
+  # noticing it opened.
+  sleep 90
 done
 echo "[watch] gave up" >> "$LOG"
 exit 1
