@@ -25,12 +25,21 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/foveax_jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
 
 probe() {
-  timeout 150 python -c "
+  # Two attempts with a cool-down: a probe right after another process
+  # detached sometimes fails transiently (observed 01:51Z, 03:20Z —
+  # watcher probe-ok followed by an immediate step-probe failure wasted
+  # the whole window), while a second attach 20 s later succeeds.
+  for _a in 1 2; do
+    timeout 150 python -c "
 import sys, jax, jax.numpy as jnp
 x = jnp.arange(128, dtype=jnp.int32)
 ok = int((x*x).sum()) == 690880 and jax.default_backend() == 'tpu'
 sys.exit(0 if ok else 1)
-" || { echo "WEDGED: aborting batch for re-probe"; exit 1; }
+" && return 0
+    sleep 20
+  done
+  echo "WEDGED: aborting batch for re-probe"
+  exit 1
 }
 
 step() {  # step <name> <timeout_s> <cmd...>
@@ -85,12 +94,17 @@ echo "BATCH-COMPLETE"
 # logs a marker; the batch is already complete above).  A tunnel wedge
 # here exits 0 — the mandatory results are in.
 sprobe() {
-  timeout 150 python -c "
+  for _a in 1 2; do
+    timeout 150 python -c "
 import sys, jax, jax.numpy as jnp
 x = jnp.arange(128, dtype=jnp.int32)
 ok = int((x*x).sum()) == 690880 and jax.default_backend() == 'tpu'
 sys.exit(0 if ok else 1)
-" || { echo "WEDGED in optional int8 tail; batch already complete"; exit 0; }
+" && return 0
+    sleep 20
+  done
+  echo "WEDGED in optional int8 tail; batch already complete"
+  exit 0
 }
 
 ostep() {  # ostep <name> <timeout_s> <marker> <cmd...>
