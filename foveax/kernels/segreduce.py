@@ -843,8 +843,17 @@ def sample_rect_fused_batch(
     ~0.13 ms/client.  Memory is bounded by chunking: groups of
     ``FOVEAX_BATCH_GRID_CHUNK`` (default 32) gazes run per grid batch,
     scanned with ``lax.map`` (each chunk materializes chunk x one
-    intermediate rows plane).  ``FOVEAX_BATCH_GRID=0`` restores the
-    round-4 pure ``lax.map`` path (the same-window A/B knob).
+    intermediate rows plane).
+
+    MEASURED NEGATIVE at the serving shape (on-chip same-window A/B,
+    2026-08-21 04:05Z): grid-batched 42.15 ms vs ``lax.map`` 35.92 at
+    1080p x 240 gazes (and 9.90 vs 9.58 at x 64) — the launch
+    amortization does not pay; the per-gaze kernel invocations were
+    already cheap and the concatenated-block grid loses DMA locality
+    between gazes sharing a band.  The round-4 ``lax.map`` path is
+    therefore the DEFAULT; ``FOVEAX_BATCH_GRID=1`` opts back into the
+    grid path (kept tested + fuzz-covered, same policy as
+    ``kernels/fused_select.py``).
 
     ``centers``: (N, 2) traced f32; output batched like
     :func:`foveax.core.direct.sample_rect_direct_batch`.
@@ -853,7 +862,7 @@ def sample_rect_fused_batch(
 
     if in_layout == "hwc":
         frame = frame.transpose(2, 0, 1)
-    if os.environ.get("FOVEAX_BATCH_GRID", "1") == "0":
+    if os.environ.get("FOVEAX_BATCH_GRID", "0") != "1":
         return jax.lax.map(
             lambda c: sample_rect_fused(
                 frame, grid, c, wrap_x=wrap_x, in_layout="chw",

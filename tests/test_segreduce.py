@@ -264,13 +264,16 @@ def test_fused_eligible_probe(setup):
         assert not segreduce.fused_eligible(g2, 64, 96, batch=batch)
 
 
-def test_batch_duplicate_and_edge_clamped_gazes(setup):
+@pytest.mark.parametrize("grid_mode", ["0", "1"])
+def test_batch_duplicate_and_edge_clamped_gazes(setup, grid_mode, monkeypatch):
     """One batched launch containing a DUPLICATE gaze pair and
     edge-clamped gazes (both corners) decodes each slice bit-equal to
     the single-gaze path — the serving hot path never sees curated
-    batches (pinned from the round-5 fuzz batch lane)."""
+    batches (pinned from the round-5 fuzz batch lane).  Covers both the
+    default lax.map batch and the opt-in grid-batched variant."""
     from foveax.kernels.segreduce import sample_rect_fused_batch
 
+    monkeypatch.setenv("FOVEAX_BATCH_GRID", grid_mode)
     grid, sat, fr = setup
     centers = jnp.asarray(
         [[0.37, 0.81], [0.37, 0.81], [0.0, 0.0], [1.0, 1.0], [0.999, 0.001]],
@@ -299,6 +302,9 @@ def test_batch_grid_matches_lax_map(setup, monkeypatch):
         jnp.float32,
     )
     monkeypatch.setenv("FOVEAX_BATCH_GRID_CHUNK", "2")
+    # Grid path is opt-in since the on-chip A/B measured it slower than
+    # lax.map at the serving shapes (2026-08-21); parity stays pinned.
+    monkeypatch.setenv("FOVEAX_BATCH_GRID", "1")
     got = np.asarray(
         segreduce.sample_rect_fused_batch(fr, grid, centers, interpret=True)
     )
