@@ -600,10 +600,20 @@ def _x_kernel(
                     )
                     oh = ((ks >= lo) & (ks < hi)).astype(jnp.int8)
                     xs = slab[slot, c, :, j0:j1]
-                    xhi8 = (xs >> 8).astype(jnp.int8)
-                    xlo8 = (
-                        (xs & jnp.uint16(255)) ^ jnp.uint16(128)
-                    ).astype(jnp.int8)
+                    # No shifts: Mosaic cannot legalize arith.shrui on
+                    # this toolchain (on-chip failure 2026-08-21, the
+                    # one op that blocked the whole sampler int8 path).
+                    # Split via AND + exact f32 multiply instead:
+                    # xs - (xs & 255) is a multiple of 256 <= 65280, so
+                    # *(1/256) is exact in f32.
+                    xi = xs.astype(jnp.int32)
+                    lo16 = xi & 255
+                    xhi8 = (
+                        ((xi - lo16).astype(jnp.float32) * (1.0 / 256.0))
+                        .astype(jnp.int32)
+                        .astype(jnp.int8)
+                    )
+                    xlo8 = (lo16 ^ 128).astype(jnp.int8)
 
                     def dot8(a, oh=oh):
                         return jax.lax.dot_general(
