@@ -121,7 +121,54 @@ def _fixup_blend(yb, cols, ix_lo, ix_hi, nx, dx, bias=0.0):
     return ((left * (df - nf) + right * nf) / df + bias).astype(jnp.uint8)
 
 
-def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int, bias=0.0):
+# Output widths where dense integer-gaze sweeps proved the windowed
+# repair covers EVERY escaped column for the yx fused and mm paths (the
+# kernels snap the gaze to integer pixels, so integer sweeps are
+# exhaustive); the scatter fallback is statically elided there (its
+# lax.cond costs a full extra output copy even when never taken —
+# 1.17 ms at 16K, scripts/unwarp_diag3.py 2026-08-21).  Geometry-level
+# coverage is re-asserted by test_unwarp.py's sweep regression.
+_SWEPT_FULL_COVER = frozenset({1920, 3840, 7680, 15360})
+
+
+def _window_select(badf, ix_lo, ix_hi, w_src: int, fix_k: int):
+    """Two-sided window geometry shared by _jump_fixup and the coverage
+    sweep regression (single source of truth for the selection math the
+    _SWEPT_FULL_COVER elision relies on)."""
+    w_out = badf.shape[0]
+    width = min(fix_k, w_out)
+    width_s = min(fix_k, w_src)
+    start = jnp.clip(
+        jnp.argmax(badf).astype(jnp.int32), 0, max(w_out - width, 0)
+    )
+    cols = start + jnp.arange(width, dtype=jnp.int32)
+    bad_w = badf[cols]
+    lo_w = ix_lo[cols]
+    hi_w = ix_hi[cols]
+    # Source window anchored at the smallest bad-column lo tap.
+    src0 = jnp.clip(
+        jnp.min(jnp.where(bad_w, lo_w, w_src)).astype(jnp.int32),
+        0,
+        max(w_src - width_s, 0),
+    )
+    covered = bad_w & (lo_w >= src0) & (hi_w < src0 + width_s)
+    return start, cols, bad_w, lo_w, hi_w, src0, covered, width, width_s
+
+
+def _window_residual(badf, ix_lo, ix_hi, w_src: int, fix_k: int):
+    """Bad columns the two-sided window CANNOT repair — must be empty at
+    every gaze for a shape to sit in _SWEPT_FULL_COVER."""
+    _, cols, _, _, _, _, covered, _, _ = _window_select(
+        badf, ix_lo, ix_hi, w_src, fix_k
+    )
+    in_window = jnp.zeros((badf.shape[0],), bool).at[cols].set(covered)
+    return badf & ~in_window
+
+
+def _jump_fixup(
+    out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int, bias=0.0,
+    assume_covered: bool = False,
+):
     """Repair output columns whose taps escaped their tile/slab window
     (wrap-jump and edge-collapse cases).  Shared by the mm col pass and
     the fused Pallas unwarp.
@@ -142,43 +189,47 @@ def _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k: int, bias=0.0):
     window pair cannot cover (non-production fuzz geometries) fall back
     to the top_k + scatter repair via lax.cond."""
     w_out = badf.shape[0]
-    width = min(fix_k, w_out)
     w_src = yb.shape[2]
-    width_s = min(fix_k, w_src)
     positions = jnp.arange(w_out, dtype=jnp.int32)
-
-    start = jnp.clip(
-        jnp.argmax(badf).astype(jnp.int32), 0, max(w_out - width, 0)
-    )
-    cols = start + jnp.arange(width, dtype=jnp.int32)
-    bad_w = badf[cols]
-    lo_w = ix_lo[cols]
-    hi_w = ix_hi[cols]
-    # Source window anchored at the smallest bad-column lo tap.
-    src0 = jnp.clip(
-        jnp.min(jnp.where(bad_w, lo_w, w_src)).astype(jnp.int32),
-        0,
-        max(w_src - width_s, 0),
+    start, cols, bad_w, lo_w, hi_w, src0, covered, width, width_s = (
+        _window_select(badf, ix_lo, ix_hi, w_src, fix_k)
     )
     src = jax.lax.dynamic_slice(
         yb, (0, 0, src0), (yb.shape[0], yb.shape[1], width_s)
     )
     rel_lo = jnp.clip(lo_w - src0, 0, width_s - 1)
     rel_hi = jnp.clip(hi_w - src0, 0, width_s - 1)
-    left = jnp.take(src, rel_lo, axis=2).astype(jnp.float32)
-    right = jnp.take(src, rel_hi, axis=2).astype(jnp.float32)
-    nf = nx[cols].astype(jnp.float32)[None, None, :]
-    df = dx[cols].astype(jnp.float32)[None, None, :]
-    vals = ((left * (df - nf) + right * nf) / df + bias).astype(jnp.uint8)
+    # Round-5 v3: the window blend is ONE one-hot MXU dot — weights
+    # (den-num) at rel_lo and num at rel_hi, both integers <= 255 so
+    # bf16-exact on the MXU with exact f32 accumulation (the mm passes'
+    # argument; 2-term sums < 2^24) — replacing two minor-axis column
+    # gathers that measured 1.79 ms at 16K on the gather engine
+    # (scripts/unwarp_diag3.py, 2026-08-21).  rel_lo == rel_hi collapses
+    # both weights onto one row summing to den: exact pass-through.
+    nf = nx[cols].astype(jnp.float32)
+    df = dx[cols].astype(jnp.float32)
+    k_iota = jnp.arange(width_s, dtype=jnp.int32)[:, None]
+    wmat = jnp.where(k_iota == rel_lo[None, :], df - nf, 0.0) + jnp.where(
+        k_iota == rel_hi[None, :], nf, 0.0
+    )
+    num = jnp.einsum(
+        "chk,kl->chl",
+        src.astype(jnp.float32),
+        wmat,
+        preferred_element_type=jnp.float32,
+    )
+    vals = (num / df[None, None, :] + bias).astype(jnp.uint8)
 
     cur = jax.lax.dynamic_slice(
         out, (0, 0, start), (out.shape[0], out.shape[1], width)
     )
     # Only bad columns whose taps the source window covers are repaired
     # here; the rest (none at any production shape) go to the fallback.
-    covered = bad_w & (lo_w >= src0) & (hi_w < src0 + width_s)
     merged = jnp.where(covered[None, None, :], vals, cur)
     windowed = jax.lax.dynamic_update_slice(out, merged, (0, 0, start))
+
+    if assume_covered and w_out in _SWEPT_FULL_COVER:
+        return windowed
 
     in_window = jnp.zeros((w_out,), bool).at[cols].set(covered)
     residual = badf & ~in_window
@@ -253,7 +304,10 @@ def _mm_col_pass(yb, ix_lo, ix_hi, nx, dx, maxstep: int):
     # columns, scattered over the dot's placeholder values — the same
     # exact numerator/denominator blend the dot computes.
     badf = bad.reshape(-1)[:w_out]
-    return _jump_fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, _MM_FIX_K)
+    return _jump_fixup(
+        out, yb, badf, ix_lo, ix_hi, nx, dx, _MM_FIX_K,
+        assume_covered=True,
+    )
 
 
 def _axis_vectors(

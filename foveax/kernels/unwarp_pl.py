@@ -578,6 +578,9 @@ def unwarp_rect_fused(
     from foveax.core.unwarp import _jump_fixup
 
     ybv = yb[:, :out_height, :]
-    out = _jump_fixup(out, ybv, badf, ix_lo, ix_hi, nx, dx, max(_FIX_K, 2 * lx))
+    out = _jump_fixup(
+        out, ybv, badf, ix_lo, ix_hi, nx, dx, max(_FIX_K, 2 * lx),
+        assume_covered=True,
+    )
 
     return out if out_layout == "chw" else out.transpose(1, 2, 0)

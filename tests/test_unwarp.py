@@ -287,3 +287,61 @@ def test_jump_fixup_windowed_and_fallback_paths():
                 (left * (dx[j] - nx[j]) + right * nx[j]) / dx[j]
             ).astype(np.uint8)
         np.testing.assert_array_equal(got, want)
+
+
+def test_swept_shapes_window_covers_every_gaze():
+    """Backs the _SWEPT_FULL_COVER static elision of the scatter
+    fallback: at every production output width, for a dense sweep of
+    integer gaze positions (exhaustive at 1080p, strided >=8x elsewhere
+    — the jump geometry shifts with the gaze cell index, so strides
+    cover every distinct local configuration), the two-sided window
+    repairs EVERY escaped column for BOTH fixup clients (the fused yx
+    x pass and the mm col pass).  Uses the same _window_select math the
+    fixup executes (single source of truth)."""
+    import jax
+
+    from foveax.config import reduced_dim
+    from foveax.core.unwarp import (
+        _axis_vectors,
+        _mm_tiles,
+        _window_residual,
+    )
+    from foveax.kernels.unwarp_pl import _FIX_K, _QX, _block_geom, _x_geom
+    from foveax.core.unwarp import _MM_FIX_K
+
+    shapes = [
+        (1920, 1080, 1),    # exhaustive
+        (3840, 2160, 5),
+        (7680, 4320, 11),
+        (15360, 8640, 23),
+    ]
+    for out_w, out_h, stride in shapes:
+        rw = reduced_dim(out_w)
+        lx, kx, _hb = _x_geom(out_w, out_h, rw)
+        assert lx, (out_w, out_h)
+        wp = -(-(rw + kx) // 128) * 128
+        fused_fix = max(_FIX_K, 2 * lx)
+
+        def any_residual(cx, out_w=out_w, rw=rw, lx=lx, kx=kx, wp=wp,
+                         fused_fix=fused_fix):
+            ix_lo, ix_hi, _r, nx, dx, ms = _axis_vectors(
+                out_w, rw, cx, wrap=True
+            )
+            _bx, _rl, _rs, _rn, _rd, badf = _block_geom(
+                ix_lo, ix_hi, nx, dx, lx, rw, kx, _QX, wrap=True
+            )
+            fused_bad = _window_residual(
+                badf, ix_lo, ix_hi, wp, fused_fix
+            ).any()
+            _t, _b, bad_mm, _w, _s, _d = _mm_tiles(
+                ix_lo, ix_hi, nx, dx, out_w, int(ms)
+            )
+            badf_mm = bad_mm.reshape(-1)[:out_w]
+            mm_bad = _window_residual(
+                badf_mm, ix_lo, ix_hi, rw, _MM_FIX_K
+            ).any()
+            return fused_bad | mm_bad
+
+        centers = jnp.arange(0, out_w + 1, stride, dtype=jnp.int32)
+        got = jax.jit(jax.vmap(any_residual))(centers)
+        assert not bool(np.asarray(got).any()), out_w
