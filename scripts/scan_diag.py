@@ -161,7 +161,11 @@ def main() -> int:
                 fr = jax.lax.dynamic_update_slice(fr, upd, (0, 0, 0))
                 return fr, acc + probe
 
-            _, acc = jax.lax.fori_loop(0, iters, body, (frame, jnp.float32(0)))
+            # NB: must loop over the ARGUMENT fr, not the outer frame —
+            # closing over the concrete array embeds ~400 MB of constant
+            # into the HLO and the remote compiler rejects it (HTTP 413,
+            # observed 2026-08-21 04:43Z).
+            _, acc = jax.lax.fori_loop(0, iters, body, (fr, jnp.float32(0)))
             return acc
 
         n1 = args.iters
