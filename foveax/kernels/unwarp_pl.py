@@ -385,6 +385,10 @@ def _unwarp_fused_xy(planar, out_w, out_h, ix_lo, ix_hi, nx, dx,
     xb = _jump_fixup(
         xb, planar, badf, ix_lo, ix_hi, nx, dx, max(_FIX_K, 2 * lx),
         bias=half_up,
+        # xy geometry coverage swept per production width too
+        # (test_swept_shapes_window_covers_every_gaze) — elide the
+        # scatter fallback's cond here as at the yx/mm sites.
+        assume_covered=True,
     )
 
     # --- y pass: (3, hr, Wo) -> (3, Ho, Wo), truncating final ----------

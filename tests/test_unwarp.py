@@ -322,8 +322,27 @@ def test_swept_shapes_window_covers_every_gaze():
         wp = -(-(rw + kx) // 128) * 128
         fused_fix = max(_FIX_K, 2 * lx)
 
+        # The xy order picks its own (lx, kx) against the reduced
+        # height and repairs from the reduced frame (w_src = rw, not
+        # the padded wp); its coverage is swept here too so the xy call
+        # site can elide the scatter fallback as well.
+        from foveax.config import reduced_dim as _rd_
+        from foveax.kernels.unwarp_pl import _hb, _x_candidates
+
+        hr = _rd_(out_h)
+        lx_xy = kx_xy = 0
+        for lxc, kxc in _x_candidates() + ((128, 384),):
+            if out_w % lxc or rw < kxc:
+                continue
+            if _hb(hr, kxc, lxc):
+                lx_xy, kx_xy = lxc, kxc
+                break
+        assert lx_xy, (out_w, out_h)
+        xy_fix = max(_FIX_K, 2 * lx_xy)
+
         def any_residual(cx, out_w=out_w, rw=rw, lx=lx, kx=kx, wp=wp,
-                         fused_fix=fused_fix):
+                         fused_fix=fused_fix, lx_xy=lx_xy, kx_xy=kx_xy,
+                         xy_fix=xy_fix):
             ix_lo, ix_hi, _r, nx, dx, ms = _axis_vectors(
                 out_w, rw, cx, wrap=True
             )
@@ -333,6 +352,12 @@ def test_swept_shapes_window_covers_every_gaze():
             fused_bad = _window_residual(
                 badf, ix_lo, ix_hi, wp, fused_fix
             ).any()
+            _bx2, _rl2, _rs2, _rn2, _rd2, badf_xy = _block_geom(
+                ix_lo, ix_hi, nx, dx, lx_xy, rw, kx_xy, _QX, wrap=True
+            )
+            xy_bad = _window_residual(
+                badf_xy, ix_lo, ix_hi, rw, xy_fix
+            ).any()
             _t, _b, bad_mm, _w, _s, _d = _mm_tiles(
                 ix_lo, ix_hi, nx, dx, out_w, int(ms)
             )
@@ -340,7 +365,7 @@ def test_swept_shapes_window_covers_every_gaze():
             mm_bad = _window_residual(
                 badf_mm, ix_lo, ix_hi, rw, _MM_FIX_K
             ).any()
-            return fused_bad | mm_bad
+            return fused_bad | xy_bad | mm_bad
 
         centers = jnp.arange(0, out_w + 1, stride, dtype=jnp.int32)
         got = jax.jit(jax.vmap(any_residual))(centers)
