@@ -44,7 +44,8 @@ def main() -> int:
     )()
 
     def make_fixup(kind):
-        def fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k):
+        def fixup(out, yb, badf, ix_lo, ix_hi, nx, dx, fix_k,
+                  bias=0.0, assume_covered=False):
             w_out = badf.shape[0]
             width = min(fix_k, w_out)
             start = jnp.clip(
