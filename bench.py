@@ -399,21 +399,22 @@ def main(fused_probe: bool = False) -> None:
         # FOVEAX_BENCH_TRY_FUSED_FULL=0 opts out.
         candidate_env: dict[str, dict[str, str]] = {}
         if os.environ.get("FOVEAX_BENCH_TRY_FUSED_FULL", "1") == "1":
+            # Default config is now xy-order + int8 unwarp dots (the
+            # round-5 same-window ladder winner); the conservative
+            # yx/f32 variant stays as a parity-gated candidate so the
+            # headline can still take it in a window where the winner
+            # regresses.
             candidates.append(("fused_full", step_fused))
-            # Env-knob variants last: Mosaic support for the s8 dots is
-            # A/B-gated (BENCHMARKS "delivered ceilings") — if one fails
-            # to lower, the proven candidates' lines have already landed.
             if os.environ.get("FOVEAX_BENCH_TRY_INT8", "1") == "1":
-                candidates.append(("fused_full_int8", make_fused_step()))
-                candidate_env["fused_full_int8"] = {
-                    "FOVEAX_SEGREDUCE_INT8": "1",
-                    "FOVEAX_UNWARP_INT8": "1",
+                candidates.append(("fused_full_yxf32", make_fused_step()))
+                candidate_env["fused_full_yxf32"] = {
+                    "FOVEAX_SEGREDUCE_INT8": "0",
+                    "FOVEAX_UNWARP_INT8": "0",
+                    "FOVEAX_UNWARP_ORDER": "yx",
                 }
-                candidates.append(("fused_full_xy8", make_fused_step()))
-                candidate_env["fused_full_xy8"] = {
+                candidates.append(("fused_full_sampi8", make_fused_step()))
+                candidate_env["fused_full_sampi8"] = {
                     "FOVEAX_SEGREDUCE_INT8": "1",
-                    "FOVEAX_UNWARP_INT8": "1",
-                    "FOVEAX_UNWARP_ORDER": "xy",
                 }
         def knob_parity_ok(step) -> bool:
             # The env-knob candidates (s8 dots, xy order) are A/B variants

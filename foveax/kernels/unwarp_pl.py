@@ -483,8 +483,11 @@ def unwarp_rect_fused(
     # path remains the fallback).
     import os
 
+    # Default ON since the round-5 same-window ladder (2026-08-21
+    # 06:10Z, 16K stage): xy+int8 4.50 < xy 4.64 < yx+int8 5.11 <
+    # yx 5.38 ms (4K mirrors it); on-chip parity green for both knobs.
     int8 = (
-        os.environ.get("FOVEAX_UNWARP_INT8", "0") == "1"
+        os.environ.get("FOVEAX_UNWARP_INT8", "1") == "1"
         and max(msx, msy) <= 127
     )
     # Pass order (round-5 A/B knob): "yx" (rows then columns, the
@@ -499,7 +502,7 @@ def unwarp_rect_fused(
     # with the +0.01 guard — the ``bias`` kernel params), so the
     # <= 1 LSB-of-exact / fovea-bit-exact contract argument is the
     # mirror image of the shipped order's.
-    order = os.environ.get("FOVEAX_UNWARP_ORDER", "yx")
+    order = os.environ.get("FOVEAX_UNWARP_ORDER", "xy")
     if order == "xy":
         return _unwarp_fused_xy(
             planar, out_width, out_height, ix_lo, ix_hi, nx, dx,
